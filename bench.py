@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query executes end-to-end via the noop sink (full plan, no driver
+collect). A warmup query first amortizes JVM/session startup so the
+numbers measure the plans, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+
+# The headline set: the dispatch engine (the reference's workload) plus the
+# heaviest representative of each operator family.
+HEADLINE = [
+    "dispatch_route",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_join_left_outer_count",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
+    "q_set_ops",
+    "q_scalar_math_case",
+    "q_json_extract",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark(app_name="bench")
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n in registry
+    ]
+
+    # warmup: JVM + parquet footer caches
+    run_query(registry["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run_query(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

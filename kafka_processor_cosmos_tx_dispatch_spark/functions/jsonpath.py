@@ -1,0 +1,708 @@
+"""JsonPath predicate engine — the reference's query language, Spark-first.
+
+The reference's entire query surface is JsonPath 2.x predicates evaluated
+against a JSON rendering of each record, with Jayway options
+``AS_PATH_LIST`` + ``SUPPRESS_EXCEPTIONS``: a rule *matches* iff the path
+resolves to a non-empty node list, and ANY evaluation error (including a
+missed definite path like ``$.nop``) is swallowed and treated as a
+non-match (/root/reference/src/main/kotlin/com/okp4/processor/cosmos/
+TopologyProducer.kt:56-59, 216-223).
+
+This module provides three tiers, fastest first:
+
+1. ``compile_struct_predicate(col, dtype, path)`` — compiles the JsonPath
+   subset (child / index / wildcard / recursive descent / array filters
+   with ``== != < <= > >= && ||`` and existence) into a **native boolean
+   Column** over a typed struct column. Pure Catalyst expressions
+   (``exists`` / higher-order functions) — whole-stage codegen, no Python
+   in the hot path. Recursive descent is schema-directed: ``$..name`` is
+   statically expanded over the struct schema into an OR of concrete
+   accessors, so it costs exactly the fields it touches.
+2. ``compile_json_string_predicate(col, path)`` — for untyped JSON string
+   columns: definite paths (child + index only) compile to
+   ``get_json_object(col, path) IS NOT NULL`` (JVM-side Jackson walk).
+3. ``match(json_text, path)`` inside ``jsonpath_match_pandas_udf`` — the
+   full evaluator in Python, Arrow-batched, for constructs outside the
+   compilable subset. Semantics identical: errors ⇒ non-match.
+
+Grammar (the subset the reference exercises, rules_example.yaml:2-11):
+
+    path     := '$' step*
+    step     := '.' NAME | '..' NAME | '[' INT ']' | '[*]' | '.*'
+              | "['" NAME "']" | '[?(' filter ')]'
+    filter   := or ; or := and ('||' and)* ; and := atom ('&&' atom)*
+    atom     := '(' or ')' | '!' atom | rel CMP literal | rel
+    rel      := '@' ('.' NAME | '[' INT ']' | '[*]')*
+    literal  := 'sq-string' | "dq-string" | number | true | false | null
+
+NAME may contain '@' (protobuf-JSON uses ``@type`` as a field key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class JsonPathError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Child:
+    name: str
+
+
+@dataclass(frozen=True)
+class RecursiveChild:
+    name: str
+
+
+@dataclass(frozen=True)
+class Index:
+    i: int
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    pass
+
+
+@dataclass(frozen=True)
+class Filter:
+    expr: "Or"
+
+
+@dataclass(frozen=True)
+class Or:
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class And:
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    term: object
+
+
+@dataclass(frozen=True)
+class Cmp:
+    rel: tuple  # steps from '@'
+    op: str
+    literal: object
+
+
+@dataclass(frozen=True)
+class Exists:
+    rel: tuple
+
+
+Step = object  # Child | RecursiveChild | Index | Wildcard | Filter
+
+_NAME_END = set(".[]()<>=!&| \t'\"")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    # -- low-level helpers ---------------------------------------------------
+    def peek(self, k: int = 1) -> str:
+        return self.text[self.pos : self.pos + k]
+
+    def eat(self, s: str) -> None:
+        if not self.text.startswith(s, self.pos):
+            raise JsonPathError(f"expected {s!r} at {self.pos} in {self.text!r}")
+        self.pos += len(s)
+
+    def skip_ws(self) -> None:
+        while self.pos < len(self.text) and self.text[self.pos] in " \t":
+            self.pos += 1
+
+    def name(self) -> str:
+        start = self.pos
+        while self.pos < len(self.text) and self.text[self.pos] not in _NAME_END:
+            self.pos += 1
+        if self.pos == start:
+            raise JsonPathError(f"expected name at {start} in {self.text!r}")
+        return self.text[start : self.pos]
+
+    # -- grammar --------------------------------------------------------------
+    def parse_path(self) -> tuple:
+        self.eat("$")
+        steps = self.parse_steps()
+        if self.pos != len(self.text):
+            raise JsonPathError(f"trailing input at {self.pos} in {self.text!r}")
+        return steps
+
+    def parse_steps(self) -> tuple:
+        steps: list = []
+        while self.pos < len(self.text):
+            c = self.peek()
+            if c == ".":
+                if self.peek(2) == "..":
+                    self.eat("..")
+                    steps.append(RecursiveChild(self.name()))
+                else:
+                    self.eat(".")
+                    if self.peek() == "*":
+                        self.eat("*")
+                        steps.append(Wildcard())
+                    else:
+                        steps.append(Child(self.name()))
+            elif c == "[":
+                steps.append(self.parse_bracket())
+            else:
+                break
+        return tuple(steps)
+
+    def parse_bracket(self):
+        self.eat("[")
+        self.skip_ws()
+        c = self.peek()
+        if c == "*":
+            self.eat("*")
+            self.skip_ws()
+            self.eat("]")
+            return Wildcard()
+        if c in "'\"":
+            quoted = self.string_literal()
+            self.skip_ws()
+            self.eat("]")
+            return Child(quoted)
+        if c == "?":
+            self.eat("?")
+            self.skip_ws()
+            self.eat("(")
+            expr = self.parse_or()
+            self.skip_ws()
+            self.eat(")")
+            self.skip_ws()
+            self.eat("]")
+            return Filter(expr)
+        # integer index (negative allowed)
+        start = self.pos
+        if self.peek() == "-":
+            self.pos += 1
+        while self.pos < len(self.text) and self.text[self.pos].isdigit():
+            self.pos += 1
+        if self.pos == start:
+            raise JsonPathError(f"bad bracket at {start} in {self.text!r}")
+        idx = int(self.text[start : self.pos])
+        self.skip_ws()
+        self.eat("]")
+        return Index(idx)
+
+    def string_literal(self) -> str:
+        quote = self.peek()
+        if quote not in "'\"":
+            raise JsonPathError(f"expected string at {self.pos}")
+        self.pos += 1
+        out = []
+        while self.pos < len(self.text):
+            ch = self.text[self.pos]
+            if ch == "\\" and self.pos + 1 < len(self.text):
+                out.append(self.text[self.pos + 1])
+                self.pos += 2
+                continue
+            if ch == quote:
+                self.pos += 1
+                return "".join(out)
+            out.append(ch)
+            self.pos += 1
+        raise JsonPathError("unterminated string literal")
+
+    def parse_or(self) -> Or:
+        terms = [self.parse_and()]
+        self.skip_ws()
+        while self.peek(2) == "||":
+            self.eat("||")
+            terms.append(self.parse_and())
+            self.skip_ws()
+        return Or(tuple(terms))
+
+    def parse_and(self) -> And:
+        terms = [self.parse_atom()]
+        self.skip_ws()
+        while self.peek(2) == "&&":
+            self.eat("&&")
+            terms.append(self.parse_atom())
+            self.skip_ws()
+        return And(tuple(terms))
+
+    def parse_atom(self):
+        self.skip_ws()
+        if self.peek() == "(":
+            self.eat("(")
+            expr = self.parse_or()
+            self.skip_ws()
+            self.eat(")")
+            return expr
+        if self.peek() == "!":
+            self.eat("!")
+            return Not(self.parse_atom())
+        rel = self.parse_rel()
+        self.skip_ws()
+        for op in ("==", "!=", "<=", ">=", "<", ">"):
+            if self.peek(len(op)) == op:
+                self.eat(op)
+                self.skip_ws()
+                return Cmp(rel, op, self.parse_literal())
+        return Exists(rel)
+
+    def parse_rel(self) -> tuple:
+        self.eat("@")
+        steps: list = []
+        while self.pos < len(self.text):
+            c = self.peek()
+            if c == ".":
+                self.eat(".")
+                steps.append(Child(self.name()))
+            elif c == "[":
+                steps.append(self.parse_bracket())
+            else:
+                break
+        return tuple(steps)
+
+    def parse_literal(self):
+        c = self.peek()
+        if c in "'\"":
+            return self.string_literal()
+        for word, val in (("true", True), ("false", False), ("null", None)):
+            if self.text.startswith(word, self.pos):
+                self.pos += len(word)
+                return val
+        start = self.pos
+        if self.peek() == "-":
+            self.pos += 1
+        while self.pos < len(self.text) and (
+            self.text[self.pos].isdigit() or self.text[self.pos] == "."
+        ):
+            self.pos += 1
+        if self.pos == start:
+            raise JsonPathError(f"expected literal at {start} in {self.text!r}")
+        tok = self.text[start : self.pos]
+        return float(tok) if "." in tok else int(tok)
+
+
+def parse(path: str) -> tuple:
+    """Parse a JsonPath string into a step tuple. Raises JsonPathError."""
+    return _Parser(path.strip()).parse_path()
+
+
+# --------------------------------------------------------------------------
+# Tier 3: pure-Python evaluator (UDF fallback; also the test oracle)
+# --------------------------------------------------------------------------
+
+
+def _eval_steps(nodes: list, steps: tuple) -> list:
+    for step in steps:
+        nodes = _eval_step(nodes, step)
+        if not nodes:
+            return []
+    return nodes
+
+
+def _descendants(node: Any):
+    yield node
+    if isinstance(node, dict):
+        for v in node.values():
+            yield from _descendants(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _descendants(v)
+
+
+def _eval_step(nodes: list, step) -> list:
+    out: list = []
+    if isinstance(step, Child):
+        for n in nodes:
+            if isinstance(n, dict) and step.name in n:
+                out.append(n[step.name])
+    elif isinstance(step, RecursiveChild):
+        for n in nodes:
+            for d in _descendants(n):
+                if isinstance(d, dict) and step.name in d:
+                    out.append(d[step.name])
+    elif isinstance(step, Index):
+        for n in nodes:
+            if isinstance(n, list):
+                try:
+                    out.append(n[step.i])
+                except IndexError:
+                    pass
+    elif isinstance(step, Wildcard):
+        for n in nodes:
+            if isinstance(n, list):
+                out.extend(n)
+            elif isinstance(n, dict):
+                out.extend(n.values())
+    elif isinstance(step, Filter):
+        for n in nodes:
+            items = n if isinstance(n, list) else [n]
+            out.extend(e for e in items if _eval_filter(e, step.expr))
+    else:  # pragma: no cover
+        raise JsonPathError(f"unknown step {step!r}")
+    return out
+
+
+def _eval_filter(node: Any, expr) -> bool:
+    if isinstance(expr, Or):
+        return any(_eval_filter(node, t) for t in expr.terms)
+    if isinstance(expr, And):
+        return all(_eval_filter(node, t) for t in expr.terms)
+    if isinstance(expr, Not):
+        return not _eval_filter(node, expr.term)
+    if isinstance(expr, Exists):
+        return bool(_eval_steps([node], expr.rel))
+    if isinstance(expr, Cmp):
+        matches = _eval_steps([node], expr.rel)
+        if not matches:
+            return False
+        value = matches[0]
+        return _compare(value, expr.op, expr.literal)
+    raise JsonPathError(f"unknown filter term {expr!r}")
+
+
+def _compare(value: Any, op: str, literal: Any) -> bool:
+    if op == "==":
+        return value == literal and type(value) in (type(literal), int, float) or (
+            isinstance(value, bool) == isinstance(literal, bool) and value == literal
+        )
+    if op == "!=":
+        return not _compare(value, "==", literal)
+    try:
+        if op == "<":
+            return value < literal
+        if op == "<=":
+            return value <= literal
+        if op == ">":
+            return value > literal
+        if op == ">=":
+            return value >= literal
+    except TypeError:
+        return False
+    raise JsonPathError(f"unknown op {op}")
+
+
+def evaluate(obj: Any, path: str | tuple) -> list:
+    """Return the list of nodes the path resolves to (may raise)."""
+    steps = parse(path) if isinstance(path, str) else path
+    return _eval_steps([obj], steps)
+
+
+def match(json_text: str | None, path: str | tuple) -> bool:
+    """Reference semantics: non-empty node list ⇒ True; ANY error ⇒ False.
+
+    (≅ TopologyProducer.kt:216-223 — runCatching + SUPPRESS_EXCEPTIONS.)
+    """
+    import json
+
+    if json_text is None:
+        return False
+    try:
+        return bool(evaluate(json.loads(json_text), path))
+    except Exception:
+        return False
+
+
+def jsonpath_match_pandas_udf(path: str):
+    """Arrow-batched predicate over a JSON-string column (tier-3 fallback)."""
+    steps = parse(path)  # parse once on the driver; fail fast on bad rules
+
+    @F.pandas_udf(T.BooleanType())
+    def _match(s: pd.Series) -> pd.Series:
+        return s.map(lambda txt: match(txt, steps))
+
+    return _match
+
+
+# --------------------------------------------------------------------------
+# Tier 1: native Column compiler over a typed struct column
+# --------------------------------------------------------------------------
+
+NodeFn = Callable[[Column], Column]  # node column -> boolean Column
+
+
+def _lit(literal) -> Column:
+    return F.lit(literal)
+
+
+def _field_type(dtype: T.DataType, name: str) -> T.DataType | None:
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if f.name == name:
+                return f.dataType
+    return None
+
+
+def _cmp_column(node: Column, dtype: T.DataType, op: str, literal) -> Column:
+    """Comparison with JsonPath semantics: type-mismatch ⇒ non-match."""
+    if literal is None:
+        return node.isNull() if op == "==" else node.isNotNull()
+    # string literal vs non-string column (or vice versa) never matches,
+    # mirroring Jayway's typed comparison.
+    is_str_col = isinstance(dtype, T.StringType)
+    if isinstance(literal, str) != is_str_col:
+        if op == "!=":
+            return node.isNotNull()  # value exists and is of a different type
+        return F.lit(False)
+    ops = {
+        "==": node == _lit(literal),
+        "!=": node != _lit(literal),
+        "<": node < _lit(literal),
+        "<=": node <= _lit(literal),
+        ">": node > _lit(literal),
+        ">=": node >= _lit(literal),
+    }
+    return ops[op]
+
+
+def _rel_single(node: Column, dtype: T.DataType, rel: tuple):
+    """Resolve an '@.a.b[0]' relative path to (column, dtype) or None."""
+    col, dt = node, dtype
+    for step in rel:
+        if isinstance(step, Child):
+            ft = _field_type(dt, step.name)
+            if ft is None:
+                return None
+            col, dt = col.getField(step.name), ft
+        elif isinstance(step, Index) and isinstance(dt, T.ArrayType):
+            # element_at is 1-based; JsonPath [i] is 0-based, [-1] is last.
+            pos = step.i + 1 if step.i >= 0 else step.i
+            col, dt = F.element_at(col, pos), dt.elementType
+        else:
+            return None
+    return col, dt
+
+
+def _filter_fn(dtype: T.DataType, expr) -> NodeFn | None:
+    """Compile a filter expression to node-col -> boolean Column."""
+    if isinstance(expr, Or):
+        fns = [_filter_fn(dtype, t) for t in expr.terms]
+        if any(f is None for f in fns):
+            return None
+        return lambda c: _reduce_or([f(c) for f in fns])
+    if isinstance(expr, And):
+        fns = [_filter_fn(dtype, t) for t in expr.terms]
+        if any(f is None for f in fns):
+            return None
+        return lambda c: _reduce_and([f(c) for f in fns])
+    if isinstance(expr, Not):
+        f = _filter_fn(dtype, expr.term)
+        if f is None:
+            return None
+        return lambda c: ~F.coalesce(f(c), F.lit(False))
+    if isinstance(expr, Exists):
+        f = _exists_fn(dtype, expr.rel)
+        return f
+    if isinstance(expr, Cmp):
+
+        def fn(c: Column) -> Column:
+            resolved = _rel_single(c, dtype, expr.rel)
+            if resolved is None:
+                return F.lit(False)
+            col, dt = resolved
+            return F.coalesce(_cmp_column(col, dt, expr.op, expr.literal), F.lit(False))
+
+        # validate at compile time that the rel path is resolvable in schema;
+        # unresolvable ⇒ constant False (reference: miss ⇒ non-match)
+        return fn
+    return None
+
+
+def _reduce_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _reduce_and(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _exists_fn(dtype: T.DataType, steps: tuple) -> NodeFn | None:
+    """Compile steps to a fn: node Column -> boolean 'subtree has ≥1 match'."""
+    if not steps:
+        return lambda c: c.isNotNull()
+    step, rest = steps[0], steps[1:]
+
+    if isinstance(step, Child):
+        ft = _field_type(dtype, step.name)
+        if ft is None:
+            return lambda c: F.lit(False)  # definite miss ⇒ non-match
+        f = _exists_fn(ft, rest)
+        if f is None:
+            return None
+        return lambda c: F.coalesce(f(c.getField(step.name)), F.lit(False))
+
+    if isinstance(step, Index):
+        if not isinstance(dtype, T.ArrayType):
+            return lambda c: F.lit(False)
+        f = _exists_fn(dtype.elementType, rest)
+        if f is None:
+            return None
+        pos = step.i + 1 if step.i >= 0 else step.i
+        return lambda c: F.coalesce(f(F.element_at(c, pos)), F.lit(False))
+
+    if isinstance(step, Wildcard):
+        if isinstance(dtype, T.ArrayType):
+            f = _exists_fn(dtype.elementType, rest)
+            if f is None:
+                return None
+            return lambda c: F.coalesce(
+                F.exists(c, lambda e: F.coalesce(f(e), F.lit(False))), F.lit(False)
+            )
+        if isinstance(dtype, T.StructType):
+            fns = []
+            for fld in dtype.fields:
+                f = _exists_fn(fld.dataType, rest)
+                if f is None:
+                    return None
+                fns.append((fld.name, f))
+            return lambda c: F.coalesce(
+                _reduce_or([F.coalesce(f(c.getField(n)), F.lit(False)) for n, f in fns]),
+                F.lit(False),
+            )
+        return lambda c: F.lit(False)
+
+    if isinstance(step, Filter):
+        if isinstance(dtype, T.ArrayType):
+            pred = _filter_fn(dtype.elementType, step.expr)
+            f = _exists_fn(dtype.elementType, rest)
+            if pred is None or f is None:
+                return None
+            return lambda c: F.coalesce(
+                F.exists(
+                    c,
+                    lambda e: F.coalesce(pred(e), F.lit(False))
+                    & F.coalesce(f(e), F.lit(False)),
+                ),
+                F.lit(False),
+            )
+        # filter applied to a single object: the object passes or not
+        pred = _filter_fn(dtype, step.expr)
+        f = _exists_fn(dtype, rest)
+        if pred is None or f is None:
+            return None
+        return lambda c: F.coalesce(pred(c) & f(c), F.lit(False))
+
+    if isinstance(step, RecursiveChild):
+        # Schema-directed expansion: find every position in the (finite)
+        # schema tree whose field name matches, apply the rest there.
+        fns = _recursive_fns(dtype, step.name, rest)
+        if fns is None:
+            return None
+        if not fns:
+            return lambda c: F.lit(False)
+        return lambda c: F.coalesce(
+            _reduce_or([F.coalesce(f(c), F.lit(False)) for f in fns]), F.lit(False)
+        )
+
+    return None  # pragma: no cover
+
+
+def _recursive_fns(dtype: T.DataType, name: str, rest: tuple) -> list[NodeFn] | None:
+    """All match-functions for '..name' descendants under dtype."""
+    fns: list[NodeFn] = []
+    if isinstance(dtype, T.StructType):
+        for fld in dtype.fields:
+            if fld.name == name:
+                f = _exists_fn(fld.dataType, rest)
+                if f is None:
+                    return None
+                fns.append(
+                    (lambda fname, ff: lambda c: ff(c.getField(fname)))(fld.name, f)
+                )
+            sub = _recursive_fns(fld.dataType, name, rest)
+            if sub is None:
+                return None
+            fns.extend(
+                (lambda fname, sf: lambda c: sf(c.getField(fname)))(fld.name, s)
+                for s in sub
+            )
+    elif isinstance(dtype, T.ArrayType):
+        sub = _recursive_fns(dtype.elementType, name, rest)
+        if sub is None:
+            return None
+        fns.extend(
+            (
+                lambda sf: lambda c: F.exists(
+                    c, lambda e: F.coalesce(sf(e), F.lit(False))
+                )
+            )(s)
+            for s in sub
+        )
+    return fns
+
+
+def compile_struct_predicate(
+    col: Column, dtype: T.DataType, path: str | tuple
+) -> Column | None:
+    """Compile a JsonPath to a native boolean Column over a struct column.
+
+    Returns None when the path uses constructs outside the compilable
+    subset (caller falls back to the Pandas-UDF evaluator). A path that is
+    in the subset but cannot match the schema (e.g. ``$.nop``) compiles to
+    ``lit(False)`` — the reference treats missed definite paths as
+    non-matches (TopologyProducer.kt:221-223).
+    """
+    steps = parse(path) if isinstance(path, str) else path
+    f = _exists_fn(dtype, steps)
+    if f is None:
+        return None
+    return F.coalesce(f(col), F.lit(False))
+
+
+# --------------------------------------------------------------------------
+# Tier 2: definite paths over untyped JSON strings
+# --------------------------------------------------------------------------
+
+
+def _definite_get_json_path(steps: tuple) -> str | None:
+    """Render child/index-only steps as a get_json_object path string."""
+    parts = ["$"]
+    for s in steps:
+        if isinstance(s, Child):
+            if not s.name or any(c in s.name for c in ".[]$'\"*@"):
+                return None
+            parts.append("." + s.name)
+        elif isinstance(s, Index):
+            if s.i < 0:
+                return None
+            parts.append(f"[{s.i}]")
+        else:
+            return None
+    return "".join(parts)
+
+
+def compile_json_string_predicate(col: Column, path: str | tuple) -> Column | None:
+    """Definite path over a JSON string → get_json_object IS NOT NULL.
+
+    Note: JSON ``null`` values read as SQL NULL, i.e. a key explicitly set
+    to null is a non-match here (Jayway would match the path). Rules that
+    need null-valued-key matching fall back to the UDF tier.
+    """
+    steps = parse(path) if isinstance(path, str) else path
+    gpath = _definite_get_json_path(steps)
+    if gpath is None:
+        return None
+    return F.get_json_object(col, gpath).isNotNull()

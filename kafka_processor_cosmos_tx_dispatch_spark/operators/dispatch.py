@@ -1,0 +1,191 @@
+"""The dispatch engine: rule evaluation → multicast routing → topic column.
+
+Re-expresses the reference topology (/root/reference/src/main/kotlin/com/
+okp4/processor/cosmos/TopologyProducer.kt:84-231) as one declarative
+DataFrame plan:
+
+    reference                           here
+    ---------                           ----
+    mapValues tx-deserialization        caller provides tx struct / error col
+    mapValues evaluate-tx (:97,205-231) with_matches(): one array<int> column
+    flatMapValues flatten (:100-105)    explode(matches)
+    split()+branches (:106-201)         a 'topic' string column
+    per-branch serialization            value_for_topic() projections
+
+Semantics pinned by the reference tests (TopologyTest.kt:88-94):
+  * multicast — a record matching k rules yields k output rows;
+  * rule order = config order, tags are list indices (:214);
+  * no match ⇒ sentinel UNFILTERED(-2) ⇒ DLQ with a JSON envelope
+    {"txJson": ..., "txBytes": base64, "message": null} (:32-41, 186-195);
+  * decode failure ⇒ sentinel ERROR(-1) ⇒ error topic with the ORIGINAL
+    input bytes (:122), and only if an error topic is configured (:124) —
+    otherwise those records are dropped;
+  * per-record predicate evaluation error ⇒ non-match, never a failure
+    (:221-223).
+
+Scale notes: rules are a handful of driver-side literals compiled INTO the
+plan (no join, no shuffle, no Python in the hot path when predicates
+compile natively); evaluation + explode + routing is a single narrow
+stage — the whole dispatch path is shuffle-free, exactly like the
+reference's stateless topology, and survives any scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import jsonpath as jp
+from ..rules import ERROR, UNFILTERED, DispatchRule
+
+DEFAULT_DLQ_TOPIC = "dlq"
+
+
+def rule_predicate(
+    rule: DispatchRule,
+    json_col: Column | None = None,
+    struct_col: Column | None = None,
+    struct_type: T.DataType | None = None,
+) -> Column:
+    """Compile one rule's JsonPath to a boolean Column, fastest tier first.
+
+    1. typed struct column → native Catalyst expression (codegen);
+    2. JSON string + definite path → get_json_object (JVM-side);
+    3. anything else → Arrow-batched Pandas UDF with the full evaluator.
+    """
+    if struct_col is not None and struct_type is not None:
+        compiled = jp.compile_struct_predicate(struct_col, struct_type, rule.predicate)
+        if compiled is not None:
+            return compiled
+    if json_col is not None:
+        compiled = jp.compile_json_string_predicate(json_col, rule.predicate)
+        if compiled is not None:
+            return compiled
+        return jp.jsonpath_match_pandas_udf(rule.predicate)(json_col)
+    raise ValueError(f"rule {rule.name!r} needs a json_col or a typed struct_col")
+
+
+def with_matches(
+    df: DataFrame,
+    rules: list[DispatchRule],
+    json_col: str | None = None,
+    struct_col: str | None = None,
+    error_col: str | None = None,
+    out_col: str = "matches",
+) -> DataFrame:
+    """Add ``matches: array<int>`` — indices of matching rules in rule order.
+
+    ``[-1]`` for decode failures (error_col non-null), ``[-2]`` when no rule
+    matches (≅ getEvaluatedTxList, TopologyProducer.kt:205-231). All rules
+    are evaluated once per record against one shared JSON/struct view —
+    the reference's evaluate-once/route-by-tag shape; Catalyst's
+    subexpression elimination keeps it single-pass.
+    """
+    jc = F.col(json_col) if json_col else None
+    sc = F.col(struct_col) if struct_col else None
+    st = df.schema[struct_col].dataType if struct_col else None
+
+    preds = [rule_predicate(r, jc, sc, st) for r in rules]
+    tagged = F.array(
+        *[F.when(p, F.lit(i)).otherwise(F.lit(None)) for i, p in enumerate(preds)]
+    )
+    hits = F.filter(tagged, lambda x: x.isNotNull())
+    no_match = F.array(F.lit(UNFILTERED))
+    matched = F.when(F.size(hits) > 0, hits).otherwise(no_match)
+    if error_col is not None:
+        matched = F.when(
+            F.col(error_col).isNotNull(), F.array(F.lit(ERROR))
+        ).otherwise(matched)
+    return df.withColumn(out_col, matched.cast(T.ArrayType(T.IntegerType())))
+
+
+def topic_map(
+    rules: list[DispatchRule],
+    dlq_topic: str = DEFAULT_DLQ_TOPIC,
+    error_topic: str | None = None,
+) -> Column:
+    """rule_idx → destination topic as a literal map (broadcast by value)."""
+    pairs: list[Column] = []
+    for i, r in enumerate(rules):
+        pairs += [F.lit(i), F.lit(r.topic)]
+    pairs += [F.lit(UNFILTERED), F.lit(dlq_topic)]
+    if error_topic is not None:
+        pairs += [F.lit(ERROR), F.lit(error_topic)]
+    return F.create_map(*pairs)
+
+
+def dispatch(
+    df: DataFrame,
+    rules: list[DispatchRule],
+    json_col: str | None = None,
+    struct_col: str | None = None,
+    error_col: str | None = None,
+    dlq_topic: str = DEFAULT_DLQ_TOPIC,
+    error_topic: str | None = None,
+) -> DataFrame:
+    """Full routing: one output row per (record, destination).
+
+    Adds ``rule_idx`` (int; -1 error, -2 unfiltered), ``rule_name`` (null
+    for sentinels) and ``topic``. Records that fail decode are DROPPED when
+    no error topic is configured (TopologyProducer.kt:124-131).
+    """
+    out = with_matches(df, rules, json_col, struct_col, error_col)
+    out = out.withColumn("rule_idx", F.explode("matches")).drop("matches")
+    if error_topic is None:
+        out = out.filter(F.col("rule_idx") != F.lit(ERROR))
+    name_pairs: list[Column] = []
+    for i, r in enumerate(rules):
+        name_pairs += [F.lit(i), F.lit(r.name)]
+    out = out.withColumn(
+        "rule_name", F.element_at(F.create_map(*name_pairs), F.col("rule_idx"))
+    )
+    out = out.withColumn(
+        "topic", F.element_at(topic_map(rules, dlq_topic, error_topic), F.col("rule_idx"))
+    )
+    return out
+
+
+def dlq_envelope(
+    tx_json: Column, raw_bytes: Column | None = None, message: Column | None = None
+) -> Column:
+    """The DLQ JSON envelope, field-for-field with the reference's Jackson
+    serialization of ``DLQ(txJson, txBytes, message)`` (TopologyProducer.kt:
+    32-41, 186-195): camelCase keys, bytes base64-encoded, explicit nulls.
+    """
+    fields = [
+        tx_json.alias("txJson"),
+        (F.base64(raw_bytes) if raw_bytes is not None else F.lit(None).cast("string")).alias(
+            "txBytes"
+        ),
+        (message if message is not None else F.lit(None).cast("string")).alias("message"),
+    ]
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
+
+
+def value_for_topic(
+    dispatched: DataFrame,
+    rules: list[DispatchRule],
+    payload_col: str,
+    raw_col: str | None = None,
+    json_col: str | None = None,
+    dlq_topic: str = DEFAULT_DLQ_TOPIC,
+) -> DataFrame:
+    """Project the per-destination output value, mirroring the branches:
+
+    rule topics → the (re-serialized) payload (TopologyProducer.kt:155-159);
+    DLQ → the JSON envelope as a string (:186-195);
+    error topic → the original input bytes (:122).
+
+    Output column ``value`` is binary (DLQ string UTF-8 encoded) so one
+    Kafka sink handles all destinations.
+    """
+    payload = F.col(payload_col)
+    raw = F.col(raw_col) if raw_col else payload
+    txj = F.col(json_col) if json_col else F.lit(None).cast("string")
+    value = (
+        F.when(F.col("rule_idx") >= 0, payload.cast("binary"))
+        .when(F.col("rule_idx") == F.lit(ERROR), raw.cast("binary"))
+        .otherwise(F.encode(dlq_envelope(txj, raw), "UTF-8"))
+    )
+    return dispatched.withColumn("value", value)

@@ -1,0 +1,790 @@
+"""The named-query registry: every operator surface of the engine, each as
+a (PySpark plan, DuckDB oracle SQL) pair for the correctness harness.
+
+Numeric determinism contract (so order-insensitive value hashes match the
+oracle bit-for-bit):
+
+- Sums/averages over double columns go through DECIMAL casts sized to the
+  data (inputs are generated with 2 decimal places), making the aggregation
+  EXACT and order-independent in both engines; the final value is cast to
+  DOUBLE once. Both engines round-trip the same IEEE754 double.
+- Averages are computed as CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) — one
+  IEEE division in both engines.
+- No transcendental functions in hashed outputs (libm vs JVM last-ULP).
+- Every LIMIT/top-k has a unique tiebreaker column.
+- Timestamps are cast to DATE in outputs (Spark session is UTC).
+- Integer-typed function results are cast to the same width on both sides.
+
+Scale notes are in each query's docstring: what shuffles, what broadcasts,
+and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators import dispatch as dsp
+from .rules import DispatchRule
+from .sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+DEC_PRICE = "decimal(12,2)"  # extendedprice/totalprice ≤ ~600k, 2dp
+DEC_SMALL = "decimal(4,2)"  # discount/tax/quantity-scale fractions
+DEC_QTY = "decimal(12,2)"
+
+
+def _dsum(col: F.Column, cast: str = DEC_PRICE) -> F.Column:
+    """Exact decimal sum, surfaced as double."""
+    return F.sum(col.cast(cast)).cast("double")
+
+
+def _revenue() -> F.Column:
+    """l_extendedprice * (1 - l_discount), decimal-exact."""
+    return F.col("l_extendedprice").cast(DEC_PRICE) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(DEC_SMALL)
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Dispatch engine queries (the reference's core semantics, on `events`)
+# --------------------------------------------------------------------------
+
+EVENT_RULES = [
+    DispatchRule("purchases", "topic-purchases", "$[?(@.event_type == 'purchase')]"),
+    DispatchRule("high-k", "topic-high-k", "$.props[?(@.k > 90)]"),
+    DispatchRule(
+        "big-errors", "topic-errors", "$[?(@.event_type == 'error' && @.value >= 100)]"
+    ),
+    DispatchRule("never-match", "topic-never", "$.missing"),
+]
+
+
+def _events_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a typed record view: the JSON `props` parsed once, and a
+    root struct the JsonPath rules compile against natively (zero Python in
+    the hot path — the whole rule bank is one codegen'd projection)."""
+    ev = load_table(spark, sf_dir, "events")
+    rec = F.struct(
+        F.col("event_type"),
+        F.col("value"),
+        F.from_json(F.col("props"), "struct<k: int>").alias("props"),
+    )
+    return ev.withColumn("rec", rec)
+
+
+@register(
+    "dispatch_route",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ), m AS (
+      SELECT event_id, 0 AS rule_idx, 'purchases' AS rule_name,
+             'topic-purchases' AS topic FROM ev WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, 1, 'high-k', 'topic-high-k' FROM ev WHERE k > 90
+      UNION ALL
+      SELECT event_id, 2, 'big-errors', 'topic-errors' FROM ev
+      WHERE event_type = 'error' AND value >= 100
+    )
+    SELECT event_id, rule_idx, rule_name, topic FROM m
+    UNION ALL
+    SELECT event_id, -2 AS rule_idx, CAST(NULL AS VARCHAR) AS rule_name,
+           'dlq' AS topic
+    FROM ev WHERE event_id NOT IN (SELECT event_id FROM m)
+    """,
+)
+def dispatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole topology as one narrow, shuffle-free stage:
+    evaluate all rules once per record, multicast per match, DLQ fallback
+    (TopologyProducer.kt:97-231). Scales linearly — no shuffle, no state,
+    rules are literals folded into the plan."""
+    ev = _events_record(spark, sf_dir)
+    out = dsp.dispatch(ev, EVENT_RULES, struct_col="rec")
+    return out.select("event_id", "rule_idx", "rule_name", "topic")
+
+
+@register(
+    "dispatch_dlq_envelope",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value, props,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_id, props AS "txJson", to_base64(encode(props)) AS "txBytes",
+           CAST(NULL AS VARCHAR) AS message
+    FROM ev
+    WHERE NOT (event_type = 'purchase') AND NOT (k > 90)
+      AND NOT (event_type = 'error' AND value >= 100)
+    """,
+)
+def dispatch_dlq_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ envelope fields for unmatched records (exact Jackson-shape
+    envelope string is pinned by tests/test_dispatch.py; here the fields
+    are checked against the oracle)."""
+    ev = _events_record(spark, sf_dir)
+    out = dsp.dispatch(ev, EVENT_RULES, struct_col="rec")
+    dlq = out.filter(F.col("topic") == dsp.DEFAULT_DLQ_TOPIC)
+    return dlq.select(
+        "event_id",
+        F.col("props").alias("txJson"),
+        F.base64(F.encode(F.col("props"), "UTF-8")).alias("txBytes"),
+        F.lit(None).cast("string").alias("message"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational surface — aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM({_REV_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+           AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → partial agg → final agg on 2 low-cardinality
+    keys. At 100 TB: filter + projection push to parquet, map-side partial
+    aggregation reduces the shuffle to (#groups × #partitions) rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-06-30").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _revenue()
+    charge = rev * (one + F.col("l_tax").cast(DEC_SMALL))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), DEC_QTY).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(rev).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (_dsum(F.col("l_quantity"), DEC_QTY) / n.cast("double")).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice")) / n.cast("double")).alias("avg_price"),
+        (_dsum(F.col("l_discount"), DEC_SMALL) / n.cast("double")).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is broadcast (filter cuts it ~5×); orders⋈lineitem is the one
+    real shuffle, on the join key; top-10 is a TakeOrdered, no global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. All dims broadcast; lineitem never
+    shuffles for the dim joins — only the orders⋈lineitem equi-join and the
+    final tiny agg shuffle. Catalyst reorders the dim joins; AQE re-plans
+    if a runtime side turns out small."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_revenue()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals in one pass (Spark expands grouping
+    sets map-side; still a single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), DEC_QTY).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return li.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@register(
+    "q_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expand + two-phase agg in Spark). The approximate
+    path (HLL) is exercised separately — approx values are engine-specific
+    so they aren't oracle-hashed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "q_pivot_status",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "O",
+      CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity"), DEC_QTY))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_join_left_outer_count",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS order_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (left outer + count preserving zero-order rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_full_outer",
+    """
+    WITH eu AS (SELECT DISTINCT user_id FROM events)
+    SELECT COALESCE(eu.user_id, c.c_custkey) AS id,
+           (eu.user_id IS NOT NULL) AS has_events,
+           (c.c_custkey IS NOT NULL) AS has_account
+    FROM eu FULL OUTER JOIN customer c ON eu.user_id = c.c_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = eu.join(cust, F.col("user_id") == F.col("c_custkey"), "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("id"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.col("c_custkey").isNotNull().alias("has_account"),
+    )
+
+
+@register(
+    "q_join_range_nonequi",
+    """
+    WITH buckets AS (
+      SELECT 0 AS bucket_id, 0.0 AS lo, 50.0 AS hi UNION ALL
+      SELECT 1, 50.0, 100.0 UNION ALL
+      SELECT 2, 100.0, 150.0 UNION ALL
+      SELECT 3, 150.0, 1e9
+    )
+    SELECT b.bucket_id, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def q_join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: the small side is broadcast, so the non-equi
+    condition is evaluated stream-side with no shuffle — the scalable plan
+    for banding/bucketing joins (a nested-loop against a broadcast list)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0), (3, 150.0, 1e9)],
+        "bucket_id int, lo double, hi double",
+    )
+    j = ev.join(
+        F.broadcast(buckets),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return j.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: one shuffle on the partition key, sort within
+    partitions, early filter. At scale AQE handles moderate key skew; a
+    heavy-hitter key would get a pre-aggregation salt (see dedup ops)."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@register(
+    "q_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC_PRICE)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           LAG(event_id) OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                AS INTEGER) AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.rank().over(wr).alias("value_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_order_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, never a full sort of the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_set_ops",
+    """
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(cust.union(supp).distinct(), "union")
+        .unionByName(tag(cust.intersect(supp), "intersect"))
+        .unionByName(tag(cust.subtract(supp), "except"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_scalar_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           CAST(CONTAINS(p_name, 'green') AS BOOLEAN) AS has_green,
+           LTRIM(RTRIM(p_name)) AS name_trim,
+           CAST(STRPOS(p_name, 'a') AS INTEGER) AS first_a
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").contains("green").alias("has_green"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    )
+
+
+@register(
+    "q_scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "q_scalar_math_case",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value) AS BIGINT) AS v_floor,
+           CAST(CEIL(value) AS BIGINT) AS v_ceil,
+           ABS(value - 100.0) AS v_dist,
+           CAST(SQRT(value) AS DOUBLE) AS v_sqrt,
+           CAST(event_id % 7 AS BIGINT) AS id_mod,
+           CASE WHEN value >= 150 THEN 'high' WHEN value >= 50 THEN 'mid'
+                ELSE 'low' END AS band,
+           COALESCE(NULLIF(event_type, 'view'), 'viewed') AS etype2,
+           (value BETWEEN 25 AND 75) AS in_band,
+           GREATEST(value, 50.0) AS v_hi, LEAST(value, 50.0) AS v_lo
+    FROM events
+    """,
+)
+def q_scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.floor(v).alias("v_floor"),
+        F.ceil(v).alias("v_ceil"),
+        F.abs(v - 100.0).alias("v_dist"),
+        F.sqrt(v).alias("v_sqrt"),
+        (F.col("event_id") % 7).alias("id_mod"),
+        F.when(v >= 150, "high").when(v >= 50, "mid").otherwise("low").alias("band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("viewed")).alias(
+            "etype2"
+        ),
+        v.between(25, 75).alias("in_band"),
+        F.greatest(v, F.lit(50.0)).alias("v_hi"),
+        F.least(v, F.lit(50.0)).alias("v_lo"),
+    )
+
+
+@register(
+    "q_scalar_json_array",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS e_first,
+           embedding[64] AS e_last,
+           list_max(embedding) AS e_max,
+           list_min(embedding) AS e_min
+    FROM embeddings
+    """,
+)
+def q_scalar_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column (no float arithmetic —
+    element access and min/max are exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e_first"),
+        F.element_at("embedding", 64).alias("e_last"),
+        F.array_max("embedding").alias("e_max"),
+        F.array_min("embedding").alias("e_min"),
+    )
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           (CAST(json_extract(props, '$.k') AS INTEGER) > 50) AS k_high
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), (k > 50).alias("k_high"))
+
+
+@register(
+    "q_explode_posexplode",
+    """
+    SELECT vec_id, CAST(pos AS INTEGER) AS pos, val
+    FROM (SELECT vec_id, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    WHERE pos < 4
+    """,
+)
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten (the reference's flatMapValues analog, TopologyProducer.kt:
+    100-105): posexplode over an array column, narrow (no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 4)
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)

@@ -1,0 +1,187 @@
+"""JsonPath engine tests — parser, Python evaluator, and native compiler
+agree with the reference semantics (TopologyProducer.kt:216-223: match ⇔
+non-empty node list; any error/missed path ⇒ non-match)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_processor_cosmos_tx_dispatch_spark.functions import jsonpath as jp
+
+MSG_SEND = "type.googleapis.com/cosmos.bank.v1beta1.MsgSend"
+OKP4_ADDR = "okp41rhd8744u4vqvcjuvyfm8fea4k9mefe3k57qz27"
+
+# The three predicates from the reference's rules_example.yaml:2-11.
+P_TYPE = f"$.body.messages[?(@.@type == '{MSG_SEND}')]"
+P_FROM = f"$..messages[?(@.fromAddress == '{OKP4_ADDR}')]"
+P_NOP = "$.nop"
+
+TX1 = {
+    "body": {
+        "messages": [
+            {
+                "@type": MSG_SEND,
+                "fromAddress": "testFrom",
+                "toAddress": "tesTo",
+                "amount": [{"denom": "know", "amount": "100"}],
+            }
+        ],
+        "memo": "",
+    },
+    "authInfo": {"fee": {"gasLimit": 200000}},
+}
+TX2 = {
+    "body": {
+        "messages": [
+            {
+                "@type": MSG_SEND,
+                "fromAddress": OKP4_ADDR,
+                "toAddress": "t",
+                "amount": [],
+            }
+        ]
+    },
+    "authInfo": {},
+}
+TX3 = {"body": {}, "authInfo": {}}
+
+
+class TestPythonEvaluator:
+    @pytest.mark.parametrize(
+        "tx,expected",
+        [(TX1, [True, False, False]), (TX2, [True, True, False]), (TX3, [False] * 3)],
+    )
+    def test_reference_fixtures(self, tx, expected):
+        got = [jp.match(json.dumps(tx), p) for p in (P_TYPE, P_FROM, P_NOP)]
+        assert got == expected
+
+    def test_errors_are_non_matches(self):
+        assert jp.match("not json", P_TYPE) is False
+        assert jp.match(None, P_TYPE) is False
+        assert jp.match("{}", "$.a.b.c") is False
+
+    def test_operators(self):
+        doc = json.dumps({"a": [{"v": 5, "s": "x"}]})
+        assert jp.match(doc, "$.a[?(@.v > 3 && @.v <= 5)]")
+        assert jp.match(doc, "$.a[?(@.v == 9 || @.s == 'x')]")
+        assert not jp.match(doc, "$.a[?(@.v != 5)]")
+        assert jp.match(doc, "$.a[?(@.s)]")
+        assert not jp.match(doc, "$.a[?(@.missing)]")
+
+    def test_index_wildcard_recursive(self):
+        doc = json.dumps({"a": [{"b": 1}, {"c": {"b": 2}}]})
+        assert jp.match(doc, "$.a[0].b")
+        assert not jp.match(doc, "$.a[5]")
+        assert jp.match(doc, "$.a[*].c")
+        assert jp.match(doc, "$..b")
+        assert not jp.match(doc, "$..zzz")
+
+    def test_bad_syntax_raises_at_parse_but_match_swallows(self):
+        with pytest.raises(jp.JsonPathError):
+            jp.parse("$.a[")
+        assert jp.match("{}", "$.a[") is False
+
+
+TX_TYPE = T.StructType(
+    [
+        T.StructField(
+            "body",
+            T.StructType(
+                [
+                    T.StructField(
+                        "messages",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("@type", T.StringType()),
+                                    T.StructField("fromAddress", T.StringType()),
+                                    T.StructField("toAddress", T.StringType()),
+                                    T.StructField(
+                                        "amount",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("denom", T.StringType()),
+                                                    T.StructField("amount", T.StringType()),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField("memo", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "authInfo",
+            T.StructType(
+                [
+                    T.StructField(
+                        "fee",
+                        T.StructType([T.StructField("gasLimit", T.LongType())]),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+class TestNativeCompiler:
+    """Tier-1 compiled Columns agree with the Python evaluator."""
+
+    @pytest.fixture(scope="class")
+    def tx_df(self, spark):
+        rows = [(1, TX1), (2, TX2), (3, TX3)]
+        df = spark.createDataFrame(
+            [(i, json.dumps(t)) for i, t in rows], "tx_id long, tx_json string"
+        )
+        return df.withColumn("tx", F.from_json("tx_json", TX_TYPE)).cache()
+
+    @pytest.mark.parametrize("path", [P_TYPE, P_FROM, P_NOP, "$.body.memo", "$..gasLimit"])
+    def test_agrees_with_python_evaluator(self, tx_df, path):
+        compiled = jp.compile_struct_predicate(F.col("tx"), TX_TYPE, path)
+        assert compiled is not None, f"{path} should be native-compilable"
+        got = {
+            r["tx_id"]: r["m"]
+            for r in tx_df.select("tx_id", compiled.alias("m")).collect()
+        }
+        for tx_id, tx in [(1, TX1), (2, TX2), (3, TX3)]:
+            assert got[tx_id] == jp.match(json.dumps(tx), path), (path, tx_id)
+
+    def test_numeric_and_bool_filters(self, tx_df):
+        path = "$.authInfo.fee[?(@.gasLimit >= 100000)]"
+        compiled = jp.compile_struct_predicate(F.col("tx"), TX_TYPE, path)
+        got = {
+            r["tx_id"]: r["m"]
+            for r in tx_df.select("tx_id", compiled.alias("m")).collect()
+        }
+        assert got == {1: True, 2: False, 3: False}
+
+
+class TestJsonStringTier:
+    def test_definite_path_compiles(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"k": 87}'), (2, '{"j": 1}'), (3, None)], "id long, props string"
+        )
+        col = jp.compile_json_string_predicate(F.col("props"), "$.k")
+        assert col is not None
+        got = {r["id"]: r["m"] for r in df.select("id", col.alias("m")).collect()}
+        assert got[1] is True and not got[2] and not got[3]
+
+    def test_filter_path_falls_back(self):
+        assert jp.compile_json_string_predicate(F.col("x"), "$.a[?(@.b == 1)]") is None
+
+    def test_pandas_udf_fallback(self, spark):
+        df = spark.createDataFrame(
+            [(1, json.dumps(TX1)), (2, json.dumps(TX2)), (3, "broken {")],
+            "id long, j string",
+        )
+        pred = jp.jsonpath_match_pandas_udf(P_FROM)
+        got = {r["id"]: r["m"] for r in df.select("id", pred("j").alias("m")).collect()}
+        assert got == {1: False, 2: True, 3: False}

@@ -1,0 +1,123 @@
+"""Self-check harness mimicking the driver's correctness gate:
+
+For every query in __spark_entry__.queries(), run the Spark plan and the
+DuckDB oracle at the given sf_dir, then compare row count, column names,
+and an order-insensitive value comparison (columns sorted by name, rows
+sorted, values normalized). Run:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(normalize(x) for x in v)
+    return v
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # stringify for total ordering across None/mixed types; equality of the
+    # stringified rows is what the comparison needs
+    return sorted(
+        tuple(repr(normalize(r[i])) for i in order) for r in rows
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(srows)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            status.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not status:
+            sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
+            if sk != dk:
+                n_diff = sum(1 for a, b in zip(sk, dk) if a != b)
+                status.append(f"values differ ({n_diff}/{len(sk)} rows)")
+                for a, b in list(zip(sk, dk))[:200]:
+                    if a != b:
+                        print(f"   spark: {a}\n   duck : {b}")
+                        break
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"OK   {name} rows={len(srows)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
