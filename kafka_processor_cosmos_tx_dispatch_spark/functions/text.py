@@ -1,1 +1,140 @@
-"""Text-analysis column functions (filled in the LLM-pipeline phase)."""
+"""Text-analysis column functions for the LLM-data-pipeline operators.
+
+All built from JVM-side `pyspark.sql.functions` (no Python in the hot
+path). Determinism contract: tokenization/shingling/hashing formulas here
+have exact DuckDB counterparts used by the oracle SQL in queries.py —
+change one, change both.
+
+MinHash uses the lexicographic minimum of md5(seed || '|' || shingle)
+strings: md5 is available in both engines and min-of-strings is total and
+order-free, so signatures are bit-identical everywhere. (A classic
+(a*x+b) mod p family over a 64-bit token hash would be faster per byte but
+Spark's xxhash64/murmur aren't reproducible in the oracle; md5 keeps the
+correctness gate honest and is still one JVM intrinsic per shingle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams (space-joined). Empty when < n tokens."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    # sequence(1, k) with k < 1 produces a DESCENDING sequence in Spark —
+    # guard short docs explicitly.
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+# ---------------------------------------------------------------------------
+# fingerprints / hashing
+# ---------------------------------------------------------------------------
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalized(text))
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash family member applied to one shingle."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+# ---------------------------------------------------------------------------
+# language ID / quality (heuristic, deterministic)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "it", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "les", "des", "et", "est", "dans", "une", "du", "au", "pour"],
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language score = #distinct stopwords of that language present."""
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax language with deterministic tiebreak (alphabetical), 'und'
+    when nothing scores."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # alphabetical order, reversed fold so earlier names win ties
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_checks(text: Column, toks: Column) -> dict[str, Column]:
+    """Deterministic quality signals (the Gopher-rules shape: token count
+    bounds, word length, symbol ratio, stopword presence)."""
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    en_stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars_txt": n_chars,
+        "alpha_ratio": alpha_chars.cast("double") / n_chars.cast("double"),
+        "mean_word_len": (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
+        "stopword_ratio": en_stop_hits.cast("double") / n_tok.cast("double"),
+    }
+
+
+def quality_score(text: Column, toks: Column) -> Column:
+    """0-4 integer score: one point per passed check (integer-exact)."""
+    c = quality_checks(text, toks)
+    checks = [
+        (c["n_tokens"] >= 10) & (c["n_tokens"] <= 1000),
+        c["alpha_ratio"] >= 0.6,
+        (c["mean_word_len"] >= 2.0) & (c["mean_word_len"] <= 12.0),
+        c["stopword_ratio"] > 0.0,
+    ]
+    total = F.lit(0)
+    for chk in checks:
+        total = total + F.when(chk, 1).otherwise(0)
+    return total

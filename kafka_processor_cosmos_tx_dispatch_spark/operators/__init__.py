@@ -1,3 +1,3 @@
-from . import dispatch
+from . import dedup, dispatch, multimodal, similarity
 
-__all__ = ["dispatch"]
+__all__ = ["dedup", "dispatch", "multimodal", "similarity"]

@@ -782,6 +782,472 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / similarity / text analysis /
+# multimodal (operators/{dedup,similarity,multimodal}.py)
+# --------------------------------------------------------------------------
+
+# Shared DuckDB fragments — these MUST stay formula-identical to
+# functions/text.py and functions/vectors.py.
+_D_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_D_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),"
+    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+_D_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_MINHASH_K, _MINHASH_BANDS, _LSH_MAX_BUCKET = 12, 3, 64
+_FIXED = "1048576.0"  # 2^20, functions/vectors.py FIXED_SCALE
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_D_NORM}) AS fingerprint, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-agg on the content fingerprint (map-side
+    partial agg ⇒ shuffle is #distinct fingerprints, not #docs)."""
+    from .operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).select("fingerprint", "n_docs", "keeper")
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n           ".join(
+        f"min(md5('{s}|' || s)) AS h{s}" for s in range(_MINHASH_K)
+    )
+    r = _MINHASH_K // _MINHASH_BANDS
+    bands = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + "))"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_D_SHINGLES}) AS s FROM toks),
+    sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+    banded AS (SELECT DISTINCT doc_id, band_key FROM (
+      SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)),
+    ok AS (SELECT band_key FROM banded GROUP BY band_key
+           HAVING COUNT(*) <= {_LSH_MAX_BUCKET})
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_minhash_sig_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN ok ON a.band_key = ok.band_key
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 12 min-hashes (ONE shuffle on
+    doc_id for all 12) → 3 band keys → equi-join on band key. Candidate
+    generation is O(collisions); the 100 TB plan is identical, plus salting
+    if one band key goes hot."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    return f"""
+    toks AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
+    """
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM sig",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash: explode tokens (narrow) → one groupBy
+    with 32 ±1 votes → bit recombination. One shuffle on doc_id."""
+    from .operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_sql()},
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, banded: hamming ≤ 3 pairs must agree on ≥1
+    of 4 signature bytes (pigeonhole), so an equi-join on (band, byte)
+    finds all of them — never an all-pairs scan."""
+    from .operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_near_pairs(docs, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_D_SHINGLES}) AS s FROM toks),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
+           CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard over inverted-index candidates: docs sharing a
+    shingle meet in an equi-join on the shingle; intersection counts come
+    from the join, union from per-doc counts. Never quadratic."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# ---- similarity search ----------------------------------------------------
+
+_D_FLAT = f"""
+    flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding) AS v
+             FROM embeddings),
+    norms AS (SELECT vec_id,
+                SUM(CAST(floor(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)*{_FIXED})
+                    AS BIGINT)) AS n
+              FROM flat GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 10
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: small query set broadcast against the corpus,
+    in-row fixed-point cosine (one codegen'd expression, no explode), then
+    per-query top-k window. Corpus side streams — scales to any size."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _lsh_bucket_sql(n_planes: int = 4, dims: int = 64) -> str:
+    """Bucket id per vec — mirrors functions/vectors.py lsh_bucket."""
+    return f"""
+    planes AS (
+      SELECT p, d,
+        ((CAST(1103515245 AS BIGINT) * (p*{dims} + d) + 12345) % 2147483648)
+          / 2147483648.0 - 0.5 AS pv
+      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p),
+           (SELECT unnest(generate_series(0, {dims - 1})) AS d)),
+    projs AS (
+      SELECT f.vec_id, pl.p,
+        SUM(CAST(floor(CAST(f.v AS DOUBLE) * pl.pv * {_FIXED}) AS BIGINT)) AS proj
+      FROM flat f JOIN planes pl ON pl.d = f.pos - 1
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id,
+        SUM(CASE WHEN proj >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+      FROM projs GROUP BY vec_id)
+    """
+
+
+@register(
+    "sim_topk_lsh_bucketed",
+    f"""
+    WITH {_D_FLAT},
+    {_lsh_bucket_sql()},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q
+      JOIN buckets bq ON bq.vec_id = q.vec_id
+      JOIN buckets bc ON bc.bucket = bq.bucket
+      JOIN flat c ON c.vec_id = bc.vec_id AND q.pos = c.pos
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-random-projection buckets (deterministic LCG
+    hyperplanes) make candidate generation an equi-join on bucket id —
+    per-query work divided by 2^planes, recall < 1 by design."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dims=64, n_planes=4, k=5
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@register(
+    "sim_embedding_near_dup",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(floor(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT vec_a, vec_b,
+           (d / {_FIXED}) / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED})) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE (d / {_FIXED}) / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED})) >= 0.45
+    """,
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. All-pairs exact here (in-row dot,
+    no explode); at scale the identical plan runs per LSH bucket."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+# ---- text analysis --------------------------------------------------------
+
+_SW = {  # must stay identical to functions/text.py STOPWORDS
+    "en": "['the','of','and','to','in','a','is','that','it','was']",
+    "es": "['el','la','de','que','y','en','un','una','es','los']",
+    "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
+    "fr": "['le','les','des','et','est','dans','une','du','au','pour']",
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_D_TOKS} AS t FROM documents),
+    scores AS (SELECT doc_id, lang,
+        len(list_intersect(t, {_SW['en']})) AS s_en,
+        len(list_intersect(t, {_SW['es']})) AS s_es,
+        len(list_intersect(t, {_SW['de']})) AS s_de,
+        len(list_intersect(t, {_SW['fr']})) AS s_fr
+      FROM toks)
+    SELECT doc_id, lang AS lang_label,
+      CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+           WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+           WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      CAST(s_en AS INTEGER) AS s_en, CAST(s_es AS INTEGER) AS s_es,
+      CAST(s_de AS INTEGER) AS s_de, CAST(s_fr AS INTEGER) AS s_fr
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: distinct-stopword hits per language, argmax
+    with deterministic tiebreak. Pure column expressions — no shuffle."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scores = TX.lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        TX.lang_id(toks).alias("lang_pred"),
+        *[scores[lang].alias(f"s_{lang}") for lang in ("en", "es", "de", "fr")],
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_D_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id,
+        CAST(len(t) AS INTEGER) AS n_tokens,
+        CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio,
+        CAST(LENGTH(text) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+          AS mean_word_len,
+        CAST(len(list_filter(t, x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) AS stopword_ratio
+      FROM toks)
+    SELECT doc_id, n_tokens, alpha_ratio, mean_word_len, stopword_ratio,
+      (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+       + CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END
+       + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+       + CASE WHEN stopword_ratio > 0.0 THEN 1 ELSE 0 END) AS quality
+    FROM c
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: integer score of passed checks plus the
+    underlying ratios (each one IEEE division on exact integers)."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    checks = TX.quality_checks(F.col("text"), toks)
+    return docs.select(
+        "doc_id",
+        checks["n_tokens"].alias("n_tokens"),
+        checks["alpha_ratio"].alias("alpha_ratio"),
+        checks["mean_word_len"].alias("mean_word_len"),
+        checks["stopword_ratio"].alias("stopword_ratio"),
+        TX.quality_score(F.col("text"), toks).alias("quality"),
+    )
+
+
+@register(
+    "text_token_counts",
+    rf"""
+    SELECT doc_id,
+      CAST(len({_D_TOKS}) AS INTEGER) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+           AS INTEGER) AS bpe_tokens,
+      CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
+      n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single symbols)."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).alias("ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_D_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM toks)
+    SELECT t.doc_id, md5({_D_NORM}) AS fingerprint, m.min_shingle_hash
+    FROM toks t JOIN (
+      SELECT doc_id, MIN(md5(s)) AS min_shingle_hash FROM sh GROUP BY doc_id
+    ) m ON m.doc_id = t.doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash + winnowing-style
+    min-shingle hash (the k=1 MinHash)."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id", F.explode(TX.word_shingles(toks, 3)).alias("s")
+    )
+    mins = sh.groupBy("doc_id").agg(F.min(F.md5("s")).alias("min_shingle_hash"))
+    fp = docs.select("doc_id", TX.content_fingerprint(F.col("text")).alias("fingerprint"))
+    return fp.join(mins, "doc_id")
+
+
+# ---- multimodal -----------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      md5(text) AS content_md5,
+      CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+      CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+      CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas feature extraction (the decode step is a deterministic
+    fake — codecs aren't in this container; the Spark-side batch shape is
+    the real thing being exercised)."""
+    from .operators.multimodal import extract_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,179 @@
+"""LLM-pipeline operator tests: dedup families, similarity search, text
+analysis, multimodal plumbing — semantic properties beyond the oracle
+hash-match (which tools/check_oracle.py covers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  quick   Brown fox jumps over the lazy dog"),  # exact dup mod ws/case
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # byte-identical to 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        groups = dedup.exact_dup_groups(docs).collect()
+        sizes = sorted(r["n_docs"] for r in groups)
+        assert sizes == [1, 1, 3]
+        big = next(r for r in groups if r["n_docs"] == 3)
+        assert big["keeper"] == 1 and big["doc_ids"] == [1, 2, 5]
+
+    def test_drop_keeps_min_id(self, docs):
+        kept = dedup.drop_exact_duplicates(docs)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+        assert kept.columns == docs.columns  # schema preserved
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, docs):
+        sig = dedup.minhash_signatures(docs, k=8)
+        rows = {r["doc_id"]: r for r in sig.collect()}
+        assert len(rows) == 5
+        # identical docs → identical signatures
+        assert tuple(rows[1])[1:] == tuple(rows[5])[1:]
+        # near-dup shares most of the signature
+        same = sum(rows[1][f"h{i}"] == rows[3][f"h{i}"] for i in range(8))
+        assert same >= 4
+
+    def test_lsh_finds_exact_and_near_dups(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, k=12, bands=3).collect()
+        }
+        assert (1, 5) in pairs and (1, 2) in pairs
+        assert not any(4 in p for p in pairs)
+
+
+class TestSimHash:
+    def test_near_pairs(self, docs):
+        sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert sig[1] == sig[5] == sig[2]  # same tokens → same simhash
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()
+        }
+        assert pairs[(1, 5)] == 0
+        assert not any(4 in p for p in pairs)
+
+
+class TestNgramJaccard:
+    def test_thresholds(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert pairs[(1, 5)] == 1.0
+        assert 0.5 <= pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_brute_force_topk(self, emb):
+        out = similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") < 3), emb, k=4
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for q, rows in by_q.items():
+            assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+            sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rows)
+            assert all(-1.001 <= r["cos_sim"] <= 1.001 for r in rows)
+
+    def test_lsh_subset_of_bruteforce_candidates(self, emb):
+        """Bucketed ANN only returns same-bucket neighbors, and its top-1
+        sim never exceeds the exact top-1."""
+        exact = {
+            r["query_id"]: r["cos_sim"]
+            for r in similarity.brute_force_topk(
+                emb.filter(F.col("vec_id") < 5), emb, k=1
+            ).collect()
+        }
+        approx = {
+            r["query_id"]: r["cos_sim"]
+            for r in similarity.lsh_bucketed_topk(
+                emb.filter(F.col("vec_id") < 5), emb, k=1
+            ).collect()
+        }
+        for q, sim in approx.items():
+            assert sim <= exact[q] + 1e-12
+
+
+class TestMultimodal:
+    def test_feature_extraction_batches(self, docs):
+        feats = multimodal.extract_features(multimodal.with_binary_payload(docs))
+        rows = {r["doc_id"]: r for r in feats.collect()}
+        assert len(rows) == 5
+        r1 = rows[1]
+        text = "the quick brown fox jumps over the lazy dog"
+        assert r1["byte_len"] == len(text.encode())
+        import hashlib
+
+        assert r1["content_md5"] == hashlib.md5(text.encode()).hexdigest()
+        assert r1["first_byte"] == ord("t")
+        assert r1["fake_width"] == len(text) % 640
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+
+    def test_payload_schema(self, docs):
+        b = multimodal.with_binary_payload(docs)
+        assert dict(b.dtypes)["payload"] == "binary"
+        assert dict(b.dtypes)["meta"].startswith("struct<mime:string")
+
+
+class TestTextFunctions:
+    def test_lang_id_picks_stopword_language(self, spark):
+        from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it was big"),
+                (2, "el perro es de la casa y los gatos"),
+                (3, "der hund ist von der stadt und das haus"),
+                (4, "xyzzy plugh frobozz"),
+            ],
+            "id long, text string",
+        )
+        out = {
+            r["id"]: r["lang"]
+            for r in df.select(
+                "id", TX.lang_id(TX.tokens(F.col("text"))).alias("lang")
+            ).collect()
+        }
+        assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+    def test_shingles_guard_short_docs(self, spark):
+        from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
+
+        df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id long, text string")
+        out = {
+            r["id"]: r["sh"]
+            for r in df.select(
+                "id", TX.word_shingles(TX.tokens(F.col("text")), 3).alias("sh")
+            ).collect()
+        }
+        assert out[1] == []
+        assert out[2] == ["a b c", "b c d"]
