@@ -1222,6 +1222,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(mins, "doc_id")
 
 
+# ---- streaming (run to completion, then checked like any batch query) -----
+
+_EVENTS_PHYSICAL_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)  # ts is TIMESTAMP(NANOS) in the parquet → long under nanosAsLong
+
+_DISPATCH_ROUTE_ORACLE = _ORACLE["dispatch_route"]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream (the broker-free production shape)."""
+    from .streaming.dispatch import file_stream_reader
+
+    # glob (not a bare file path): FileStreamSource requires a directory
+    # basePath, which a glob resolves to the parent dir
+    stream = file_stream_reader(
+        spark, f"{sf_dir}/events*.parquet", _EVENTS_PHYSICAL_SCHEMA
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def _run_stream_to_table(df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@register("streaming_dispatch_route", _DISPATCH_ROUTE_ORACLE)
+def streaming_dispatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME oracle as dispatch_route, satisfied through Structured
+    Streaming: file stream → rule evaluation → multicast → memory sink.
+    Streaming/batch parity is the core guarantee of sharing one plan
+    builder (the dispatch path is stateless ⇒ append mode, no watermark)."""
+    from .streaming.dispatch import streaming_dispatch
+
+    ev = _events_stream(spark, sf_dir)
+    rec = F.struct(
+        F.col("event_type"),
+        F.col("value"),
+        F.from_json(F.col("props"), "struct<k: int>").alias("props"),
+    )
+    routed = streaming_dispatch(
+        ev.withColumn("rec", rec), EVENT_RULES, struct_col="rec"
+    ).select("event_id", "rule_idx", "rule_name", "topic")
+    return _run_stream_to_table(routed, "stream_route", "append")
+
+
+@register(
+    "streaming_tumbling_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (complete mode so the
+    result is the full deterministic window set; watermarked append is
+    exercised in tests where flush timing is controlled)."""
+    from .streaming.windows import tumbling_counts
+
+    ev = _events_stream(spark, sf_dir)
+    agg = tumbling_counts(ev, width="1 hour", watermark="2 hours")
+    out = _run_stream_to_table(agg, "stream_tumble", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 # ---- multimodal -----------------------------------------------------------
 
 
