@@ -5,12 +5,12 @@ path). Determinism contract: tokenization/shingling/hashing formulas here
 have exact DuckDB counterparts used by the oracle SQL in queries.py —
 change one, change both.
 
-MinHash uses the lexicographic minimum of md5(seed || '|' || shingle)
-strings: md5 is available in both engines and min-of-strings is total and
-order-free, so signatures are bit-identical everywhere. (A classic
-(a*x+b) mod p family over a 64-bit token hash would be faster per byte but
-Spark's xxhash64/murmur aren't reproducible in the oracle; md5 keeps the
-correctness gate honest and is still one JVM intrinsic per shingle.)
+MinHash uses a Carter-Wegman family h_i = h1 + i*h2 over two integer
+hashes carved out of ONE md5 digest per shingle (md5 is available in both
+engines; Spark's xxhash64/murmur aren't reproducible in the DuckDB
+oracle). One digest serves every family member, so signature cost is one
+md5 + k integer FMAs per shingle instead of k md5s, and min() compares
+8-byte longs instead of 32-byte strings.
 """
 
 from __future__ import annotations
@@ -67,9 +67,25 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def minhash_base_hashes(shingle: Column) -> tuple[Column, Column]:
+    """Two independent integer hashes from ONE md5: first 15 hex chars
+    (60 bits) and chars 17-29 (52 bits). The Carter-Wegman family
+    h_i = h1 + i*h2 derives any number of MinHash members from these —
+    one md5 per shingle total, instead of one per (shingle, seed).
+
+    Bit-widths are chosen so h1 + i*h2 never overflows a signed 64-bit
+    int for i ≤ ~2000, keeping Spark and the SQL oracle exactly equal.
+    """
+    digest = F.md5(shingle)
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 17, 13), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_value(shingle: Column, seed: int) -> Column:
-    """One MinHash family member applied to one shingle."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+    """One MinHash family member applied to one shingle (integer-valued)."""
+    h1, h2 = minhash_base_hashes(shingle)
+    return h1 + F.lit(seed) * h2
 
 
 # ---------------------------------------------------------------------------

@@ -819,7 +819,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     aggs = ",\n           ".join(
-        f"min(md5('{s}|' || s)) AS h{s}" for s in range(_MINHASH_K)
+        f"min(h1 + {s} * h2) AS h{s}" for s in range(_MINHASH_K)
     )
     r = _MINHASH_K // _MINHASH_BANDS
     bands = ", ".join(
@@ -831,7 +831,10 @@ def _minhash_sig_sql() -> str:
     return f"""
     toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, unnest({_D_SHINGLES}) AS s FROM toks),
-    sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id,
+                  ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+                  ('0x' || substring(md5(s), 17, 13))::BIGINT AS h2 FROM sh),
+    sig AS (SELECT doc_id, {aggs} FROM hs GROUP BY doc_id),
     banded AS (SELECT DISTINCT doc_id, band_key FROM (
       SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)),
     ok AS (SELECT band_key FROM banded GROUP BY band_key
