@@ -1245,7 +1245,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events*.parquet", _EVENTS_PHYSICAL_SCHEMA
     )
     return stream.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 
@@ -1308,6 +1308,121 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+      FROM events)
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows: each event lands in exactly width/slide = 2
+    windows (the oracle materializes the same two window-starts per event
+    with unnest)."""
+    from .streaming.windows import sliding_counts
+
+    ev = _events_stream(spark, sf_dir)
+    agg = sliding_counts(ev, width="2 hours", slide="1 hour", watermark="4 hours")
+    out = _run_stream_to_table(agg, "stream_slide", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sess_id FROM o)
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user. Spark merges sessions whose
+    [ts, ts+gap) intervals overlap, i.e. a new session starts exactly when
+    the gap to the previous event is >= 30 min — the oracle reproduces
+    that with a lag()-based gaps-and-islands numbering."""
+    from .streaming.windows import session_windows
+
+    ev = _events_stream(spark, sf_dir)
+    agg = session_windows(ev, gap="30 minutes", watermark="2 hours")
+    out = _run_stream_to_table(agg, "stream_sess", "complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
+        "n_events",
+        "session_value",
+    )
+
+
+@register(
+    "streaming_dedup_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state. The watermark (40 days)
+    exceeds the dataset's 30-day span, so no key's state is evicted
+    mid-run and each (user_id, event_type) is emitted exactly once —
+    making the append-mode output equal to batch DISTINCT."""
+    from .streaming.windows import dedup_within_watermark
+
+    ev = _events_stream(spark, sf_dir)
+    dd = dedup_within_watermark(ev, keys=("user_id", "event_type"), watermark="40 days")
+    out = _run_stream_to_table(dd, "stream_dedup", "append")
+    return out.select("user_id", "event_type")
+
+
+@register(
+    "streaming_user_profiles",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS last_type
+    FROM ranked GROUP BY user_id
+    """,
+)
+def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile. Update mode emits one row per touched user per micro-batch;
+    n_events strictly increases, so max_by(n_events) recovers the final
+    state regardless of how the file source split batches."""
+    from .streaming.stateful import running_user_profiles
+
+    ev = _events_stream(spark, sf_dir)
+    prof = running_user_profiles(ev)
+    out = _run_stream_to_table(prof, "stream_prof", "update")
+    final = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "total_value", "last_type"), "n_events").alias("s")
+    )
+    return final.select("user_id", "s.n_events", "s.total_value", "s.last_type")
 
 
 # ---- multimodal -----------------------------------------------------------

@@ -42,8 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # convert to microsecond timestamps — the same truncation DuckDB applies.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer DIV, not float /: ns-since-epoch (~1.7e18) exceeds a
+            # double's 53-bit mantissa, so float division can be ±1 µs off
             df = df.withColumn(
-                field.name, F.timestamp_micros((F.col(field.name) / 1000).cast("long"))
+                field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
             )
     return df
 
