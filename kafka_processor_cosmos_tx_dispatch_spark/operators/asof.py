@@ -1,0 +1,92 @@
+"""As-of (nearest-predecessor) join — an operator the reference lacks
+(its only dataflow is stateless routing, TopologyProducer.kt:84-202) and
+Spark has no built-in for.
+
+Implemented as union + window instead of a non-equi join:
+
+    left  (key, ts, ...)   tagged __side=1
+    right (key, ts, vals)  tagged __side=0
+    union → window last(val, ignoreNulls) over
+        (partition by key order by ts, __side, tiebreak
+         rows unbounded preceding)
+    → keep __side=1 rows
+
+Why this shape at scale: a naive `left join right on key and r.ts <= l.ts`
++ max() explodes to O(|left| x |matching right|) intermediate rows, and a
+range-join needs a broadcast or a bucketized interval index. The union
+form is ONE shuffle on the key (both inputs hash-partitioned together),
+linear state per partition, and sort-based — exactly how a 1000-executor
+cluster wants it. Equal timestamps: right sorts before left (__side 0<1),
+so the join is inclusive (r.ts <= l.ts), matching DuckDB `ASOF JOIN ...
+ON l.ts >= r.ts` semantics; among equal-ts right rows the largest
+tiebreak value wins deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    `ts_col` <= left's `ts_col` within the same `keys` group (NULLs when
+    no predecessor exists — left-outer semantics).
+
+    `right_value_cols` are carried from the matched right row, renamed
+    `asof_<name>`. `tiebreak_col` (a right column) resolves equal-ts
+    right rows toward the largest value.
+    """
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in keys and c != ts_col
+        ]
+    carried = [f"asof_{c}" for c in right_value_cols]
+    left_cols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(a)
+            for c, a in zip(right_value_cols, carried)
+        ],
+    )
+    tie = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col
+        else F.lit(0).cast("long")
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in keys and c != ts_col
+        ],
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+    ).select(*l_tagged.columns)  # align column order for union
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *left_cols,
+        F.col("__side"),
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

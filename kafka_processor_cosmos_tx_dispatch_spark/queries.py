@@ -334,6 +334,95 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (superset of rollup/cube): Spark expands the
+    sets with a single Expand node feeding one hash aggregate — one scan,
+    one shuffle, regardless of how many sets are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS median,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based within group). p in {.25,.5,.75} are
+    exact binary fractions and l_quantity is integer-valued, so the
+    linear interpolation (1-f)*lo + f*hi is bit-identical across engines.
+    (approx_percentile/HLL variants are engine-specific and not
+    oracle-hashed — exercised in tests instead.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "q_scalar_map",
+    """
+    SELECT event_id,
+           event_type AS type_from_map,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
+           2 AS n_keys,
+           concat('k,type') AS keys_sorted
+    FROM events
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar functions: build a map column, then element_at /
+    map_keys / size. The oracle computes the same scalars straight from
+    the source columns (maps themselves aren't hash-comparable across
+    engines; their *lookups* are)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("k"), k.cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "k").cast("int").alias("k_from_map"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@register(
     "q_distinct_counts",
     """
     SELECT COUNT(DISTINCT l_partkey) AS n_parts,
@@ -481,6 +570,55 @@ def q_join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("bucket_id").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "q_asof_join_events",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, value AS click_value, ts
+      FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id, c.click_id, c.click_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (operators/asof.py — union + window, one shuffle, no
+    non-equi join). Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        ts_col="ts",
+        right_value_cols=["click_id", "click_value", "click_ts"],
+        tiebreak_col="click_id",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_value").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias("gap_us"),
     )
 
 
@@ -1423,6 +1561,84 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.struct("n_events", "total_value", "last_type"), "n_events").alias("s")
     )
     return final.select("user_id", "s.n_events", "s.total_value", "s.last_type")
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT e.event_id, e.event_type, n.n_name AS region_name
+    FROM events e
+    JOIN nation n
+      ON n.n_nationkey = CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 25
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the 25-row nation dim is broadcast
+    to every task, so the stream side never shuffles — the canonical
+    pattern for dimension lookups on unbounded input."""
+    ev = _events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    key = F.get_json_object("props", "$.k").cast("int") % 25
+    joined = ev.withColumn("__nk", key).join(
+        F.broadcast(nation), F.col("__nk") == F.col("n_nationkey")
+    )
+    out = _run_stream_to_table(
+        joined.select("event_id", "event_type", F.col("n_name").alias("region_name")),
+        "stream_sjoin",
+        "append",
+    )
+    return out
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (self-join of the event stream): each
+    purchase paired with the same user's clicks in the preceding hour.
+    Both sides watermarked; the time-range condition is what lets Spark
+    bound the join state (rows age out once the watermark passes the
+    interval), which is the difference between O(window) and O(stream)
+    state at scale."""
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "40 days")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "40 days")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"
+        ),
+    )
+    out = _run_stream_to_table(
+        j.select("purchase_id", "click_id", F.col("p_user").alias("user_id")),
+        "stream_ssjoin",
+        "append",
+    )
+    return out
 
 
 # ---- multimodal -----------------------------------------------------------

@@ -1,0 +1,71 @@
+"""As-of join semantics: nearest predecessor, inclusivity at equal ts,
+left-outer nulls, and deterministic tiebreak among equal-ts right rows."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.operators.asof import asof_join
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_basic_and_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), 100),  # right rows at 5 and 10 exist → picks 10 (inclusive)
+            (1, _t(7), 101),  # → right at 5
+            (1, _t(1), 102),  # no predecessor → null
+            (2, _t(30), 103),  # other key, right only at 20 → 20
+            (3, _t(30), 104),  # key with no right rows at all → null
+        ],
+        "k int, ts timestamp, left_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(5), 7, "a"),
+            (1, _t(10), 8, "b"),
+            (1, _t(10), 9, "c"),  # equal ts: tiebreak → max rid wins
+            (1, _t(20), 10, "d"),  # after every left row → never matched
+            (2, _t(20), 11, "e"),
+        ],
+        "k int, ts timestamp, rid int, val string",
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["k"],
+        ts_col="ts",
+        right_value_cols=["rid", "val"],
+        tiebreak_col="rid",
+    )
+    got = {r["left_id"]: (r["asof_rid"], r["asof_val"]) for r in out.collect()}
+    assert got == {
+        100: (9, "c"),  # inclusive at equal ts, tiebreak picks rid 9 over 8
+        101: (7, "a"),
+        102: (None, None),
+        103: (11, "e"),
+        104: (None, None),
+    }
+    assert out.count() == left.count()  # left-outer: every left row survives
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole operator must compile to ONE exchange (the window's
+    hash partitioning) — no join node anywhere in the plan."""
+    left = spark.range(10).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 2_000_000).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    out = asof_join(left, right, keys=["k"], ts_col="ts", right_value_cols=["rid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
