@@ -33,6 +33,11 @@ HEADLINE = [
     "q_set_ops",
     "q_scalar_math_case",
     "q_json_extract",
+    "q_asof_join_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "sim_embedding_near_dup",
 ]
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from . import exprs as EX
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -29,18 +31,29 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Overlapping word n-grams (space-joined). Empty when < n tokens."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    # sequence(1, k) with k < 1 produces a DESCENDING sequence in Spark —
-    # guard short docs explicitly.
-    return F.when(F.size(toks) >= n, joined).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Overlapping word n-grams (space-joined). Empty when < n tokens.
+
+    `toks` is let-bound (exprs.bind) before the position lambda touches
+    it: a raw expression referenced inside a higher-order-function lambda
+    is re-evaluated PER ELEMENT by the interpreter, which turned this
+    into an O(tokens²) re-tokenization per document. Binding makes
+    element_at hit a materialized array.
+    """
+
+    def mk(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        # sequence(1, k) with k < 1 produces a DESCENDING sequence in
+        # Spark — guard short docs explicitly.
+        return F.when(F.size(t) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return EX.bind(toks, mk)
 
 
 # BPE-ish token pattern: letter runs, digit runs, single non-space symbols.

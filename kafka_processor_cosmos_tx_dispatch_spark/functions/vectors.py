@@ -46,6 +46,33 @@ def cosine_fixed(dot_f: Column, norm_a_f: Column, norm_b_f: Column) -> Column:
     )
 
 
+QUANT_SCALE = 1 << 10  # 2^10
+
+
+def quantized(vec: Column) -> Column:
+    """array<float> → array<long>: floor(x * 2^10) per component.
+
+    Quantize-once-then-integer-dot is the all-pairs workhorse: integer
+    dots are exact and order-free in EVERY engine and in numpy int64
+    matmul, so blocked BLAS-style execution (operators/similarity.py)
+    stays bit-identical to the SQL oracle. With |x| ≤ ~32 and 64 dims,
+    dots stay ≤ ~2^31 and norm products ≤ ~2^62 — inside both int64 and
+    double-exact range."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long"),
+    )
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Integer dot of two array<long> columns (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH hyperplanes (deterministic, integer-derived — reproducible in SQL)
 # ---------------------------------------------------------------------------

@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import exprs as EX
 from ..functions import text as TX
+from ..sources.tables import widen
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -73,20 +75,55 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id, h0..h{k-1}: per-document MinHash signature.
 
-    Plan: explode distinct shingles once (narrow), then ONE groupBy(doc)
-    computing all k mins as independent aggregates — a single shuffle on
-    doc_id regardless of k.
+    Entirely ROW-LOCAL: distinct shingles → one (h1,h2) hash pair per
+    shingle (one md5 each) → per-seed array_min of h1 + seed*h2. No
+    explode, no groupBy, no shuffle — signatures are embarrassingly
+    parallel over documents, so the only shuffle in any MinHash pipeline
+    is whatever consumes the signatures (e.g. the LSH band join).
+    Documents with no shingles (< n tokens) are dropped, matching the
+    explode-based formulation.
     """
-    toks = TX.tokens(F.col(text_col))
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(TX.word_shingles(toks, shingle_n))).alias("shingle"),
+    sig = _signature_array(F.col(text_col), k, shingle_n)
+    return (
+        widen(docs).select(F.col(id_col).alias("doc_id"), sig.alias("__sig"))
+        .filter(F.col("__sig").isNotNull())
+        .select(
+            "doc_id",
+            *[F.col("__sig").getItem(s).alias(f"h{s}") for s in range(k)],
+        )
     )
-    aggs = [
-        F.min(TX.minhash_value(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(k)
-    ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def _hash_pair(s: F.Column) -> F.Column:
+    h1, h2 = TX.minhash_base_hashes(s)
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def _min_fn(seed: int):
+    # closure (not a default arg) keeps the lambda unary — PySpark treats
+    # two-parameter lambdas as (element, index)
+    def fn(p: F.Column) -> F.Column:
+        return p["h1"] + F.lit(seed) * p["h2"]
+
+    return fn
+
+
+def _signature_array(text: F.Column, k: int, shingle_n: int) -> F.Column:
+    """array<long> of the k MinHash family minima, NULL when the doc has
+    no shingles. One md5 per distinct shingle, evaluated exactly once
+    (let-bound, so neither multiple references nor a downstream explode
+    re-runs the shingle pipeline)."""
+    toks = TX.tokens(text)
+    sh = F.array_distinct(TX.word_shingles(toks, shingle_n))
+    pairs = F.transform(sh, _hash_pair)
+
+    def mins(p: F.Column) -> F.Column:
+        return F.when(
+            F.size(p) > 0,
+            F.array(*[F.array_min(F.transform(p, _min_fn(s))) for s in range(k)]),
+        )
+
+    return EX.bind(pairs, mins)
 
 
 def minhash_lsh_pairs(
@@ -109,15 +146,27 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])).alias(
-            "band_key"
+    sig = _signature_array(F.col(text_col), k, shingle_n)
+
+    def band_keys(s: F.Column) -> F.Column:
+        # null sig (no shingles) → null array → explode emits nothing
+        return F.when(
+            s.isNotNull(),
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[s.getItem(b * r + i) for i in range(r)]))
+                    for b in range(bands)
+                ]
+            ),
         )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+
+    # band keys are derived INSIDE a second let over the signature array,
+    # so the whole shingle→signature pipeline runs once per doc inside the
+    # explode's generator; distinct() then materializes (doc_id, band_key)
+    # and everything downstream touches only those two columns.
+    banded = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(EX.bind(sig, band_keys)).alias("band_key"),
     ).distinct()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -153,31 +202,54 @@ def ngram_jaccard_pairs(
     share ≥1 shingle (inverted-index join, never all-pairs).
 
     jaccard = |∩| / (|A| + |B| - |∩|) — integer counts, one IEEE division.
+
+    Plan shape: per-doc set sizes are computed IN-ROW (array size before
+    exploding — no counts aggregation, no two back-joins), and the
+    inverted-index join keys are 60-bit integer shingle hashes rather
+    than shingle strings (~4× smaller shuffle, long-vs-long compares).
+    The only shuffle is the equi-join itself + the pair-count agg.
     """
     toks = TX.tokens(F.col(text_col))
-    sh = docs.select(
+    sh = F.array_distinct(TX.word_shingles(toks, shingle_n))
+
+    def entries(l: F.Column) -> F.Column:
+        # n_shingles rides inside the exploded struct: it's computed from
+        # the let-bound array, so neither it nor the hash pipeline is
+        # re-evaluated per exploded row (CollapseProject can't inline
+        # through the lambda binding).
+        return F.transform(
+            l,
+            lambda s: F.struct(
+                TX.minhash_base_hashes(s)[0].alias("shash"),
+                F.size(l).alias("n"),
+            ),
+        )
+
+    ex = widen(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(TX.word_shingles(toks, shingle_n))).alias("shingle"),
+        F.explode(EX.bind(sh, entries)).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.n").alias("n_shingles"),
+        F.col("e.shash").alias("shash"),
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        ex.alias("a")
+        .join(ex.alias("b"), "shash")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
@@ -199,7 +271,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     recombine bits. One shuffle on doc_id.
     """
     toks = TX.tokens(F.col(text_col))
-    exploded = docs.select(
+    exploded = widen(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
     )
     h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")

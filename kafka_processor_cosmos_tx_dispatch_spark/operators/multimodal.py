@@ -56,7 +56,9 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a multimodal table: payload = UTF-8 bytes of the text
     (deterministic), metadata = typed struct. Real tables would read the
     binary column straight from Parquet."""
-    return docs.select(
+    from ..sources.tables import widen
+
+    return widen(docs).select(
         "doc_id",
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(

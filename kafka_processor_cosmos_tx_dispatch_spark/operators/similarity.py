@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..sources.tables import widen
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
@@ -45,7 +46,7 @@ def brute_force_topk(
         "q_vec",
     ).withColumnRenamed("__norm", "q_norm")
     c = _with_norm(
-        corpus.select(
+        widen(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         "c_vec",
@@ -83,7 +84,7 @@ def lsh_bucketed_topk(
     ).withColumnRenamed("__norm", "q_norm")
     q = q.withColumn("bucket", V.lsh_bucket(F.col("q_vec"), dims, n_planes))
     c = _with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        widen(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec",
     ).withColumnRenamed("__norm", "c_norm")
     c = c.withColumn("bucket", V.lsh_bucket(F.col("c_vec"), dims, n_planes))
@@ -103,20 +104,48 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """All pairs above a cosine threshold. All-pairs is quadratic — kept
-    for exactness at modest corpus sizes; the scale path buckets first
-    (see lsh_bucketed_topk) or blocks on a coarse quantization."""
-    a = _with_norm(
-        corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")), "va"
-    ).withColumnRenamed("__norm", "na")
-    b = _with_norm(
-        corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")), "vb"
-    ).withColumnRenamed("__norm", "nb")
-    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = V.cosine_fixed(
-        V.dot_fixed(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+    """All pairs above a cosine threshold, blocked-matmul execution.
+
+    Vectors are quantized to int64 once (functions/vectors.py:quantized);
+    one side is broadcast as a dense numpy matrix and each partition
+    computes its rows' dots against it with a single int64 matmul —
+    exact, order-free, and ~100× faster than a per-pair join with
+    interpreted array lambdas. Quadratic work is unavoidable for exact
+    all-pairs; what scales is the constant (BLAS-shape blocks, no
+    row-pair materialization) and the memory bound (only the broadcast
+    side is resident; the other side streams).
+
+    At 100 TB the broadcast side no longer fits one task: tile BOTH sides
+    into row blocks and cross-join block pairs (same per-block kernel),
+    or LSH-block first (lsh_bucketed_topk) for sub-quadratic candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = widen(corpus).select(
+        F.col(id_col).alias("vec_id"), V.quantized(F.col(vec_col)).alias("qv")
     )
-    return (
-        joined.select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    rows = q.collect()  # broadcast side — bounded, like any broadcast join build
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+    norms = (mat * mat).sum(axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    thr = float(threshold)
+
+    def gen(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            a_norms = (a_mat * a_mat).sum(axis=1)
+            dots = a_mat @ b_mat.T  # int64-exact
+            sim = dots / np.sqrt(np.outer(a_norms, b_norms))
+            mask = (sim >= thr) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[i], "vec_b": b_ids[j], "cos_sim": sim[i, j]}
+            )
+
+    return q.mapInPandas(gen, "vec_a long, vec_b long, cos_sim double")

@@ -1061,19 +1061,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
-    sh AS (SELECT DISTINCT doc_id, unnest({_D_SHINGLES}) AS s FROM toks),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, n_inter, ca.n AS n_a, cb.n AS n_b,
-           CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
              AS jaccard
     FROM inter
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8
+    WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,25 +1201,24 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_embedding_near_dup",
-    f"""
-    WITH {_D_FLAT},
-    dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             SUM(CAST(floor(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)*{_FIXED})
-                 AS BIGINT)) AS d
-      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
-      GROUP BY 1, 2)
-    SELECT vec_a, vec_b,
-           (d / {_FIXED}) / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED})) AS cos_sim
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE (d / {_FIXED}) / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED})) >= 0.45
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nsq FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.qv, b.qv) / sqrt(a.nsq * b.nsq) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.qv, b.qv) / sqrt(a.nsq * b.nsq) >= 0.45
     """,
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs. All-pairs exact here (in-row dot,
-    no explode); at scale the identical plan runs per LSH bucket."""
+    """Embedding-cosine near-dup pairs via quantize-once + blocked int64
+    matmul (operators/similarity.py). Integer dots ≪ 2^53 are exact in
+    numpy int64 AND in DuckDB's double-accumulating list_dot_product, so
+    the two engines agree bit-for-bit."""
     from .operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1350,17 +1351,21 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content hash + winnowing-style
-    min-shingle hash (the k=1 MinHash)."""
+    min-shingle hash (the k=1 MinHash). Both are row-local (array_min
+    over the in-row shingle array) — no explode, no groupBy, no join:
+    the whole query is one narrow scan-project stage."""
     from .functions import text as TX
 
-    docs = load_table(spark, sf_dir, "documents")
+    from .sources.tables import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens(F.col("text"))
-    sh = docs.select(
-        "doc_id", F.explode(TX.word_shingles(toks, 3)).alias("s")
+    sh = TX.word_shingles(toks, 3)
+    return docs.filter(F.size(sh) > 0).select(
+        "doc_id",
+        TX.content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
     )
-    mins = sh.groupBy("doc_id").agg(F.min(F.md5("s")).alias("min_shingle_hash"))
-    fp = docs.select("doc_id", TX.content_fingerprint(F.col("text")).alias("fingerprint"))
-    return fp.join(mins, "doc_id")
 
 
 # ---- streaming (run to completion, then checked like any batch query) -----

@@ -50,6 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work.
+
+    A small single-row-group parquet file scans as ONE split, serializing
+    expensive text/vector pipelines onto one core no matter how many the
+    executor has. Round-robin repartition is cheap for such inputs (the
+    data is small by construction — that's why it got one split) and a
+    no-op for real multi-split datasets, where the scan is already wide.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
