@@ -1,0 +1,35 @@
+"""bind() let-binding and widen() partition semantics."""
+
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.functions import exprs as EX
+from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import widen
+
+
+def test_bind_value_semantics(spark):
+    df = spark.createDataFrame([(1, "a b c d"),], "id int, s string")
+    toks = F.split(F.col("s"), " ")
+    out = df.select(
+        EX.bind(toks, lambda t: F.size(t) + F.size(t)).alias("twice"),
+        EX.bind(toks, lambda t: F.element_at(t, 1)).alias("first"),
+    ).collect()[0]
+    assert out["twice"] == 8
+    assert out["first"] == "a"
+
+
+def test_bind_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "s string")
+    out = df.select(
+        EX.bind(F.split(F.col("s"), " "), lambda t: F.size(t)).alias("n")
+    ).collect()[0]
+    assert out["n"] is None
+
+
+def test_widen_changes_only_partitioning(spark):
+    df = spark.range(100).coalesce(1)
+    w = widen(df, min_partitions=8)
+    assert w.rdd.getNumPartitions() >= 8
+    assert sorted(r["id"] for r in w.collect()) == list(range(100))
+    # already-wide inputs pass through untouched
+    wide = spark.range(100).repartition(16)
+    assert widen(wide, min_partitions=8) is wide
