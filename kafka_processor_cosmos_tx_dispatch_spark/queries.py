@@ -703,6 +703,75 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC) AS INTEGER)
+             AS price_rank,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS near_total
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames + dense_rank. Range frames are tie-safe by definition
+    (every peer of the boundary value is in the frame), so the decimal
+    windowed sum is deterministic without a tiebreak column."""
+    o = load_table(spark, sf_dir, "orders")
+    wr = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    wrange = (
+        W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(wr).alias("price_rank"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(wrange)
+        .cast("double")
+        .alias("near_total"),
+    )
+
+
+@register(
+    "q_udaf_grouped_cents",
+    """
+    SELECT event_type,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): Arrow hands each
+    group's column to Python as a pandas Series; integer-cents math keeps
+    the result order-independent and oracle-exact. The physical plan is
+    the same two-phase hash-partition shape as a native agg, with the
+    aggregation body in vectorized Python."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # type hints into strings, which defeats signature-based inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def sum_cents(v):
+        return int(v.mul(100).round().astype("int64").sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_rows(v):
+        return len(v)
+
+    # pandas grouped-agg UDFs can't mix with JVM aggregates in one agg()
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        sum_cents("value").alias("total_cents"),
+        count_rows("value").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops
 # --------------------------------------------------------------------------
