@@ -45,6 +45,37 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def dispatch_throughput(spark, n: int = 2_000_000) -> dict:
+    """Synthetic dispatch throughput — the reference's native workload
+    shape (record → N JsonPath rules → multicast route) on generated
+    rows, so the number measures the engine, not parquet decode of a
+    single-split local file. spark.range parallelizes across all cores
+    and the dispatch plan is one narrow stage."""
+    from pyspark.sql import functions as F
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators import dispatch as dsp
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import EVENT_RULES
+
+    types = F.array(*[F.lit(t) for t in ("click", "view", "purchase", "error", "signup")])
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.struct(
+            F.element_at(types, ((F.col("id") % 5) + 1).cast("int")).alias("event_type"),
+            (F.col("id") % 200).cast("double").alias("value"),
+            F.struct((F.col("id") % 100).cast("int").alias("k")).alias("props"),
+        ).alias("rec"),
+    )
+    routed = dsp.dispatch(df, EVENT_RULES, struct_col="rec")
+    run_query(routed.limit(1000))  # warm the plan
+    t0 = time.perf_counter()
+    run_query(routed)
+    dt = time.perf_counter() - t0
+    return {
+        "dispatch_synthetic_rows": n,
+        "dispatch_rows_per_sec": int(n / dt),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                **dispatch_throughput(spark),
             }
         )
     )

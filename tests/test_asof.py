@@ -69,3 +69,36 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_naive_reference(spark):
+    """Property check against a naive per-row reference on a pseudo-random
+    input (deterministic seed)."""
+    import random
+
+    rng = random.Random(42)
+    left = [(rng.randrange(4), rng.randrange(100), i) for i in range(120)]
+    right = [(rng.randrange(4), rng.randrange(100), 1000 + i) for i in range(80)]
+
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in left], "k int, ts timestamp, left_id int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in right], "k int, ts timestamp, rid int"
+    )
+    out = asof_join(
+        ldf, rdf, keys=["k"], ts_col="ts", right_value_cols=["rid"], tiebreak_col="rid"
+    )
+    got = {r["left_id"]: r["asof_rid"] for r in out.collect()}
+
+    def expect(k, m):
+        cands = [(rm, rid) for rk, rm, rid in right if rk == k and rm <= m]
+        return max(cands)[1] if cands else None  # latest ts, then max rid
+
+    want = {i: expect(k, m) for k, m, i in left}
+    assert got == want
