@@ -1,0 +1,86 @@
+"""Plan-shape assertions: the scale guarantees the engine's docstrings
+claim, pinned as tests so a regression shows up as a failed assert, not
+a slow cluster.
+
+- dispatch is a single narrow stage (no Exchange anywhere);
+- star joins broadcast every dimension (no sort-merge join, fact table
+  never shuffles);
+- bucketed tables co-locate equi-joins (no Exchange above the scans);
+- salting redistributes a skewed key without changing the result.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dispatch_is_shuffle_free(spark, sf_dir):
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["dispatch_route"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["q5_local_supplier_volume"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing by the join key pre-shuffles at write time: both scans
+    come up hash-partitioned and the join runs exchange-free — at 100 TB
+    this converts every repeated fact-fact join into a narrow stage."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("bt_a", a), ("bt_b", b)):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(name)
+            )
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting splits one hot key across SALT partitions: replicate the
+    small side per salt, join on (key, salt). Result must equal the
+    unsalted join — this is the hand-rolled fallback when AQE's skew
+    splitting can't kick in (e.g. a single monster key in a stream)."""
+    SALT = 8
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 10 == 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 11).alias("v"))
+
+    plain = skewed.join(dim, "k").select("payload", "v")
+
+    salted_fact = skewed.withColumn("salt", (F.rand(seed=1) * SALT).cast("int"))
+    salted_dim = dim.join(
+        spark.range(SALT).select(F.col("id").cast("int").alias("salt")), how="cross"
+    )
+    salted = salted_fact.join(salted_dim, ["k", "salt"]).select("payload", "v")
+
+    assert sorted(salted.collect()) == sorted(plain.collect())
