@@ -120,3 +120,38 @@ def test_error_records_dropped_without_error_topic(spark):
         decode_tx_records(df), RULES, json_col="tx_json", error_col="error"
     )
     assert routed.count() == 0
+
+
+def test_streaming_decode_dispatch(spark, tmp_path):
+    """The production shape end-to-end as a STREAM: binary records from a
+    file stream → decode → dispatch → sink (decode + dispatch are both
+    stateless, so the streaming plan is the batch plan)."""
+    src = str(tmp_path / "txs")
+    spark.createDataFrame(
+        [(1, TX1), (2, TX2), (3, TX3), (4, TX_ERR)], "tx_id int, value binary"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("tx_id int, value binary").parquet(src)
+    routed = dsp.dispatch(
+        decode_tx_records(stream),
+        RULES,
+        json_col="tx_json",
+        error_col="error",
+        error_topic="error",
+    ).select("tx_id", "topic")
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("decode_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["tx_id"], r["topic"]) for r in spark.table("decode_stream").collect())
+    assert got == [
+        (1, "topic-1"),
+        (2, "topic-1"),
+        (2, "topic-2"),
+        (3, "dlq"),
+        (4, "error"),
+    ]
