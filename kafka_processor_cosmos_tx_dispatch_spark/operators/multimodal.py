@@ -68,6 +68,31 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_len long"
+
+
+def sample_frames(binary_df: DataFrame, k: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: each input row yields k
+    rows at evenly spaced byte offsets — the 1→N Arrow batch shape every
+    frame/chunk extractor has. The 'decode at offset' step is where a
+    real pipeline would seek into the container format (stubbed:
+    deterministic offsets + lengths only, codecs absent here)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(bytes(b))
+                for i in range(k):
+                    off = (i * n) // k
+                    rows.append((doc_id, i, off, min(16, n - off)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_len"]
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 

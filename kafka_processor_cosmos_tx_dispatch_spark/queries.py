@@ -1024,6 +1024,24 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(docs).select("fingerprint", "n_docs", "keeper")
 
 
+@register(
+    "dedup_drop_exact",
+    f"""
+    SELECT MIN(doc_id) AS doc_id FROM
+      (SELECT doc_id, md5({_D_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup SURVIVORS (min-id per fingerprint): the agg + semi-join
+    formulation shares one hash partitioning on the fingerprint — no
+    window, no second shuffle."""
+    from .operators.dedup import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs).select("doc_id")
+
+
 def _minhash_sig_sql() -> str:
     aggs = ",\n           ".join(
         f"min(h1 + {s} * h2) AS h{s}" for s in range(_MINHASH_K)
@@ -1716,6 +1734,26 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- multimodal -----------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           (i * octet_length(encode(text))) // 4 AS frame_offset,
+           least(16, octet_length(encode(text))
+                     - (i * octet_length(encode(text))) // 4) AS frame_len
+    FROM documents, unnest(generate_series(0, 3)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→k rows per payload via mapInPandas): the batch
+    shape of any frame/chunk extractor, with deterministic offsets so the
+    oracle can pin them."""
+    from .operators.multimodal import sample_frames, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs), k=4)
 
 
 @register(
