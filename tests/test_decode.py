@@ -7,8 +7,6 @@ with the ORIGINAL bytes preserved."""
 import base64
 import json
 
-from pyspark.sql import functions as F
-
 from kafka_processor_cosmos_tx_dispatch_spark.functions import protowire
 from kafka_processor_cosmos_tx_dispatch_spark.operators import dispatch as dsp
 from kafka_processor_cosmos_tx_dispatch_spark.operators.decode import decode_tx_records
