@@ -98,6 +98,97 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_OFFSET = 7919  # keeps the centroid LCG stream disjoint from SRP planes
+IVF_SPAN = 1000
+
+
+def ivf_centroids(n_centroids: int, dims: int) -> list[list[int]]:
+    """Deterministic integer centroids from the shared LCG — data-free
+    (a real IVF trains k-means; the INDEX SHAPE — assign once, search
+    probed cells — is what this implements), reproducible in plain SQL,
+    and integer-valued so assignment dots are exact in every engine."""
+    return [
+        [
+            ((V.LCG_A * (IVF_OFFSET + c * dims + d) + V.LCG_C) % V.LCG_M)
+            % (2 * IVF_SPAN + 1)
+            - IVF_SPAN
+            for d in range(dims)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def _ivf_assign(qv, centroids: list[list[int]]):
+    """Nearest centroid by max integer dot (tiebreak: lowest id) —
+    computed in-row over the let-bound quantized vector."""
+    from ..functions import exprs as EX
+
+    def best(v):
+        cands = [
+            F.struct(
+                (-V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))).alias(
+                    "nd"
+                ),
+                F.lit(c).alias("c"),
+            )
+            for c, cv in enumerate(centroids)
+        ]
+        return F.array_min(F.array(*cands))["c"]
+
+    return EX.bind(qv, best)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid cell, search
+    only the query's cell (probe=1). The search join is an equi-join on
+    the cell id — per-query work drops by ~n_centroids×, and adding
+    multi-probe = unioning more cells per query. Cosine uses the
+    quantized-integer contract (exact, oracle-reproducible)."""
+    cents = ivf_centroids(n_centroids, _dims(corpus, vec_col))
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        qv = V.quantized(F.col(vec_col))
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"), qv.alias(f"{side}_qv")
+        )
+        return out.select(
+            f"{side}_id",
+            f"{side}_qv",
+            _ivf_assign(F.col(f"{side}_qv"), cents).alias("cell"),
+            V.dot_int(F.col(f"{side}_qv"), F.col(f"{side}_qv")).alias(f"{side}_nsq"),
+        )
+
+    q = prep(queries, "query")
+    c = prep(widen(corpus), "neighbor")
+    joined = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = V.dot_int(F.col("query_qv"), F.col("neighbor_qv"))
+    sim = dot.cast("double") / F.sqrt(
+        F.col("query_nsq").cast("double") * F.col("neighbor_nsq").cast("double")
+    )
+    scored = joined.select(
+        "query_id", "cell", "neighbor_id", sim.alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _dims(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col)).first()[0]
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

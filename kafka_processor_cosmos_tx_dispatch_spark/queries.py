@@ -1090,6 +1090,58 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 8
+
+
+@register(
+    "sim_topk_ivf",
+    f"""
+    WITH cent AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    assign AS (
+      SELECT vec_id, qv, c AS cell,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      FROM (
+        SELECT v.vec_id, v.qv, ct.c,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.qv, ct.cv) DESC, ct.c) AS rn
+        FROM q v CROSS JOIN cent ct)
+      WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < 10 AND a.vec_id != b.vec_id)
+    SELECT query_id, cell, neighbor_id, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (probe=1): deterministic integer centroids, in-row cell
+    assignment, equi-join on the cell id. The third similarity path next
+    to exact brute force and SRP-LSH."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, n_centroids=_IVF_CELLS, k=5
+    )
+
+
 def _simhash_sql() -> str:
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
