@@ -1,0 +1,147 @@
+"""Scale probe: run the core operator families on synthetic data 10-50×
+the bench scale and report rows/sec, so "would this plan survive a
+scale-up" is measured, not asserted. Writes nothing outside /tmp.
+
+    python tools/scale_probe.py [--events N] [--docs N]
+
+Prints one JSON line per probe: {probe, rows, sec, rows_per_sec}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+
+WORKDIR = "/tmp/spark_scale_probe"
+
+
+def _events(spark, n: int):
+    """Seeded synthetic events mirroring the testdata schema."""
+    types = F.array(*[F.lit(t) for t in ("click", "view", "purchase", "error", "signup")])
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + (F.col("id") % 2_592_000) * 1_000_000
+        ).alias("ts"),
+        (F.xxhash64(F.col("id")) % 5000).alias("user_id"),
+        F.element_at(types, ((F.col("id") % 5) + 1).cast("int")).alias("event_type"),
+        ((F.abs(F.xxhash64(F.col("id"), F.lit(1))) % 20000) / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % 100), F.lit("}")
+        ).alias("props"),
+    )
+
+
+def _docs(spark, n: int):
+    """Seeded synthetic documents: ~60 pseudo-random word tokens each."""
+    word = lambda seed: F.concat(  # noqa: E731
+        F.lit("w"), (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % 500)
+    )
+    text = F.concat_ws(" ", *[word(s) for s in range(60)])
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def probe(name: str, rows: int, fn) -> dict:
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    out = {
+        "probe": name,
+        "rows": rows,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(rows / dt),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=5_000_000)
+    ap.add_argument("--docs", type=int, default=100_000)
+    args = ap.parse_args()
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    os.makedirs(WORKDIR, exist_ok=True)
+    spark = get_spark(app_name="scale-probe")
+
+    ev_path = f"{WORKDIR}/events"
+    _events(spark, args.events).write.mode("overwrite").parquet(ev_path)
+    docs_path = f"{WORKDIR}/docs"
+    _docs(spark, args.docs).write.mode("overwrite").parquet(docs_path)
+    ev = spark.read.parquet(ev_path)
+    docs = spark.read.parquet(docs_path)
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # dispatch: full rule evaluation + multicast on parquet input
+    from kafka_processor_cosmos_tx_dispatch_spark.operators import dispatch as dsp
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import EVENT_RULES
+
+    rec = F.struct(
+        F.col("event_type"),
+        F.col("value"),
+        F.from_json(F.col("props"), "struct<k: int>").alias("props"),
+    )
+    probe(
+        "dispatch_parquet",
+        args.events,
+        lambda: run(dsp.dispatch(ev.withColumn("rec", rec), EVENT_RULES, struct_col="rec")),
+    )
+
+    # tumbling window agg (batch analog of the streaming window)
+    probe(
+        "window_agg",
+        args.events,
+        lambda: run(
+            ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            )
+        ),
+    )
+
+    # as-of join: purchases vs clicks
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.asof import asof_join
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    probe(
+        "asof_join",
+        args.events * 2 // 5,
+        lambda: run(
+            asof_join(
+                purchases, clicks, keys=["user_id"], ts_col="ts",
+                right_value_cols=["click_id"], tiebreak_col="click_id",
+            )
+        ),
+    )
+
+    # MinHash+LSH candidate pairs over synthetic docs
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    probe("minhash_lsh", args.docs, lambda: run(minhash_lsh_pairs(docs)))
+
+    spark.stop()
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
