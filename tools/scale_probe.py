@@ -52,9 +52,11 @@ def _docs(spark, n: int):
 
 
 def probe(name: str, rows: int, fn) -> dict:
-    t0 = time.perf_counter()
-    fn()
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):  # min-of-2, matching bench.py's convention
+        t0 = time.perf_counter()
+        fn()
+        dt = min(dt, time.perf_counter() - t0)
     out = {
         "probe": name,
         "rows": rows,
@@ -92,7 +94,9 @@ def main() -> None:
     rec = F.struct(
         F.col("event_type"),
         F.col("value"),
-        F.from_json(F.col("props"), "struct<k: int>").alias("props"),
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        ).alias("props"),
     )
     probe(
         "dispatch_parquet",
