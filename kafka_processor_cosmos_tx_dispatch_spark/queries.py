@@ -780,6 +780,54 @@ def q_udaf_grouped_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_query(sql: str, *tables: str):
+    """A query expressed through the SQL API surface (views + spark.sql)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+_EXISTS_SQL = """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+"""
+register("q_subquery_exists", _EXISTS_SQL)(
+    _sql_query(_EXISTS_SQL, "orders", "lineitem")
+)
+# Correlated EXISTS — Catalyst rewrites to a left-semi join; integer-exact.
+
+_SCALAR_SUBQ_SQL = """
+    SELECT n_name,
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+    FROM nation n
+"""
+register("q_subquery_scalar", _SCALAR_SUBQ_SQL)(
+    _sql_query(_SCALAR_SUBQ_SQL, "nation", "customer")
+)
+# Correlated scalar subquery — rewritten to an outer-join + aggregate.
+
+_IN_SUBQ_SQL = """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+"""
+register("q_subquery_in", _IN_SUBQ_SQL)(_sql_query(_IN_SUBQ_SQL, "supplier", "nation"))
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE r(n, f) AS (
+      SELECT 1, CAST(1 AS BIGINT)
+      UNION ALL SELECT n + 1, f * (n + 1) FROM r WHERE n < 12
+    ) SELECT n, f FROM r
+"""
+register("q_recursive_cte", _RECURSIVE_SQL)(_sql_query(_RECURSIVE_SQL))
+# Recursive CTE (Spark 4 UnionLoop execution) — factorials, integer-exact.
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / set ops
 # --------------------------------------------------------------------------
