@@ -482,9 +482,13 @@ def _rel_single(node: Column, dtype: T.DataType, rel: tuple):
                 return None
             col, dt = col.getField(step.name), ft
         elif isinstance(step, Index) and isinstance(dt, T.ArrayType):
-            # element_at is 1-based; JsonPath [i] is 0-based, [-1] is last.
+            # try_element_at is 1-based; JsonPath [i] is 0-based, [-1] is
+            # last. MUST be the try_ variant: plain element_at THROWS on an
+            # out-of-bounds index under ANSI semantics, but reference
+            # semantics treat any evaluation error as a non-match
+            # (TopologyProducer.kt:221-223) — null propagates to False.
             pos = step.i + 1 if step.i >= 0 else step.i
-            col, dt = F.element_at(col, pos), dt.elementType
+            col, dt = F.try_element_at(col, F.lit(pos)), dt.elementType
         else:
             return None
     return col, dt
@@ -560,8 +564,12 @@ def _exists_fn(dtype: T.DataType, steps: tuple) -> NodeFn | None:
         f = _exists_fn(dtype.elementType, rest)
         if f is None:
             return None
+        # try_element_at, not element_at: out-of-bounds must be a
+        # non-match, not an ANSI runtime error (see _walk_steps)
         pos = step.i + 1 if step.i >= 0 else step.i
-        return lambda c: F.coalesce(f(F.element_at(c, pos)), F.lit(False))
+        return lambda c: F.coalesce(
+            f(F.try_element_at(c, F.lit(pos))), F.lit(False)
+        )
 
     if isinstance(step, Wildcard):
         if isinstance(dtype, T.ArrayType):

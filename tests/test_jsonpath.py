@@ -185,3 +185,99 @@ class TestJsonStringTier:
         pred = jp.jsonpath_match_pandas_udf(P_FROM)
         got = {r["id"]: r["m"] for r in df.select("id", pred("j").alias("m")).collect()}
         assert got == {1: False, 2: True, 3: False}
+
+
+class TestTierConsistencyFuzz:
+    """Seeded random records × predicate battery: the tier-1 compiled
+    Column must agree with the Python evaluator on every record — the
+    compiler's correctness envelope, checked in bulk."""
+
+    PREDICATES = [
+        P_TYPE,
+        P_FROM,
+        P_NOP,
+        "$.body.memo",
+        "$..gasLimit",
+        "$.body.messages",
+        "$.body.messages[0]",
+        "$.body.messages[?(@.fromAddress == 'addr3')]",
+        "$.authInfo.fee[?(@.gasLimit >= 50)]",
+        "$.authInfo.fee[?(@.gasLimit < 20)]",
+        "$..messages[?(@.toAddress == 'addr7')]",
+    ]
+
+    def _random_tx(self, rng):
+        def maybe(v, p=0.3):
+            return None if rng.random() < p else v
+
+        n_msgs = rng.randrange(0, 4)
+        msgs = [
+            {
+                "@type": rng.choice(
+                    [
+                        "type.googleapis.com/cosmos.bank.v1beta1.MsgSend",
+                        "type.googleapis.com/other.Msg",
+                    ]
+                ),
+                "fromAddress": maybe(f"addr{rng.randrange(8)}"),
+                "toAddress": maybe(f"addr{rng.randrange(8)}"),
+                "amount": [
+                    {"denom": "uknow", "amount": str(rng.randrange(1000))}
+                    for _ in range(rng.randrange(0, 3))
+                ],
+            }
+            for _ in range(n_msgs)
+        ]
+        tx = {
+            "body": maybe(
+                {"messages": maybe(msgs, 0.2), "memo": maybe(f"m{rng.randrange(5)}")},
+                0.15,
+            ),
+            "authInfo": maybe(
+                {"fee": maybe({"gasLimit": maybe(rng.randrange(100), 0.2)}, 0.2)}, 0.15
+            ),
+        }
+        return {k: v for k, v in tx.items() if v is not None}
+
+    @staticmethod
+    def _strip_nulls(obj):
+        """Restrict to the protobuf-JSON domain: the reference's printer
+        OMITS unset fields, never emits explicit nulls — and a
+        present-but-null path is the one case where JsonPath (match) and
+        a null struct field (non-match) legitimately disagree."""
+        if isinstance(obj, dict):
+            return {
+                k: TestTierConsistencyFuzz._strip_nulls(v)
+                for k, v in obj.items()
+                if v is not None
+            }
+        if isinstance(obj, list):
+            return [TestTierConsistencyFuzz._strip_nulls(v) for v in obj]
+        return obj
+
+    def test_fuzz_agreement(self, spark):
+        import random
+
+        rng = random.Random(20260813)
+        txs = [self._strip_nulls(self._random_tx(rng)) for _ in range(150)]
+        df = spark.createDataFrame(
+            [(i, json.dumps(t)) for i, t in enumerate(txs)],
+            "tx_id long, tx_json string",
+        ).withColumn("tx", F.from_json("tx_json", TX_TYPE))
+
+        cols, paths = [], []
+        for i, path in enumerate(self.PREDICATES):
+            compiled = jp.compile_struct_predicate(F.col("tx"), TX_TYPE, path)
+            assert compiled is not None, f"{path} should be native-compilable"
+            cols.append(compiled.alias(f"p{i}"))
+            paths.append(path)
+
+        rows = df.select("tx_id", *cols).collect()
+        mismatches = []
+        for r in rows:
+            tx = txs[r["tx_id"]]
+            for i, path in enumerate(paths):
+                want = jp.match(json.dumps(tx), path)
+                if r[f"p{i}"] != want:
+                    mismatches.append((r["tx_id"], path, r[f"p{i}"], want, tx))
+        assert not mismatches, mismatches[:5]
