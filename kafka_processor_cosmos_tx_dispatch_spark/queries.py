@@ -1036,6 +1036,89 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_join_right_outer",
+    """
+    SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every nation survives even with zero suppliers
+    (COUNT(col) skips the null-padded rows; SUM of none is NULL). Spark
+    plans it as the mirrored left-outer with the small side broadcast."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "right_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            _dsum(F.col("s_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (all region pairs). Tiny×tiny only —
+    Spark requires the explicit crossJoin call precisely so an accidental
+    unconstrained product can't sneak into a 100 TB plan."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("from_region")
+    )
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2)
+
+
+@register(
+    "q_skew_salted_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join, the manual fallback when AQE's skew
+    split can't help (e.g. one hot key inside a single partition of a
+    stream-static join). Fact rows get a deterministic salt in [0,S);
+    the dim side is exploded ×S so every (key, salt) pair finds its
+    match; the hot key's rows now spread over S reducers. Result is
+    bit-identical to the plain join (oracle runs the unsalted SQL).
+    shuffle_hash hint keeps Spark from broadcasting the (locally tiny)
+    dim so the salted shuffle path actually executes."""
+    S = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(S)).cast("int")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)).cast("array<int>")))
+        .hint("shuffle_hash")
+    )
+    return (
+        ev.join(
+            cust,
+            (F.col("user_id") == F.col("c_custkey")) & (ev["salt"] == cust["salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -1429,6 +1512,39 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_id", k.alias("k"), (k > 50).alias("k_high"))
+
+
+@register(
+    "q_variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                 THEN 1 END) AS n_high_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the VARIANT type (Spark 4): parse_json
+    once per record into the binary variant encoding, then typed
+    try_variant_get extraction — the idiomatic scale path when a JSON
+    column is touched by several expressions (one parse, N cheap reads,
+    vs get_json_object's parse-per-call). Oracle uses plain JSON
+    extraction; the values are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
 
 
 @register(
@@ -1966,6 +2082,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.content_fingerprint(F.col("text")).alias("fingerprint"),
         F.array_min(F.transform(sh, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+@register(
+    "text_udtf_bigrams",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(t)-1),
+                                 i -> CAST(i AS INTEGER))) AS pos,
+           UNNEST(list_transform(generate_series(1, len(t)-1),
+                                 i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
+    FROM toks
+    """,
+)
+def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): one input row → N output rows via a
+    lateral table function. Tokenization matches functions/text.py:tokens
+    (lowercase, trim, whitespace split). UDTFs are the row-expanding UDF
+    tier — here only to pin the API; the same result native is
+    posexplode over word_shingles(toks, 2), which is what a hot path
+    should use. Arrow-optimized eval keeps the Python transfer batched."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = text.lower().strip().split()
+            for i in range(len(toks) - 1):
+                yield doc_id, i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM _udtf_docs d, LATERAL bigram_udtf(d.doc_id, d.text) b"
     )
 
 
