@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import jsonpath as jp
+from ..functions.exprs import bind
 from ..rules import ERROR, UNFILTERED, DispatchRule
 
 DEFAULT_DLQ_TOPIC = "dlq"
@@ -92,7 +93,14 @@ def with_matches(
     )
     hits = F.filter(tagged, lambda x: x.isNotNull())
     no_match = F.array(F.lit(UNFILTERED))
-    matched = F.when(F.size(hits) > 0, hits).otherwise(no_match)
+    # bind(): `hits` (the full rule-bank evaluation) appears twice in the
+    # WHEN/OTHERWISE below; without the let-binding Catalyst duplicates
+    # the whole predicate array — including any get_json_object calls —
+    # textually into both branches (and into any filter later inferred
+    # from this column).
+    matched = bind(
+        hits, lambda h: F.when(F.size(h) > 0, h).otherwise(no_match)
+    )
     if error_col is not None:
         matched = F.when(
             F.col(error_col).isNotNull(), F.array(F.lit(ERROR))
@@ -131,7 +139,13 @@ def dispatch(
     no error topic is configured (TopologyProducer.kt:124-131).
     """
     out = with_matches(df, rules, json_col, struct_col, error_col)
-    out = out.withColumn("rule_idx", F.explode("matches")).drop("matches")
+    # explode_outer, deliberately: `matches` is never empty (the UNFILTERED
+    # sentinel guarantees ≥1 element) so outer vs inner explode is
+    # semantically identical — but the non-outer Generate makes Catalyst
+    # infer a `size(matches) > 0` filter and push it below the Generate,
+    # re-evaluating the entire rule bank once more per input row (measured
+    # ~2× on the dispatch bench).
+    out = out.withColumn("rule_idx", F.explode_outer("matches")).drop("matches")
     if error_topic is None:
         out = out.filter(F.col("rule_idx") != F.lit(ERROR))
     name_pairs: list[Column] = []

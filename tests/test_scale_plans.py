@@ -25,6 +25,20 @@ def test_dispatch_is_shuffle_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dispatch_evaluates_rules_once(spark, sf_dir):
+    """The JSON extraction (the dispatch hot path's only expensive
+    expression) must appear exactly once in the physical plan. Two known
+    regressions multiply it: a non-outer explode makes Catalyst infer a
+    size(matches)>0 filter below the Generate (re-running the whole rule
+    bank per row), and the WHEN/OTHERWISE fallback duplicates the
+    predicate array unless let-bound (operators/dispatch.py)."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["dispatch_route"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("get_json_object") == 1
+
+
 def test_star_join_broadcasts_all_dims(spark, sf_dir):
     from kafka_processor_cosmos_tx_dispatch_spark import queries as q
 
