@@ -19,7 +19,7 @@ skew-join splitting handles the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import exprs as EX
@@ -164,19 +164,33 @@ def minhash_lsh_pairs(
     # so the whole shingle→signature pipeline runs once per doc inside the
     # explode's generator; distinct() then materializes (doc_id, band_key)
     # and everything downstream touches only those two columns.
-    banded = widen(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(EX.bind(sig, band_keys)).alias("band_key"),
-    ).distinct()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # cap pathological buckets before the join
-    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
-    ok = sizes.filter(F.col("n") <= max_bucket).select("band_key")
-    banded = banded.join(F.broadcast(ok), "band_key")
+    # explode_outer + null filter, not plain explode: the non-outer
+    # Generate makes Catalyst infer a size()>0 pre-filter that would run
+    # the entire md5 signature pipeline a second time per doc.
+    banded = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(EX.bind(sig, band_keys)).alias("band_key"),
+        )
+        .filter(F.col("band_key").isNotNull())
+        .distinct()
+    )
+    # Bucket cap as a count window over the band_key partitioning (not a
+    # separate sizes-agg + join-back): the window's exchange is the SAME
+    # hashpartitioning(band_key) the self-join needs, so AQE's exchange
+    # reuse materializes the signature pipeline exactly once and every
+    # other consumer reads the shuffled bytes. The previous agg+join-back
+    # shape evaluated the md5 pipeline three times (sizes, build, probe).
+    w = Window.partitionBy("band_key")
+    capped = (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
     pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band_key")
+        capped.alias("a")
+        .join(capped.alias("b").hint("shuffle_hash"), "band_key")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -225,14 +239,27 @@ def ngram_jaccard_pairs(
             ),
         )
 
-    ex = widen(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(EX.bind(sh, entries)).alias("e"),
-    ).select(
-        "doc_id",
-        F.col("e.n").alias("n_shingles"),
-        F.col("e.shash").alias("shash"),
+    # explode_outer: avoids the inferred size()>0 filter re-running the
+    # shingle-hash pipeline; the null row an empty/null shingle set
+    # produces is dropped right after (and would never survive the
+    # equi-join anyway).
+    ex = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(EX.bind(sh, entries)).alias("e"),
+        )
+        .filter(F.col("e").isNotNull())
+        .select(
+            "doc_id",
+            F.col("e.n").alias("n_shingles"),
+            F.col("e.shash").alias("shash"),
+        )
     )
+    # No join-strategy hint: locally Spark broadcasts one side (the
+    # shingle pipeline is cheap enough that recomputing it beats an extra
+    # shuffle); at scale both sides get natural exchanges and AQE's
+    # exchange reuse computes the pipeline once.
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), "shash")
@@ -271,8 +298,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     recombine bits. One shuffle on doc_id.
     """
     toks = TX.tokens(F.col(text_col))
-    exploded = widen(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    exploded = (
+        widen(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     exploded = exploded.withColumn("h32", h32)
@@ -311,7 +340,7 @@ def simhash_near_pairs(
             for i in range(4)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+    banded = sig.select("doc_id", "simhash", F.explode_outer(bands).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     pairs = (
