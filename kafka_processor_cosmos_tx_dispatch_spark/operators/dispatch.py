@@ -203,3 +203,36 @@ def value_for_topic(
         .otherwise(F.encode(dlq_envelope(txj, raw), "UTF-8"))
     )
     return dispatched.withColumn("value", value)
+
+
+def dispatch_metrics() -> list[Column]:
+    """The observability analog of the reference's three peek taps
+    (decode-failure / per-rule routing / unfiltered logs,
+    TopologyProducer.kt:114-121, 152-154, 183-185): counters computed
+    inline by the observe() framework — collected as accumulators during
+    the normal pass, zero extra jobs, zero extra scans.
+    """
+    return [
+        F.count(F.lit(1)).alias("n_output_rows"),
+        F.count_if(F.col("rule_idx") >= 0).alias("n_rule_matches"),
+        F.count_if(F.col("rule_idx") == F.lit(UNFILTERED)).alias("n_unfiltered"),
+        F.count_if(F.col("rule_idx") == F.lit(ERROR)).alias("n_decode_errors"),
+    ]
+
+
+def with_observed_metrics(dispatched: DataFrame, name: str = "dispatch_metrics"):
+    """Batch: returns (df, Observation) — read ``observation.get`` after an
+    action. The reference logs per-record; at 100 TB per-record logging is
+    the anti-pattern, so the engine surfaces the same information as
+    per-pass aggregate metrics."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return dispatched.observe(obs, *dispatch_metrics()), obs
+
+
+def with_streaming_metrics(dispatched: DataFrame, name: str = "dispatch_metrics") -> DataFrame:
+    """Streaming: named observation; per-batch values arrive in every
+    StreamingQueryProgress.observedMetrics[name] (hook a
+    StreamingQueryListener to ship them to a metrics sink)."""
+    return dispatched.observe(name, *dispatch_metrics())

@@ -77,3 +77,73 @@ def running_user_profiles(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 StatefulProcessor API)
+# ---------------------------------------------------------------------------
+
+TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long"
+
+
+def per_type_counts(stream: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts on the newer StatefulProcessor
+    API (transformWithStateInPandas) — the successor to
+    applyInPandasWithState, with TYPED state primitives instead of one
+    state tuple. Here the state is a MapState keyed by event_type, the
+    shape flatMapGroupsWithState forces into an awkward encoded blob.
+
+    Update-mode: emits one row per (user, type) touched in the batch with
+    the count so far; counts strictly increase, so the final table is
+    max(n) per key pair. State size is O(#users × #types), partitioned by
+    user across executors — the per-key map lives in the state store, so
+    a hot user's map never transits whole; only touched entries are
+    read/written per batch.
+
+    Environment note: Spark's transformWithState driver worker speaks a
+    protobuf protocol and needs the `protobuf` Python package at
+    runtime. This container doesn't ship it, so the operator is exercised
+    by an importorskip-gated test rather than a registry query
+    (applyInPandasWithState above covers the stateful gate).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                for et, c in pdf["event_type"].value_counts().items():
+                    batch[str(et)] = batch.get(str(et), 0) + int(c)
+            out = []
+            # sorted for a deterministic emit order within the batch
+            for et in sorted(batch):
+                prev = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                n = prev + batch[et]
+                self._counts.updateValue((et,), (n,))
+                out.append({"user_id": key[0], "event_type": et, "n": n})
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PerTypeCounts(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -158,3 +158,18 @@ def test_predicate_error_is_nonmatch_not_failure(spark):
     out = dsp.dispatch(df, rules, json_col="tx_json")
     rows = out.select("tx_id", "topic").collect()
     assert [(r["tx_id"], r["topic"]) for r in rows] == [(1, "dlq")]
+
+
+def test_observed_metrics_counts(tx_df, rules):
+    """with_observed_metrics: the reference's peek-log counters (routed /
+    unfiltered / decode-error), collected inline by observe() during the
+    one normal pass — no second job, no extra scan."""
+    out = dsp.dispatch(
+        tx_df, rules, json_col="tx_json", error_col="error", error_topic="error"
+    )
+    observed, obs = dsp.with_observed_metrics(out)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rule_matches"] == m["n_output_rows"] - m["n_unfiltered"] - m["n_decode_errors"]
+    assert m["n_decode_errors"] == 1  # txError fixture
+    assert m["n_unfiltered"] == 1  # tx3 fixture

@@ -247,6 +247,39 @@ class TestStateful:
         finally:
             q.stop()
 
+    def test_transform_with_state_per_type_counts(self, spark, stream_dir, tmp_path):
+        """transformWithStateInPandas (Spark 4 StatefulProcessor +
+        MapState): per-(user, type) counts accumulate across batches.
+        Needs the protobuf package (Spark's state protocol) — skipped
+        where it isn't installed."""
+        pytest.importorskip("google.protobuf")
+        b0 = [(1, 1, 10, "view", 1.0, 0), (2, 1, 10, "view", 1.0, 0)]
+        b1 = [(3, 2, 10, "view", 1.0, 0), (4, 2, 10, "click", 1.0, 0)]
+        _mk_events(spark, b0).write.parquet(os.path.join(stream_dir, "g0"))
+        stream = sdsp.file_stream_reader(
+            spark, stream_dir + "/g*", EVENTS_SCHEMA, max_files_per_trigger=1
+        )
+        counts = stateful.per_type_counts(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _mk_events(spark, b1).write.parquet(os.path.join(stream_dir, "g1"))
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.table(name).collect():
+                latest[(r["user_id"], r["event_type"])] = r["n"]
+            assert latest[(10, "view")] == 3
+            assert latest[(10, "click")] == 1
+        finally:
+            q.stop()
+
 
 class TestCheckpointRecovery:
     def test_incremental_processing_across_restarts(self, spark, tmp_path):
