@@ -27,12 +27,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "q_join_left_outer_count",
     "q_window_running_sum",
     "q_window_topk_per_group",
     "q_set_ops",
     "q_scalar_math_case",
     "q_json_extract",
+    "q_variant_extract",
     "q_asof_join_events",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
