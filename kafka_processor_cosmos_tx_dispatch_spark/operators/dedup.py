@@ -359,3 +359,66 @@ def simhash_near_pairs(
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every node in the pair graph, component =
+    the minimum doc_id reachable — the canonical post-dedup step that
+    turns pairwise matches into duplicate CLUSTERS (keep min-id, drop the
+    rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Near-dup graphs are forests of tiny
+    cliques, so the diameter is small; each round is one equi-join + one
+    agg (both shuffle on node id, AQE-coalesced), and localCheckpoint
+    truncates the lineage so the plan stays O(1) per round instead of
+    nesting. Convergence is detected by the strictly-decreasing label
+    sum — one cheap scalar action per round, no full-table compare. At
+    social-graph scale (long chains) swap the propagation body for the
+    large-star/small-star rounds of Kiveris et al.; the loop shell,
+    checkpointing, and convergence test stay the same.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -1668,6 +1668,41 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, MIN(dst) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment over the MinHash pair graph: iterative
+    min-label propagation (operators/dedup.py:connected_components) — the
+    one genuinely iterative algorithm in the engine, still oracle-checked
+    (DuckDB computes the same components by recursive transitive
+    closure). Each round is an equi-join + agg with checkpoint-truncated
+    lineage; rounds = graph diameter (tiny for near-dup cliques)."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    return connected_components(pairs)
+
+
 _IVF_CELLS = 8
 
 

@@ -177,3 +177,22 @@ class TestTextFunctions:
         }
         assert out[1] == []
         assert out[2] == ["a b c", "b c d"]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation handles multi-hop chains (label must travel
+    the full diameter), cliques, and disjoint pairs."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
