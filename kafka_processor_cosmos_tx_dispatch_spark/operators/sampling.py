@@ -1,0 +1,106 @@
+"""Training-data assembly operators: sequence packing, stratified
+sampling, deterministic splits.
+
+All three are deterministic (hash- or id-ordered, never rand()) so runs
+are reproducible fleet-wide and the DuckDB oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    n_tokens_col: str,
+    id_col: str = "doc_id",
+    budget: int = 512,
+    range_size: int = 1024,
+) -> DataFrame:
+    """Assign documents (in id order) to fixed-budget context bins:
+    bin = exclusive-prefix-sum(n_tokens) DIV budget — the doc-level
+    packing step of an LLM pretraining pipeline.
+
+    The prefix sum is the textbook DISTRIBUTED SCAN, not a
+    single-partition window: docs are range-bucketed by id
+    (`range_size` ids per bucket), per-bucket sums (a tiny agg —
+    #buckets rows) are turned into per-bucket starting offsets with one
+    cheap single-partition window over #buckets rows, and the in-bucket
+    cumulative sum runs under a per-bucket window. No stage ever holds
+    more than one bucket's rows in a single window partition, so the
+    operator scales to any document count; a global
+    Window.orderBy(id) — the naive formulation — would funnel 100 TB
+    through ONE task.
+    """
+    part = (F.col(id_col) / F.lit(range_size)).cast("long").alias("__bucket")
+    d = docs.select(F.col(id_col), F.col(n_tokens_col).alias("__n"), part)
+
+    bucket_sums = d.groupBy("__bucket").agg(F.sum("__n").alias("__bsum"))
+    # one window over #buckets rows (thousands at 100 TB — trivially small)
+    w_off = (
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__offset"),
+    )
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        d.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__cum", F.col("__offset") + F.sum("__n").over(w_in))
+        .select(
+            id_col,
+            F.col("__n").alias("n_tokens"),
+            F.expr(f"(__cum - __n) DIV {budget}").cast("int").alias("bin"),
+        )
+    )
+    w_bin = Window.partitionBy("bin").orderBy(id_col)
+    return packed.withColumn(
+        "bin_pos", F.row_number().over(w_bin).cast("int")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str = "doc_id", k: int = 20
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank by md5(id) within
+    each stratum (uniform pseudo-random order, reproducible everywhere —
+    no rand(), no seed plumbing). One shuffle on the stratum; top-k is
+    rank + filter, never a global sort."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(strata_col, id_col)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 10,
+    train_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash — stable across
+    runs and machines (the property rand()-based splits lack: adding a
+    document never reshuffles the others). Narrow (no shuffle at all):
+    split = bucket(md5(id)) thresholds."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    split = (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket < buckets - 1, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

@@ -2156,6 +2156,90 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pack_sequences",
+    rf"""
+    WITH t AS (SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT doc_id, n AS n_tokens,
+           CAST((cum - n) // 512 AS INTEGER) AS bin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY (cum - n) // 512
+                                   ORDER BY doc_id) AS INTEGER) AS bin_pos
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM pretraining assembly): docs in id order
+    binned by exclusive token prefix-sum DIV budget. The Spark side runs
+    the DISTRIBUTED scan (range-bucketed partial sums + tiny offset
+    window + per-bucket windows, operators/sampling.py:pack_sequences);
+    the oracle replays it as one global window — same numbers, but only
+    one of the two survives 100 TB."""
+    from .functions import text as TX
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", F.size(TX.tokens(F.col("text"))).cast("long"))
+    return pack_sequences(d, "n_tokens", budget=512, range_size=64)
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic sample: md5(id) ordering is
+    uniform pseudo-random yet reproducible on any engine — no rand(), no
+    seed state. One shuffle on the stratum key; rank+filter top-k."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", k=20)
+
+
+@register(
+    "sample_hash_split",
+    """
+    SELECT split, lang, COUNT(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN b < 8 THEN 'train'
+                  WHEN b < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 10 AS b
+            FROM documents))
+    GROUP BY split, lang
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by id-hash bucket
+    — adding a document never reshuffles the others (the stability
+    property rand() splits lack). The split column itself is narrow (no
+    shuffle); this query aggregates per-split counts to verify the
+    assignment."""
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---- streaming (run to completion, then checked like any batch query) -----
 
 _EVENTS_PHYSICAL_SCHEMA = (

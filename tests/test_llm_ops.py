@@ -196,3 +196,38 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    """Distributed-scan packing == naive python prefix-sum packing,
+    including across bucket boundaries (range_size smaller than the doc
+    count so multiple buckets are exercised)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    sizes = [(i, 7 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(sizes, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_pos"])
+        for r in pack_sequences(df, "n_tokens", budget=100, range_size=16).collect()
+    }
+    cum, want, per_bin = 0, {}, {}
+    for i, n in sizes:
+        b = cum // 100
+        per_bin[b] = per_bin.get(b, 0) + 1
+        want[i] = (b, per_bin[b])
+        cum += n
+    assert got == want
+
+
+def test_hash_split_is_stable_and_partitioned(spark):
+    """Every doc gets exactly one split; assignment is identical across
+    invocations (no rand())."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b and len(a) == 500
+    assert set(a.values()) == {"train", "val", "test"}
