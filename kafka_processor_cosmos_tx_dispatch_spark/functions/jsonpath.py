@@ -74,6 +74,17 @@ class Index:
 
 
 @dataclass(frozen=True)
+class Slice:
+    start: int | None
+    stop: int | None
+
+
+@dataclass(frozen=True)
+class Union:
+    indices: tuple
+
+
+@dataclass(frozen=True)
 class Wildcard:
     pass
 
@@ -194,18 +205,42 @@ class _Parser:
             self.skip_ws()
             self.eat("]")
             return Filter(expr)
-        # integer index (negative allowed)
-        start = self.pos
-        if self.peek() == "-":
-            self.pos += 1
-        while self.pos < len(self.text) and self.text[self.pos].isdigit():
-            self.pos += 1
-        if self.pos == start:
-            raise JsonPathError(f"bad bracket at {start} in {self.text!r}")
-        idx = int(self.text[start : self.pos])
+        # integer index / slice / union (negative allowed)
+        def maybe_int() -> int | None:
+            s = self.pos
+            if self.peek() == "-":
+                self.pos += 1
+            while self.pos < len(self.text) and self.text[self.pos].isdigit():
+                self.pos += 1
+            return int(self.text[s : self.pos]) if self.pos > s else None
+
+        first = maybe_int()
         self.skip_ws()
+        if self.peek() == ":":  # slice [s:e] — either bound optional
+            self.eat(":")
+            self.skip_ws()
+            stop = maybe_int()
+            self.skip_ws()
+            self.eat("]")
+            return Slice(first, stop)
+        if first is None:
+            raise JsonPathError(f"bad bracket at {self.pos} in {self.text!r}")
+        if self.peek() == ",":  # union [i, j, ...]
+            idxs = [first]
+            while self.peek() == ",":
+                self.eat(",")
+                self.skip_ws()
+                nxt = maybe_int()
+                if nxt is None:
+                    raise JsonPathError(
+                        f"bad union index at {self.pos} in {self.text!r}"
+                    )
+                idxs.append(nxt)
+                self.skip_ws()
+            self.eat("]")
+            return Union(tuple(idxs))
         self.eat("]")
-        return Index(idx)
+        return Index(first)
 
     def string_literal(self) -> str:
         quote = self.peek()
@@ -262,6 +297,37 @@ class _Parser:
                 self.eat(op)
                 self.skip_ws()
                 return Cmp(rel, op, self.parse_literal())
+        if self.peek(2) == "=~":  # regex: @.f =~ /pattern/flags
+            self.eat("=~")
+            self.skip_ws()
+            self.eat("/")
+            s = self.pos
+            while self.pos < len(self.text) and self.text[self.pos] != "/":
+                if self.text[self.pos] == "\\":
+                    self.pos += 1
+                self.pos += 1
+            pattern = self.text[s : self.pos]
+            self.eat("/")
+            flags = ""
+            while self.peek() and self.peek() in "i":
+                flags += self.peek()
+                self.pos += 1
+            return Cmp(rel, "=~", (pattern, flags))
+        if self.peek(3) in ("in ", "in["):  # membership: @.f in ['a','b']
+            self.eat("in")
+            self.skip_ws()
+            self.eat("[")
+            items = []
+            while True:
+                self.skip_ws()
+                items.append(self.parse_literal())
+                self.skip_ws()
+                if self.peek() == ",":
+                    self.eat(",")
+                    continue
+                break
+            self.eat("]")
+            return Cmp(rel, "in", tuple(items))
         return Exists(rel)
 
     def parse_rel(self) -> tuple:
@@ -345,6 +411,18 @@ def _eval_step(nodes: list, step) -> list:
                     out.append(n[step.i])
                 except IndexError:
                     pass
+    elif isinstance(step, Slice):
+        for n in nodes:
+            if isinstance(n, list):
+                out.extend(n[step.start : step.stop])
+    elif isinstance(step, Union):
+        for n in nodes:
+            if isinstance(n, list):
+                for i in step.indices:
+                    try:
+                        out.append(n[i])
+                    except IndexError:
+                        pass
     elif isinstance(step, Wildcard):
         for n in nodes:
             if isinstance(n, list):
@@ -379,6 +457,19 @@ def _eval_filter(node: Any, expr) -> bool:
 
 
 def _compare(value: Any, op: str, literal: Any) -> bool:
+    if op == "in":
+        return any(_compare(value, "==", x) for x in literal)
+    if op == "=~":
+        import re
+
+        if not isinstance(value, str):
+            return False
+        pattern, flags = literal
+        f = re.IGNORECASE if "i" in flags else 0
+        try:
+            return re.fullmatch(pattern, value, f) is not None
+        except re.error:
+            return False
     if op == "==":
         return value == literal and type(value) in (type(literal), int, float) or (
             isinstance(value, bool) == isinstance(literal, bool) and value == literal
@@ -452,6 +543,22 @@ def _field_type(dtype: T.DataType, name: str) -> T.DataType | None:
 
 def _cmp_column(node: Column, dtype: T.DataType, op: str, literal) -> Column:
     """Comparison with JsonPath semantics: type-mismatch ⇒ non-match."""
+    if op == "in":
+        # typed membership: only literals type-compatible with the column
+        # can match (string list vs numeric column ⇒ False, like Jayway)
+        is_str_col = isinstance(dtype, T.StringType)
+        compat = [x for x in literal if isinstance(x, str) == is_str_col]
+        if not compat:
+            return F.lit(False)
+        return node.isin(*compat)
+    if op == "=~":
+        if not isinstance(dtype, T.StringType):
+            return F.lit(False)
+        pattern, flags = literal
+        prefix = "(?i)" if "i" in flags else ""
+        # Jayway's =~ is Matcher.matches() — a FULL match; rlike searches,
+        # so anchor explicitly. Spark rlike is Java regex, same dialect.
+        return node.rlike(rf"{prefix}\A(?:{pattern})\Z")
     if literal is None:
         return node.isNull() if op == "==" else node.isNotNull()
     # string literal vs non-string column (or vice versa) never matches,
@@ -472,26 +579,46 @@ def _cmp_column(node: Column, dtype: T.DataType, op: str, literal) -> Column:
     return ops[op]
 
 
-def _rel_single(node: Column, dtype: T.DataType, rel: tuple):
-    """Resolve an '@.a.b[0]' relative path to (column, dtype) or None."""
-    col, dt = node, dtype
+_MISS = "miss"  # sentinel: path provably absent from the schema
+
+
+def _rel_compile(dtype: T.DataType, rel: tuple):
+    """Compile an '@.a.b[0]' relative path against the schema.
+
+    Returns (column_fn, final_dtype) when walkable, ``_MISS`` when the
+    schema proves the path can never resolve (definite miss ⇒ constant
+    non-match, TopologyProducer.kt:221-223), or None for constructs this
+    tier doesn't support (caller falls back to the UDF evaluator).
+    """
+    fns: list = []
+    dt = dtype
     for step in rel:
         if isinstance(step, Child):
             ft = _field_type(dt, step.name)
             if ft is None:
-                return None
-            col, dt = col.getField(step.name), ft
-        elif isinstance(step, Index) and isinstance(dt, T.ArrayType):
+                return _MISS
+            fns.append(lambda c, n=step.name: c.getField(n))
+            dt = ft
+        elif isinstance(step, Index):
+            if not isinstance(dt, T.ArrayType):
+                return _MISS
             # try_element_at is 1-based; JsonPath [i] is 0-based, [-1] is
             # last. MUST be the try_ variant: plain element_at THROWS on an
             # out-of-bounds index under ANSI semantics, but reference
             # semantics treat any evaluation error as a non-match
             # (TopologyProducer.kt:221-223) — null propagates to False.
             pos = step.i + 1 if step.i >= 0 else step.i
-            col, dt = F.try_element_at(col, F.lit(pos)), dt.elementType
+            fns.append(lambda c, p=pos: F.try_element_at(c, F.lit(p)))
+            dt = dt.elementType
         else:
             return None
-    return col, dt
+
+    def colfn(c: Column) -> Column:
+        for f in fns:
+            c = f(c)
+        return c
+
+    return colfn, dt
 
 
 def _filter_fn(dtype: T.DataType, expr) -> NodeFn | None:
@@ -515,17 +642,15 @@ def _filter_fn(dtype: T.DataType, expr) -> NodeFn | None:
         f = _exists_fn(dtype, expr.rel)
         return f
     if isinstance(expr, Cmp):
-
-        def fn(c: Column) -> Column:
-            resolved = _rel_single(c, dtype, expr.rel)
-            if resolved is None:
-                return F.lit(False)
-            col, dt = resolved
-            return F.coalesce(_cmp_column(col, dt, expr.op, expr.literal), F.lit(False))
-
-        # validate at compile time that the rel path is resolvable in schema;
-        # unresolvable ⇒ constant False (reference: miss ⇒ non-match)
-        return fn
+        resolved = _rel_compile(dtype, expr.rel)
+        if resolved is _MISS:
+            return lambda c: F.lit(False)  # definite miss ⇒ non-match
+        if resolved is None:
+            return None  # unsupported construct ⇒ UDF fallback
+        colfn, dt = resolved
+        return lambda c: F.coalesce(
+            _cmp_column(colfn(c), dt, expr.op, expr.literal), F.lit(False)
+        )
     return None
 
 
@@ -569,6 +694,50 @@ def _exists_fn(dtype: T.DataType, steps: tuple) -> NodeFn | None:
         pos = step.i + 1 if step.i >= 0 else step.i
         return lambda c: F.coalesce(
             f(F.try_element_at(c, F.lit(pos))), F.lit(False)
+        )
+
+    if isinstance(step, Union):
+        if not isinstance(dtype, T.ArrayType):
+            return lambda c: F.lit(False)
+        f = _exists_fn(dtype.elementType, rest)
+        if f is None:
+            return None
+        positions = [i + 1 if i >= 0 else i for i in step.indices]
+        return lambda c: F.coalesce(
+            _reduce_or(
+                [
+                    F.coalesce(f(F.try_element_at(c, F.lit(p))), F.lit(False))
+                    for p in positions
+                ]
+            ),
+            F.lit(False),
+        )
+
+    if isinstance(step, Slice):
+        if not isinstance(dtype, T.ArrayType):
+            return lambda c: F.lit(False)
+        # non-negative bounds compile natively; negative bounds (python
+        # wrap-around) fall back to the UDF tier
+        s = step.start or 0
+        if s < 0 or (step.stop is not None and step.stop < 0):
+            return None
+        f = _exists_fn(dtype.elementType, rest)
+        if f is None:
+            return None
+
+        def sliced(c: Column) -> Column:
+            length = (
+                F.lit(step.stop - s)
+                if step.stop is not None
+                else F.greatest(F.size(c) - F.lit(s), F.lit(0))
+            )
+            return F.slice(c, F.lit(s + 1), length)
+
+        if step.stop is not None and step.stop - s <= 0:
+            return lambda c: F.lit(False)
+        return lambda c: F.coalesce(
+            F.exists(sliced(c), lambda e: F.coalesce(f(e), F.lit(False))),
+            F.lit(False),
         )
 
     if isinstance(step, Wildcard):

@@ -54,7 +54,24 @@ def rule_predicate(
     1. typed struct column → native Catalyst expression (codegen);
     2. JSON string + definite path → get_json_object (JVM-side);
     3. anything else → Arrow-batched Pandas UDF with the full evaluator.
+
+    A predicate that doesn't parse at all compiles to constant False
+    (never matches) with a warning — reference parity: rule evaluation
+    errors are swallowed as non-matches, never failures
+    (TopologyProducer.kt:221-223), so one bad rule must not take down
+    the topology.
     """
+    try:
+        jp.parse(rule.predicate)
+    except jp.JsonPathError as e:
+        import warnings
+
+        warnings.warn(
+            f"rule {rule.name!r}: unparseable predicate "
+            f"{rule.predicate!r} ({e}) — compiled to never-match",
+            stacklevel=2,
+        )
+        return F.lit(False)
     if struct_col is not None and struct_type is not None:
         compiled = jp.compile_struct_predicate(struct_col, struct_type, rule.predicate)
         if compiled is not None:

@@ -204,6 +204,11 @@ class TestTierConsistencyFuzz:
         "$.authInfo.fee[?(@.gasLimit >= 50)]",
         "$.authInfo.fee[?(@.gasLimit < 20)]",
         "$..messages[?(@.toAddress == 'addr7')]",
+        "$.body.messages[0:2][?(@.fromAddress == 'addr1')]",
+        "$.body.messages[1:]",
+        "$.body.messages[0,2]",
+        "$.body.messages[?(@.fromAddress in ['addr1', 'addr5'])]",
+        "$.body.messages[?(@.fromAddress =~ /addr[0-3]/)]",
     ]
 
     def _random_tx(self, rng):
@@ -281,3 +286,69 @@ class TestTierConsistencyFuzz:
                 if r[f"p{i}"] != want:
                     mismatches.append((r["tx_id"], path, r[f"p{i}"], want, tx))
         assert not mismatches, mismatches[:5]
+
+
+class TestExtendedConstructs:
+    """Slices, unions, membership, and regex — parser + Python evaluator
+    + native tier all agree."""
+
+    TX = {
+        "body": {
+            "messages": [
+                {"@type": "a", "fromAddress": "okp41xyz"},
+                {"@type": "b", "fromAddress": "other"},
+                {"@type": "c", "fromAddress": "okp49end"},
+            ]
+        }
+    }
+
+    CASES = [
+        ("$.body.messages[0:2][?(@.@type == 'b')]", True),
+        ("$.body.messages[0:1][?(@.@type == 'b')]", False),
+        ("$.body.messages[1:]", True),
+        ("$.body.messages[:2]", True),
+        ("$.body.messages[0,2][?(@.@type == 'c')]", True),
+        ("$.body.messages[0,1][?(@.@type == 'c')]", False),
+        ("$.body.messages[?(@.@type in ['b', 'x'])]", True),
+        ("$.body.messages[?(@.@type in ['y', 'x'])]", False),
+        ("$.body.messages[?(@.fromAddress =~ /okp4.*/)]", True),
+        ("$.body.messages[?(@.fromAddress =~ /OKP4.*/i)]", True),
+        ("$.body.messages[?(@.fromAddress =~ /OKP4.*/)]", False),
+        ("$.body.messages[?(@.fromAddress =~ /kp4/)]", False),  # full match
+    ]
+
+    def test_python_evaluator(self):
+        txt = json.dumps(self.TX)
+        for path, want in self.CASES:
+            assert jp.match(txt, path) == want, path
+
+    def test_native_tier_agrees(self, spark):
+        df = spark.createDataFrame(
+            [(1, json.dumps(self.TX))], "id long, j string"
+        ).withColumn("tx", F.from_json("j", TX_TYPE))
+        for path, want in self.CASES:
+            compiled = jp.compile_struct_predicate(F.col("tx"), TX_TYPE, path)
+            assert compiled is not None, f"{path} should compile natively"
+            got = df.select(compiled.alias("m")).first()["m"]
+            assert got == want, path
+
+    def test_unparseable_rule_is_never_match(self, spark):
+        """Reference parity (TopologyProducer.kt:221-223): a rule whose
+        predicate can't even be parsed routes nothing — and does not
+        break the rest of the rule bank."""
+        import warnings
+
+        from kafka_processor_cosmos_tx_dispatch_spark.operators import (
+            dispatch as dsp,
+        )
+        from kafka_processor_cosmos_tx_dispatch_spark.rules import DispatchRule
+
+        df = spark.createDataFrame([(1, '{"a": 1}')], "tx_id long, tx_json string")
+        rules = [
+            DispatchRule("bad", "t1", "$.a[0:2"),  # unterminated bracket
+            DispatchRule("good", "t2", "$.a"),
+        ]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = dsp.dispatch(df, rules, json_col="tx_json")
+        assert [(r["tx_id"], r["topic"]) for r in out.collect()] == [(1, "t2")]
