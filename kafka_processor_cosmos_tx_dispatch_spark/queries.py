@@ -2157,6 +2157,39 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_corrupt_capture",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 3)
+                  ELSE props END AS payload
+      FROM events)
+    SELECT event_id,
+           json_valid(payload) AS ok,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract(payload, '$.k') AS INTEGER) END AS k
+    FROM raw
+    """,
+)
+def q_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-style failure capture on the JSON tier (the decode stage's
+    idiom, §2.1 #2, applied to semi-structured ingestion): a
+    deterministically-corrupted payload parses to NULL variant instead
+    of failing the job — ok flag + typed field in one narrow pass, bad
+    records quarantined by a filter instead of a crashed stage."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(payload)
+    return ev.select(
+        "event_id",
+        v.isNotNull().alias("ok"),
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+
+
+@register(
     "text_pack_sequences",
     rf"""
     WITH t AS (SELECT doc_id, CAST(len({_D_TOKS}) AS BIGINT) AS n
