@@ -1,0 +1,69 @@
+"""Batch dataset sinks: partitioned and bucketed parquet layouts.
+
+The reference's only sinks are Kafka producers (TopologyProducer.kt:
+126-129, 160-164, 196-199 — see sources/kafka.py and
+streaming/dispatch.py:foreach_batch_router for those); an analytics
+engine also needs durable TABLE layouts, and at 100 TB the layout IS the
+performance model:
+
+- hive-style partition directories → partition PRUNING: a predicate on
+  the partition column skips whole directories at plan time;
+- bucketing by join/agg key → pre-shuffled storage: repeated equi-joins
+  and aggregations on the bucket key run with NO exchange (pinned by
+  tests/test_scale_plans.py:test_bucketed_join_has_no_exchange);
+- `max_records_per_file` bounds file sizes without a repartition;
+  the `one_file_per_partition` repartition trades write parallelism for
+  fewer, larger files (small-files problem) — at scale prefer the
+  default and let maxRecordsPerFile do the splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+    one_file_per_partition: bool = False,
+) -> None:
+    """Hive-layout parquet (`path/col=value/...`) for partition pruning."""
+    out = df.repartition(*partition_cols) if one_file_per_partition else df
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table: pays one shuffle at
+    write time so every later equi-join/agg on `bucket_col` runs
+    exchange-free. Bucket count is fixed at write — size it for the
+    TARGET scale (shuffle partitions at read time adapt, buckets don't)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, **partition_values: str
+) -> DataFrame:
+    """Read with explicit partition filters (shows up as PartitionFilters
+    in the scan, zero data files touched outside the selected dirs)."""
+    df = spark.read.parquet(path)
+    for col, val in partition_values.items():
+        df = df.filter(df[col] == val)
+    return df

@@ -98,3 +98,26 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_fact.join(salted_dim, ["k", "salt"]).select("payload", "v")
 
     assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-layout write + read back: directory per partition value, and
+    a partition predicate reaches the scan as PartitionFilters (plan-time
+    pruning, zero files read outside the selected directory)."""
+    import os
+
+    from kafka_processor_cosmos_tx_dispatch_spark import sinks
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_part")
+    sinks.write_partitioned(ev, path, ["event_type"], one_file_per_partition=True)
+
+    dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    assert "event_type=purchase" in dirs and len(dirs) >= 3
+
+    pruned = sinks.read_partition_pruned(spark, path, event_type="purchase")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert pruned.count() == want
