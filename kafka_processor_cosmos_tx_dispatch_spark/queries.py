@@ -235,9 +235,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
-    customer is broadcast (filter cuts it ~5×); orders⋈lineitem is the one
-    real shuffle, on the join key; top-10 is a TakeOrdered, no global sort."""
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k. Join
+    strategies are left to the cost model: at bench scale every side fits
+    the broadcast threshold; at 100 TB orders/customer grow past it and
+    the plan degrades to shuffle joins on the keys (forcing broadcast()
+    here would OOM instead). Top-10 is a TakeOrdered, no global sort."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -247,8 +249,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
     )
+    # No forced broadcast: customer/orders GROW with scale. Locally the
+    # planner broadcasts them from file-size stats anyway; at 100 TB it
+    # degrades to a shuffle join instead of OOMing the executors.
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -278,10 +283,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. All dims broadcast; lineitem never
-    shuffles for the dim joins — only the orders⋈lineitem equi-join and the
-    final tiny agg shuffle. Catalyst reorders the dim joins; AQE re-plans
-    if a runtime side turns out small."""
+    """TPC-H Q5 shape: star join. Bounded dims (nation/region) carry
+    broadcast hints; supplier/customer scale with SF so their strategy is
+    cost-model-chosen — broadcast at bench scale (lineitem never shuffles
+    for the dim joins), shuffle join at 100 TB. Catalyst reorders the dim
+    joins; AQE re-plans from runtime sizes."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -291,11 +297,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # broadcast() only on the BOUNDED dims (nation/region never grow);
+    # supplier/customer scale with SF, so their join strategy is left to
+    # the cost model + AQE — broadcast at this scale, shuffle at 100 TB.
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("c_custkey") == F.col("o_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -418,8 +427,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair)
@@ -449,8 +458,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: fact⋈fact with selective date window, then top-20
     customers by returned revenue. orders is filtered to a quarter before
-    the join (partition pruning at scale); customer+nation broadcast; the
-    top-k is TakeOrdered (no global sort materialization)."""
+    the join (partition pruning at scale); only the bounded nation dim is
+    hint-broadcast; the top-k is TakeOrdered (no global sort)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -459,8 +468,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -531,7 +540,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(((F.lit(100).cast("double") * promo) / total).alias("promo_revenue"))
     )
 
@@ -563,7 +572,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-brand partkeys never reach the outer filter)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
     li = load_table(spark, sf_dir, "lineitem")
-    lines = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    lines = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     w = W.partitionBy("l_partkey")
     qty_lim = F.lit(0.2) * (
         F.sum(F.col("l_quantity").cast(DEC_QTY)).over(w).cast("double")
@@ -611,11 +620,14 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qsum") > 300)
         .select("l_orderkey")
     )
+    # `big` stays force-broadcast: it is the ~0.1% of orderkeys passing
+    # the HAVING, ~MBs even at 100 TB. orders/customer scale linearly, so
+    # their joins are left to the planner.
     joined = (
         li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
                 F.col("l_orderkey") == F.col("big_orderkey"), "inner")
-        .join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
     )
     return (
         joined.groupBy(
@@ -665,7 +677,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | arm("Brand#15", 25, 50, 25.0, 50.0)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
