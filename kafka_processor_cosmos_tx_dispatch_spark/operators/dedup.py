@@ -422,3 +422,46 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Pair verification (edit distance)
+# ---------------------------------------------------------------------------
+
+
+def verify_pairs_editdist(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The VERIFY stage of a dedup pipeline: exact edit distance over the
+    candidate pairs only (candidates come from LSH/inverted-index
+    generation, so the quadratic levenshtein cost is paid on O(matches),
+    never O(n²)). Adds lev (edit distance over whitespace-normalized
+    text) and sim = 1 - lev/max(len) in [0,1].
+
+    Scale: two broadcast-or-shuffle equi-joins to attach the texts, then
+    a narrow per-row compare. At 100 TB the joins shuffle on doc id —
+    the same partitioning both sides of the pair stream already carry.
+    """
+    norm = TX.normalized(F.col(text_col))
+    texts = docs.select(F.col(id_col), norm.alias("__t"))
+    j = (
+        pairs.join(
+            texts.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta")),
+            "doc_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb")),
+            "doc_b",
+        )
+    )
+    lev = F.levenshtein("__ta", "__tb").cast("int")
+    maxlen = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - lev.cast("double") / maxlen.cast("double")
+    )
+    return j.select(
+        "doc_a", "doc_b", lev.alias("lev"), sim.alias("sim")
+    )

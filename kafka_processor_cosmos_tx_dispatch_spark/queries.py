@@ -1715,6 +1715,48 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "dedup_verify_editdist",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+            >= 0.8),
+    nt AS (SELECT doc_id, {_D_NORM} AS t FROM documents)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta.t, tb.t) AS INTEGER) AS lev,
+           CASE WHEN greatest(length(ta.t), length(tb.t)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+                     / CAST(greatest(length(ta.t), length(tb.t)) AS DOUBLE)
+           END AS sim
+    FROM pairs
+    JOIN nt ta ON ta.doc_id = doc_a
+    JOIN nt tb ON tb.doc_id = doc_b
+    """,
+)
+def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage completing the dedup pipeline: exact levenshtein
+    similarity computed only over the inverted-index CANDIDATE pairs —
+    quadratic edit-distance cost bounded by O(matches), never O(n²) over
+    the corpus."""
+    from .operators.dedup import ngram_jaccard_pairs, verify_pairs_editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return verify_pairs_editdist(pairs, docs)
+
+
 _IVF_CELLS = 8
 
 
@@ -2165,6 +2207,35 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.doc_id, b.pos, b.bigram "
         "FROM _udtf_docs d, LATERAL bigram_udtf(d.doc_id, d.text) b"
+    )
+
+
+@register(
+    "q_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): one Generate per row expands the measure
+    columns — narrow, no shuffle, and the scan reads each source column
+    once (vs the UNION ALL formulation's three scans, which is how the
+    oracle spells it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")  # l_quantity → quantity
     )
 
 
