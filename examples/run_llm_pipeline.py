@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline over the documents table:
+
+    exact dedup → near-dup candidates (MinHash+LSH) → connected
+    components → keep one doc per cluster → quality filter → sequence
+    packing → train/val/test split
+
+Every stage is the operator the oracle-checked queries use; this script
+just composes them. Run:
+
+    python examples/run_llm_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
+from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+    connected_components,
+    drop_exact_duplicates,
+    minhash_lsh_pairs,
+)
+from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+)
+from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="llm-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup (fingerprint survivor)
+    docs = drop_exact_duplicates(docs)
+    n1 = docs.count()
+
+    # 2-4. near-dup clusters → keep the min-id doc per component
+    pairs = minhash_lsh_pairs(docs)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = docs.join(losers, "doc_id", "left_anti")
+    n2 = docs.count()
+
+    # 5. quality filter (keep docs passing ≥3 of the 4 Gopher-style checks)
+    score = TX.quality_score(F.col("text"), TX.tokens(F.col("text")))
+    docs = docs.filter(score >= 3)
+    n3 = docs.count()
+
+    # 6. pack into 512-token bins
+    docs = docs.withColumn("n_tokens", F.size(TX.tokens(F.col("text"))).cast("long"))
+    packed = pack_sequences(docs, "n_tokens", budget=512, range_size=64)
+
+    # 7. deterministic split
+    final = hash_split(packed)
+    summary = (
+        final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("bin").alias("bins"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("split")
+    )
+    print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
+    summary.show(truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
