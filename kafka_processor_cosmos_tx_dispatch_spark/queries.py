@@ -1188,6 +1188,90 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_ntile_dist",
+    """
+    SELECT event_id, user_id,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def q_window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist).
+    The (value, event_id) ordering is total, so the rank-derived doubles
+    are single-division deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q_stats_moments",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(v) AS sv, SUM(v * v) AS svv,
+             SUM(k) AS sk, SUM(k * k) AS skk,
+             SUM(v * k) AS svk
+      FROM c GROUP BY event_type)
+    SELECT event_type, n,
+           sqrt(CAST(n * svv - sv * sv AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS stddev_value,
+           CAST(n * svk - sv * sk AS DOUBLE)
+             / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+                * sqrt(CAST(n * skk - sk * sk AS DOUBLE))) AS corr_value_k
+    FROM m
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + Pearson correlation from exact integer moments
+    (values in cents, k integer): the sums are int64-exact, so both
+    engines see identical numerators/denominators and the only floating
+    point is the final sqrt/division. The native stddev_samp/corr
+    aggregates stream Welford updates in partition order — correct but
+    not bit-stable across engines/orders, which a value-hash gate can't
+    accept. int64 moments hold to ~sf1 here (sv² < 2^63); beyond that,
+    cast the moment sums to DECIMAL(38,0) — same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("v") * F.col("k")).alias("svk"),
+    )
+    var_v = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    var_k = (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).cast("double")
+    cov = (F.col("n") * F.col("svk") - F.col("sv") * F.col("sk")).cast("double")
+    denom = (F.col("n") * (F.col("n") - 1)).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (F.sqrt(var_v / denom) / F.lit(100.0)).alias("stddev_value"),
+        (cov / (F.sqrt(var_v) * F.sqrt(var_k))).alias("corr_value_k"),
+    )
+
+
+@register(
     "q_window_lag_lead",
     """
     SELECT event_id, user_id,
