@@ -114,11 +114,15 @@ def _b64(v: Any) -> str:
 
 
 def _decode_coin(buf: bytes) -> dict:
+    # proto3 default-omission: an empty string is the field's DEFAULT, and
+    # JsonFormat omits default-valued scalars even when they are
+    # explicitly length-delimited on the wire (no field presence for
+    # proto3 scalars) — caught by the round-trip property test.
     f = _group(buf)
     out: dict = {}
-    if 1 in f:
+    if 1 in f and _str(f[1][-1]):
         out["denom"] = _str(f[1][-1])
-    if 2 in f:
+    if 2 in f and _str(f[2][-1]):
         out["amount"] = _str(f[2][-1])
     return out
 
@@ -126,9 +130,9 @@ def _decode_coin(buf: bytes) -> dict:
 def _decode_msg_send(buf: bytes) -> dict:
     f = _group(buf)
     out: dict = {}
-    if 1 in f:
+    if 1 in f and _str(f[1][-1]):
         out["fromAddress"] = _str(f[1][-1])
-    if 2 in f:
+    if 2 in f and _str(f[2][-1]):
         out["toAddress"] = _str(f[2][-1])
     if 3 in f:
         out["amount"] = [_decode_coin(c) for c in f[3]]
