@@ -209,18 +209,37 @@ def _decode_auth_info(buf: bytes) -> dict:
     return out
 
 
+def _bytes(v: Any, what: str) -> bytes:
+    """Wire value that MUST be length-delimited: garbage can encode any
+    field number with any wire type (e.g. b'\\x08\\x00' = field 1 as a
+    varint), and that must surface as DecodeError — the error-topic
+    trigger — not as a TypeError that would fail the whole decode stage.
+    Found by the hypothesis garbage corpus."""
+    if not isinstance(v, bytes):
+        raise DecodeError(f"{what}: expected length-delimited, got {type(v).__name__}")
+    return v
+
+
 def decode_tx(raw: bytes) -> dict:
     """bytes → Tx dict: parse TxRaw{1: body_bytes, 2: auth_info_bytes,
     3: repeated signatures}, then the nested TxBody/AuthInfo — exactly
     `TxRaw.toTx()` (TopologyProducer.kt:48-54). Raises DecodeError on any
-    malformed input (the error-branch trigger)."""
-    f = _group(raw)
-    body = _decode_tx_body(f[1][-1]) if 1 in f else {}
-    auth = _decode_auth_info(f[2][-1]) if 2 in f else {}
-    tx: dict = {"body": body, "authInfo": auth}
-    if 3 in f:
-        tx["signatures"] = [_b64(s) for s in f[3]]
-    return tx
+    malformed input (the error-branch trigger); no other exception type
+    escapes — the decode stage's failure-capture catches DecodeError
+    only, so anything else would crash the job instead of routing the
+    record to the error topic."""
+    try:
+        f = _group(raw)
+        body = _decode_tx_body(_bytes(f[1][-1], "body_bytes")) if 1 in f else {}
+        auth = _decode_auth_info(_bytes(f[2][-1], "auth_info_bytes")) if 2 in f else {}
+        tx: dict = {"body": body, "authInfo": auth}
+        if 3 in f:
+            tx["signatures"] = [_b64(_bytes(s, "signature")) for s in f[3]]
+        return tx
+    except DecodeError:
+        raise
+    except Exception as e:  # malformed in a shape we didn't enumerate
+        raise DecodeError(f"malformed tx: {e}") from e
 
 
 def tx_to_json_obj(raw: bytes) -> dict:
