@@ -2295,6 +2295,35 @@ def text_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scalar_bitwise",
+    """
+    SELECT event_id,
+           CAST(bit_count(event_id) AS INTEGER) AS bits,
+           xor(event_id, 255) AS x,
+           event_id & 4095 AS a,
+           event_id | 15 AS o,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr
+    FROM events
+    """,
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (bit_count / xor / and / or / shifts) —
+    integer-exact on both engines; narrow, codegen'd projection."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.bit_count(e).cast("int").alias("bits"),
+        e.bitwiseXOR(F.lit(255)).alias("x"),
+        e.bitwiseAND(F.lit(4095)).alias("a"),
+        e.bitwiseOR(F.lit(15)).alias("o"),
+        F.shiftleft(e, 2).alias("shl"),
+        F.shiftright(e, 3).alias("shr"),
+    )
+
+
+@register(
     "q_unpivot_measures",
     """
     SELECT l_orderkey, l_linenumber, measure, val FROM (
