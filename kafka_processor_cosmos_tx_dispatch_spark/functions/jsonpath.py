@@ -212,7 +212,12 @@ class _Parser:
                 self.pos += 1
             while self.pos < len(self.text) and self.text[self.pos].isdigit():
                 self.pos += 1
-            return int(self.text[s : self.pos]) if self.pos > s else None
+            if self.pos == s:
+                return None
+            try:
+                return int(self.text[s : self.pos])
+            except ValueError as e:  # bare '-' as in '$[-]'
+                raise JsonPathError(f"bad index at {s} in {self.text!r}") from e
 
         first = maybe_int()
         self.skip_ws()
@@ -362,7 +367,10 @@ class _Parser:
         if self.pos == start:
             raise JsonPathError(f"expected literal at {start} in {self.text!r}")
         tok = self.text[start : self.pos]
-        return float(tok) if "." in tok else int(tok)
+        try:
+            return float(tok) if "." in tok else int(tok)
+        except ValueError as e:  # malformed number like '1.2.3'
+            raise JsonPathError(f"bad number {tok!r} in {self.text!r}") from e
 
 
 def parse(path: str) -> tuple:
@@ -874,9 +882,17 @@ def _definite_get_json_path(steps: tuple) -> str | None:
 def compile_json_string_predicate(col: Column, path: str | tuple) -> Column | None:
     """Definite path over a JSON string → get_json_object IS NOT NULL.
 
-    Note: JSON ``null`` values read as SQL NULL, i.e. a key explicitly set
-    to null is a non-match here (Jayway would match the path). Rules that
-    need null-valued-key matching fall back to the UDF tier.
+    KNOWN DIVERGENCE (deliberate, pinned in tests/test_jsonpath.py):
+    ``get_json_object`` returns SQL NULL for both a MISSING key and a key
+    explicitly set to JSON ``null``, so ``{"a": null}`` + ``$.a`` is a
+    non-match on this tier while Jayway (and the tier-3 evaluator) match
+    the path. There is no detection/fallback — tier 2 wins whenever the
+    path is definite. This is benign for the dispatch pipeline because
+    protobuf JSON printing never emits null values (proto3 default
+    omission, functions/protowire.py), so no tx JSON the rules see can
+    contain an explicit null. Callers evaluating arbitrary user JSON that
+    must distinguish null-valued keys should use the tier-3 evaluator
+    directly (``jsonpath_matches_udf``).
     """
     steps = parse(path) if isinstance(path, str) else path
     gpath = _definite_get_json_path(steps)

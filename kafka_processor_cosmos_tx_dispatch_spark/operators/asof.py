@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -52,14 +53,22 @@ def asof_join(
     carried = [f"asof_{c}" for c in right_value_cols]
     left_cols = [c for c in left.columns]
 
+    # Carry the matched right row as ONE struct (ADVICE r1, asof.py:90):
+    # filling each value column independently with last(ignoreNulls) mixes
+    # fields from DIFFERENT right rows whenever a right value is null —
+    # null fields of the true predecessor get revived from older rows.
+    # A single non-null struct per right row keeps the match row-atomic.
+    match_type = T.StructType(
+        [
+            T.StructField(a, right.schema[c].dataType)
+            for c, a in zip(right_value_cols, carried)
+        ]
+    )
     l_tagged = left.select(
         *left_cols,
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tie"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(a)
-            for c, a in zip(right_value_cols, carried)
-        ],
+        F.lit(None).cast(match_type).alias("__asof"),
     )
     tie = (
         F.col(tiebreak_col).cast("long")
@@ -76,7 +85,9 @@ def asof_join(
         ],
         F.lit(0).alias("__side"),
         tie.alias("__tie"),
-        *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+        F.struct(
+            *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)]
+        ).alias("__asof"),
     ).select(*l_tagged.columns)  # align column order for union
 
     w = (
@@ -87,6 +98,12 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         *left_cols,
         F.col("__side"),
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        F.last("__asof", ignorenulls=True).over(w).alias("__asof"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__asof.{a}").alias(a) for a in carried],
+        )
+    )

@@ -37,6 +37,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The harness parquet carries TIMESTAMP(NANOS) columns, which Spark
+    # rejects outright unless this legacy conf is on. session.py sets it at
+    # build time, but external harnesses (the correctness driver) own their
+    # own SparkSession — set it idempotently here so load_table works under
+    # ANY session, not just ours.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # TIMESTAMP(NANOS) columns surface as long (see session.py nanosAsLong);
     # convert to microsecond timestamps — the same truncation DuckDB applies.
@@ -61,7 +67,16 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Use driver-side file metadata as the split-count proxy instead of
+    # df.rdd.getNumPartitions(): the latter forces a plan->RDD conversion on
+    # the driver for every widened query, defeating lazy planning. A scan of
+    # >= target files is already at least that wide (one split per file
+    # minimum); fewer files than target means a narrow scan worth widening.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (e.g. in-memory test frames)
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

