@@ -139,14 +139,112 @@ def _decode_msg_send(buf: bytes) -> dict:
     return out
 
 
-# the `Any` registry: type_url suffix → decoder (≅ ProtoTypeRegistry's
-# classpath scan; extend by registering more entries)
-_MSG_DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "cosmos.bank.v1beta1.MsgSend": _decode_msg_send,
+def _decode_input_output(buf: bytes) -> dict:
+    # bank.v1beta1 Input/Output share the shape: address=1, coins=2
+    f = _group(buf)
+    out: dict = {}
+    if 1 in f and _str(f[1][-1]):
+        out["address"] = _str(f[1][-1])
+    if 2 in f:
+        out["coins"] = [_decode_coin(c) for c in f[2]]
+    return out
+
+
+def _decode_msg_multi_send(buf: bytes) -> dict:
+    # cosmos.bank.v1beta1.MsgMultiSend: inputs=1, outputs=2
+    f = _group(buf)
+    out: dict = {}
+    if 1 in f:
+        out["inputs"] = [_decode_input_output(x) for x in f[1]]
+    if 2 in f:
+        out["outputs"] = [_decode_input_output(x) for x in f[2]]
+    return out
+
+
+def _decode_msg_delegate(buf: bytes) -> dict:
+    # cosmos.staking.v1beta1.MsgDelegate / MsgUndelegate share field
+    # numbers: delegator_address=1, validator_address=2, amount=3 (Coin).
+    # `amount` is a MESSAGE field (proto3 presence): printed when set on
+    # the wire even if empty — unlike scalar default-omission.
+    f = _group(buf)
+    out: dict = {}
+    if 1 in f and _str(f[1][-1]):
+        out["delegatorAddress"] = _str(f[1][-1])
+    if 2 in f and _str(f[2][-1]):
+        out["validatorAddress"] = _str(f[2][-1])
+    if 3 in f:
+        out["amount"] = _decode_coin(f[3][-1])
+    return out
+
+
+_VOTE_OPTIONS = {
+    1: "VOTE_OPTION_YES",
+    2: "VOTE_OPTION_ABSTAIN",
+    3: "VOTE_OPTION_NO",
+    4: "VOTE_OPTION_NO_WITH_VETO",
 }
 
 
-def _decode_any(buf: bytes) -> dict:
+def _decode_msg_vote(buf: bytes) -> dict:
+    # cosmos.gov.v1beta1.MsgVote: proposal_id=1 (uint64), voter=2,
+    # option=3 (enum). JsonFormat renders enums by NAME, unknown enum
+    # numbers as ints, and omits the 0/UNSPECIFIED default.
+    f = _group(buf)
+    out: dict = {}
+    if 1 in f and f[1][-1]:
+        out["proposalId"] = str(f[1][-1])
+    if 2 in f and _str(f[2][-1]):
+        out["voter"] = _str(f[2][-1])
+    if 3 in f and f[3][-1]:
+        out["option"] = _VOTE_OPTIONS.get(f[3][-1], f[3][-1])
+    return out
+
+
+def _decode_msg_withdraw_reward(buf: bytes) -> dict:
+    # cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward:
+    # delegator_address=1, validator_address=2
+    f = _group(buf)
+    out: dict = {}
+    if 1 in f and _str(f[1][-1]):
+        out["delegatorAddress"] = _str(f[1][-1])
+    if 2 in f and _str(f[2][-1]):
+        out["validatorAddress"] = _str(f[2][-1])
+    return out
+
+
+# the `Any` registry: type_url suffix → decoder (≅ ProtoTypeRegistry's
+# classpath scan over every compiled GeneratedMessageV3,
+# ProtoTypeRegistry.kt:16-31; extend by registering more entries)
+_MSG_DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "cosmos.bank.v1beta1.MsgSend": _decode_msg_send,
+    "cosmos.bank.v1beta1.MsgMultiSend": _decode_msg_multi_send,
+    "cosmos.staking.v1beta1.MsgDelegate": _decode_msg_delegate,
+    "cosmos.staking.v1beta1.MsgUndelegate": _decode_msg_delegate,
+    "cosmos.gov.v1beta1.MsgVote": _decode_msg_vote,
+    "cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward": (
+        _decode_msg_withdraw_reward
+    ),
+}
+
+
+def _decode_any(buf: bytes, strict_any: bool = False) -> dict:
+    """Decode a google.protobuf.Any.
+
+    UNKNOWN-TYPE POLICY (pinned in tests/test_decode.py): the reference's
+    JsonFormat printer throws on a type absent from its registry, and that
+    call sits OUTSIDE the deserialization Result capture
+    (TopologyProducer.kt:213-215 prints inside onSuccess with no
+    runCatching) — i.e. an unknown type CRASHES the reference's stream
+    task rather than routing anywhere. A distributed engine must not die
+    on one record, so:
+
+    - default (strict_any=False): render the payload opaque
+      ({"@type": url, "value": base64}) — the pipeline stays total and
+      predicates can still match on @type;
+    - strict_any=True: raise DecodeError, which the decode stage's
+      failure capture turns into error-topic routing — the nearest
+      RECOVERABLE analog of the reference's throw.
+    """
     f = _group(buf)
     type_url = _str(f[1][-1]) if 1 in f else ""
     value = f[2][-1] if 2 in f else b""
@@ -154,20 +252,19 @@ def _decode_any(buf: bytes) -> dict:
         raise DecodeError("Any.value must be bytes")
     decoder = _MSG_DECODERS.get(type_url.rsplit("/", 1)[-1])
     if decoder is None:
-        # unknown type: keep the payload opaque (the reference's printer
-        # would throw without a registry hit; routing predicates can still
-        # match on @type)
+        if strict_any:
+            raise DecodeError(f"unregistered Any type: {type_url!r}")
         return {"@type": type_url, "value": _b64(value)}
     out = {"@type": type_url}
     out.update(decoder(value))
     return out
 
 
-def _decode_tx_body(buf: bytes) -> dict:
+def _decode_tx_body(buf: bytes, strict_any: bool = False) -> dict:
     f = _group(buf)
     out: dict = {}
     if 1 in f:
-        out["messages"] = [_decode_any(m) for m in f[1]]
+        out["messages"] = [_decode_any(m, strict_any) for m in f[1]]
     if 2 in f:
         memo = _str(f[2][-1])
         if memo:
@@ -189,21 +286,21 @@ def _decode_fee(buf: bytes) -> dict:
     return out
 
 
-def _decode_signer_info(buf: bytes) -> dict:
+def _decode_signer_info(buf: bytes, strict_any: bool = False) -> dict:
     f = _group(buf)
     out: dict = {}
     if 1 in f:
-        out["publicKey"] = _decode_any(f[1][-1])
+        out["publicKey"] = _decode_any(f[1][-1], strict_any)
     if 3 in f and f[3][-1]:
         out["sequence"] = str(f[3][-1])
     return out
 
 
-def _decode_auth_info(buf: bytes) -> dict:
+def _decode_auth_info(buf: bytes, strict_any: bool = False) -> dict:
     f = _group(buf)
     out: dict = {}
     if 1 in f:
-        out["signerInfos"] = [_decode_signer_info(s) for s in f[1]]
+        out["signerInfos"] = [_decode_signer_info(s, strict_any) for s in f[1]]
     if 2 in f:
         out["fee"] = _decode_fee(f[2][-1])
     return out
@@ -220,18 +317,27 @@ def _bytes(v: Any, what: str) -> bytes:
     return v
 
 
-def decode_tx(raw: bytes) -> dict:
+def decode_tx(raw: bytes, strict_any: bool = False) -> dict:
     """bytes → Tx dict: parse TxRaw{1: body_bytes, 2: auth_info_bytes,
     3: repeated signatures}, then the nested TxBody/AuthInfo — exactly
     `TxRaw.toTx()` (TopologyProducer.kt:48-54). Raises DecodeError on any
     malformed input (the error-branch trigger); no other exception type
     escapes — the decode stage's failure-capture catches DecodeError
     only, so anything else would crash the job instead of routing the
-    record to the error topic."""
+    record to the error topic. `strict_any` selects the unknown-Any
+    policy (see _decode_any)."""
     try:
         f = _group(raw)
-        body = _decode_tx_body(_bytes(f[1][-1], "body_bytes")) if 1 in f else {}
-        auth = _decode_auth_info(_bytes(f[2][-1], "auth_info_bytes")) if 2 in f else {}
+        body = (
+            _decode_tx_body(_bytes(f[1][-1], "body_bytes"), strict_any)
+            if 1 in f
+            else {}
+        )
+        auth = (
+            _decode_auth_info(_bytes(f[2][-1], "auth_info_bytes"), strict_any)
+            if 2 in f
+            else {}
+        )
         tx: dict = {"body": body, "authInfo": auth}
         if 3 in f:
             tx["signatures"] = [_b64(_bytes(s, "signature")) for s in f[3]]

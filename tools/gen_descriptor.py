@@ -1,0 +1,297 @@
+"""Generate a protobuf FileDescriptorSet for the Cosmos tx types WITHOUT
+protoc: a FileDescriptorSet is itself a protobuf message, so we encode it
+directly with a minimal wire writer. The output
+(kafka_processor_cosmos_tx_dispatch_spark/resources/cosmos_tx.desc) is
+checked in and consumed by the JVM decode tier
+(operators/decode.py:decode_txraw_jvm via spark-protobuf's
+``from_protobuf(binaryDescriptorSet=...)``) on clusters where the
+spark-protobuf connector is loaded — the reference decodes with compiled
+classes in-JVM (TopologyProducer.kt:86-96); this descriptor set is the
+Spark-native equivalent of those compiled classes.
+
+Schema source: the public cosmos-sdk protos (cosmos/tx/v1beta1/tx.proto,
+cosmos/base/v1beta1/coin.proto, cosmos/bank/v1beta1/tx.proto, ...) and
+google/protobuf/any.proto — field numbers mirrored in
+functions/protowire.py.
+
+Run:  python tools/gen_descriptor.py      # rewrites the .desc in place
+"""
+
+from __future__ import annotations
+
+import os
+
+# --- minimal wire writer ----------------------------------------------------
+
+
+def varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | 0x80]) if n else bytes([b])
+        if not n:
+            return out
+
+
+def ld(field_no: int, data: bytes) -> bytes:
+    return varint(field_no << 3 | 2) + varint(len(data)) + data
+
+
+def vi(field_no: int, value: int) -> bytes:
+    return varint(field_no << 3 | 0) + varint(value)
+
+
+def s(field_no: int, text: str) -> bytes:
+    return ld(field_no, text.encode())
+
+
+# --- FieldDescriptorProto ---------------------------------------------------
+# labels
+OPT, REP = 1, 3
+# types
+T_UINT64, T_STRING, T_MESSAGE, T_BYTES, T_ENUM = 4, 9, 11, 12, 14
+
+
+def field(
+    name: str,
+    number: int,
+    ftype: int,
+    label: int = OPT,
+    type_name: str | None = None,
+    json_name: str | None = None,
+) -> bytes:
+    """FieldDescriptorProto: name=1, number=3, label=4, type=5,
+    type_name=6, json_name=10."""
+    out = s(1, name) + vi(3, number) + vi(4, label) + vi(5, ftype)
+    if type_name:
+        out += s(6, type_name)
+    if json_name is None:
+        # protoc's default jsonName: lowerCamelCase of the field name
+        parts = name.split("_")
+        json_name = parts[0] + "".join(p.capitalize() for p in parts[1:])
+    out += s(10, json_name)
+    return out
+
+
+def message(name: str, *fields: bytes) -> bytes:
+    """DescriptorProto: name=1, field=2 (repeated)."""
+    return s(1, name) + b"".join(ld(2, f) for f in fields)
+
+
+def enum_type(name: str, values: list[tuple[str, int]]) -> bytes:
+    """EnumDescriptorProto: name=1, value=2 (EnumValueDescriptorProto:
+    name=1, number=2)."""
+    out = s(1, name)
+    for vname, vnum in values:
+        out += ld(2, s(1, vname) + vi(2, vnum))
+    return out
+
+
+def file_proto(
+    name: str,
+    package: str,
+    deps: list[str],
+    messages: list[bytes],
+    enums: list[bytes] = (),
+) -> bytes:
+    """FileDescriptorProto: name=1, package=2, dependency=3,
+    message_type=4, enum_type=5, syntax=12."""
+    out = s(1, name) + s(2, package)
+    for d in deps:
+        out += s(3, d)
+    for m in messages:
+        out += ld(4, m)
+    for e in enums:
+        out += ld(5, e)
+    out += s(12, "proto3")
+    return out
+
+
+# --- the Cosmos tx schema ---------------------------------------------------
+
+ANY = ".google.protobuf.Any"
+COIN = ".cosmos.base.v1beta1.Coin"
+
+FILES = [
+    file_proto(
+        "google/protobuf/any.proto",
+        "google.protobuf",
+        [],
+        [
+            message(
+                "Any",
+                field("type_url", 1, T_STRING),
+                field("value", 2, T_BYTES),
+            )
+        ],
+    ),
+    file_proto(
+        "cosmos/base/v1beta1/coin.proto",
+        "cosmos.base.v1beta1",
+        [],
+        [
+            message(
+                "Coin",
+                field("denom", 1, T_STRING),
+                field("amount", 2, T_STRING),
+            )
+        ],
+    ),
+    file_proto(
+        "cosmos/tx/v1beta1/tx.proto",
+        "cosmos.tx.v1beta1",
+        ["google/protobuf/any.proto", "cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "TxRaw",
+                field("body_bytes", 1, T_BYTES),
+                field("auth_info_bytes", 2, T_BYTES),
+                field("signatures", 3, T_BYTES, REP),
+            ),
+            message(
+                "Tx",
+                field("body", 1, T_MESSAGE, OPT, ".cosmos.tx.v1beta1.TxBody"),
+                field(
+                    "auth_info", 2, T_MESSAGE, OPT, ".cosmos.tx.v1beta1.AuthInfo"
+                ),
+                field("signatures", 3, T_BYTES, REP),
+            ),
+            message(
+                "TxBody",
+                field("messages", 1, T_MESSAGE, REP, ANY),
+                field("memo", 2, T_STRING),
+                field("timeout_height", 3, T_UINT64),
+            ),
+            message(
+                "AuthInfo",
+                field(
+                    "signer_infos",
+                    1,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.tx.v1beta1.SignerInfo",
+                ),
+                field("fee", 2, T_MESSAGE, OPT, ".cosmos.tx.v1beta1.Fee"),
+            ),
+            message(
+                "SignerInfo",
+                field("public_key", 1, T_MESSAGE, OPT, ANY),
+                field("sequence", 3, T_UINT64),
+            ),
+            message(
+                "Fee",
+                field("amount", 1, T_MESSAGE, REP, COIN),
+                field("gas_limit", 2, T_UINT64),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/bank/v1beta1/tx.proto",
+        "cosmos.bank.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "MsgSend",
+                field("from_address", 1, T_STRING),
+                field("to_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "Input",
+                field("address", 1, T_STRING),
+                field("coins", 2, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "Output",
+                field("address", 1, T_STRING),
+                field("coins", 2, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "MsgMultiSend",
+                field("inputs", 1, T_MESSAGE, REP, ".cosmos.bank.v1beta1.Input"),
+                field(
+                    "outputs", 2, T_MESSAGE, REP, ".cosmos.bank.v1beta1.Output"
+                ),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/staking/v1beta1/tx.proto",
+        "cosmos.staking.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "MsgDelegate",
+                field("delegator_address", 1, T_STRING),
+                field("validator_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, OPT, COIN),
+            ),
+            message(
+                "MsgUndelegate",
+                field("delegator_address", 1, T_STRING),
+                field("validator_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, OPT, COIN),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/gov/v1beta1/tx.proto",
+        "cosmos.gov.v1beta1",
+        [],
+        [
+            message(
+                "MsgVote",
+                field("proposal_id", 1, T_UINT64),
+                field("voter", 2, T_STRING),
+                field(
+                    "option", 3, T_ENUM, OPT, ".cosmos.gov.v1beta1.VoteOption"
+                ),
+            )
+        ],
+        enums=[
+            enum_type(
+                "VoteOption",
+                [
+                    ("VOTE_OPTION_UNSPECIFIED", 0),
+                    ("VOTE_OPTION_YES", 1),
+                    ("VOTE_OPTION_ABSTAIN", 2),
+                    ("VOTE_OPTION_NO", 3),
+                    ("VOTE_OPTION_NO_WITH_VETO", 4),
+                ],
+            )
+        ],
+    ),
+    file_proto(
+        "cosmos/distribution/v1beta1/tx.proto",
+        "cosmos.distribution.v1beta1",
+        [],
+        [
+            message(
+                "MsgWithdrawDelegatorReward",
+                field("delegator_address", 1, T_STRING),
+                field("validator_address", 2, T_STRING),
+            )
+        ],
+    ),
+]
+
+
+def descriptor_set() -> bytes:
+    """FileDescriptorSet: file=1 (repeated FileDescriptorProto)."""
+    return b"".join(ld(1, f) for f in FILES)
+
+
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "kafka_processor_cosmos_tx_dispatch_spark",
+    "resources",
+    "cosmos_tx.desc",
+)
+
+if __name__ == "__main__":
+    data = descriptor_set()
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "wb") as fh:
+        fh.write(data)
+    print(f"wrote {OUT_PATH} ({len(data)} bytes, {len(FILES)} files)")
