@@ -109,19 +109,57 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                **dispatch_throughput(spark),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        **dispatch_throughput(spark),
+    }
+    prev = _load_previous_round()
+    if prev is not None:
+        prev_total, prev_queries, prev_round = prev
+        if prev_total:
+            result["delta_vs_prev_pct"] = round(100.0 * (total - prev_total) / prev_total, 1)
+        result["prev_round"] = prev_round
+        result["delta_queries_pct"] = {
+            name: round(100.0 * (t - prev_queries[name]) / prev_queries[name], 1)
+            for name, t in timings.items()
+            if prev_queries.get(name)
+        }
+    print(json.dumps(result))
     spark.stop()
+
+
+def _load_previous_round() -> tuple[float, dict, str] | None:
+    """Newest BENCH_r*.json beside this file — the prior round's floor,
+    so regressions (negative = faster, positive = slower) are visible in
+    the round-over-round record."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+        if "parsed" in data:  # the driver wraps the JSON line we print
+            data = data["parsed"] or {}
+        return (
+            float(data.get("value") or 0.0),
+            dict(data.get("queries") or {}),
+            f"r{n:02d}",
+        )
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":

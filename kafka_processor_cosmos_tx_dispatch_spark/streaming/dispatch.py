@@ -76,13 +76,21 @@ def foreach_batch_router(
     branches on the precomputed tag, TopologyProducer.kt:213-219 + :109).
     """
 
+    # The destination set is static — rules + dlq (+ error) — so don't
+    # run a distinct+collect job per micro-batch to discover it (VERDICT
+    # r1 minor #5): destinations with no rows in a batch cost one empty
+    # filtered write, cheaper than an extra Spark job every trigger.
+    topics = [r.topic for r in rules] + [dlq_topic]
+    if error_topic is not None:
+        topics.append(error_topic)
+    static_topics = list(dict.fromkeys(topics))  # dedupe, keep order
+
     def route(batch: DataFrame, epoch_id: int) -> None:
         routed = dsp.dispatch(
             batch, rules, json_col, struct_col, error_col, dlq_topic, error_topic
         ).persist()
         try:
-            topics = [r["topic"] for r in routed.select("topic").distinct().collect()]
-            for topic in topics:
+            for topic in static_topics:
                 write_destination(routed.filter(F.col("topic") == topic), topic, epoch_id)
         finally:
             routed.unpersist()
