@@ -142,6 +142,27 @@ def _ivf_assign(qv, centroids: list[list[int]]):
     return EX.bind(qv, best)
 
 
+def _ivf_assign_topp(qv, centroids: list[list[int]], p: int):
+    """Top-p nearest centroids (multi-probe): array of cell ids ordered
+    by dot desc, centroid-id asc — array_sort on (neg-dot, id) structs,
+    same in-row evaluation as the p=1 assign."""
+    from ..functions import exprs as EX
+
+    def best(v):
+        cands = [
+            F.struct(
+                (-V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))).alias(
+                    "nd"
+                ),
+                F.lit(c).alias("c"),
+            )
+            for c, cv in enumerate(centroids)
+        ]
+        return F.slice(F.array_sort(F.array(*cands)), 1, p)
+
+    return EX.bind(qv, best)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -149,11 +170,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     k: int = 5,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest centroid cell, search
-    only the query's cell (probe=1). The search join is an equi-join on
-    the cell id — per-query work drops by ~n_centroids×, and adding
-    multi-probe = unioning more cells per query. Cosine uses the
+    """IVF ANN: assign every CORPUS vector to its nearest centroid cell
+    (the index); each query searches its `n_probe` nearest cells. The
+    search join stays an equi-join on the cell id — per-query work is
+    ~(n_probe/n_centroids)× the corpus, and recall climbs with n_probe
+    (the standard IVF recall/latency dial). Cosine uses the
     quantized-integer contract (exact, oracle-reproducible)."""
     cents = ivf_centroids(n_centroids, _dims(corpus, vec_col))
 
@@ -169,7 +192,24 @@ def ivf_topk(
             V.dot_int(F.col(f"{side}_qv"), F.col(f"{side}_qv")).alias(f"{side}_nsq"),
         )
 
-    q = prep(queries, "query")
+    if n_probe <= 1:
+        q = prep(queries, "query")
+    else:
+        qv = V.quantized(F.col(vec_col))
+        q = (
+            queries.select(F.col(id_col).alias("query_id"), qv.alias("query_qv"))
+            .select(
+                "query_id",
+                "query_qv",
+                F.explode(
+                    _ivf_assign_topp(F.col("query_qv"), cents, n_probe)
+                ).alias("__probe"),
+                V.dot_int(F.col("query_qv"), F.col("query_qv")).alias("query_nsq"),
+            )
+            .select(
+                "query_id", "query_qv", F.col("__probe.c").alias("cell"), "query_nsq"
+            )
+        )
     c = prep(widen(corpus), "neighbor")
     joined = c.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -1893,6 +1893,64 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_topk_ivf_multiprobe",
+    f"""
+    WITH cent AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    ranked AS (
+      SELECT v.vec_id, v.qv, ct.c,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_dot_product(v.qv, ct.cv) DESC, ct.c) AS rn
+      FROM q v CROSS JOIN cent ct),
+    c_assign AS (
+      SELECT vec_id, qv, c AS cell,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      FROM ranked WHERE rn = 1),
+    q_assign AS (
+      SELECT vec_id, qv, c AS cell,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      FROM ranked WHERE rn <= 2 AND vec_id < 10),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM q_assign a JOIN c_assign b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id)
+    SELECT query_id, cell, neighbor_id, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (probe=2): the corpus index is unchanged
+    (each vector in its nearest cell); each query fans out to its 2
+    nearest cells — the standard recall/latency dial. Still an equi-join
+    on the cell id, 2× the probe=1 candidate volume."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        n_centroids=_IVF_CELLS,
+        k=5,
+        n_probe=2,
+    )
+
+
 def _simhash_sql() -> str:
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
@@ -2382,6 +2440,120 @@ def q_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         v.isNotNull().alias("ok"),
         F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+
+
+@register(
+    "q_scalar_array",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_sort(list_distinct(toks))[1:5] AS uniq5,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(list_intersect(list_distinct(toks),
+                                    ['the', 'of', 'and'])) AS sw_hits,
+           array_to_string(toks[1:3], '|') AS first3
+    FROM t
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family (size / sort / distinct / slice / contains /
+    intersect / join-to-string) — all JVM built-ins in one narrow
+    projection. Engine-divergence traps handled: array_distinct keeps
+    first-occurrence order in Spark but is unordered in DuckDB, so every
+    distinct/intersect result is sorted before comparison."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    uniq = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.slice(uniq, 1, 5).alias("uniq5"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_sort(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(F.lit("the"), F.lit("of"), F.lit("and"))
+            )
+        ).alias("sw_hits"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++): the sketch VALUE is
+    engine-specific so it can't be hash-compared directly — instead the
+    oracle pins the INVARIANT: the approximation must land within 5% of
+    the exact count (rsd=0.02 ⇒ ~2σ margin; Spark's sketch is
+    deterministic for fixed data+rsd, so this is a stable boolean, not a
+    flaky tolerance). At 100 TB the approx path is one narrow pass +
+    fixed-size sketch merge vs the exact path's expand+two-phase agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "q_time_bucket_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+           'hour' AS grain, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT), 'day', event_type,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+    FROM events GROUP BY 1, 3
+    """,
+)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same event scan
+    aggregated at hour AND day grain (the timescale/materialized-rollup
+    shape). One scan, hour-grain partial aggs, then the day grain derived
+    by RE-AGGREGATING the hour partials — not a second pass over the
+    events (the oracle spells it as two scans; the engine's plan reads
+    once and reuses ~24× smaller intermediates, the only formulation that
+    survives 100 TB of raw events)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC_PRICE)).alias("sum_dec"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    out = hour.withColumn("grain", F.lit("hour")).unionByName(
+        day.withColumn("grain", F.lit("day"))
+    )
+    return out.select(
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "grain",
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
     )
 
 
