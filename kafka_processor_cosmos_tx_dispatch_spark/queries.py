@@ -2483,6 +2483,59 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scalar_hof",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           list_transform(toks, x -> length(x)) AS lens,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER)
+             AS n_long,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS tot_chars,
+           CAST(list_sum(list_transform(generate_series(1, len(toks)),
+                                        i -> length(toks[i]) * i)) AS BIGINT)
+             AS pos_weighted
+    FROM t
+    """,
+)
+def q_scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function family (transform / filter / aggregate /
+    index-aware lambda) — array pipelines stay in one codegen'd
+    projection instead of explode→agg round trips (no Generate, no
+    shuffle). The token array is let-bound (functions/exprs.py:bind) so
+    four HOFs over it evaluate the split ONCE — the HOF re-evaluation
+    trap pinned in round 1."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def body(toks: F.Column) -> F.Column:
+        lens = F.transform(toks, lambda x: F.length(x))
+        zero = F.lit(0).cast("long")
+        add = lambda a, x: a + x  # noqa: E731
+        return F.struct(
+            lens.alias("lens"),
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+            F.aggregate(lens, zero, add).alias("tot_chars"),
+            F.aggregate(
+                F.transform(toks, lambda x, i: (F.length(x) * (i + 1)).cast("long")),
+                zero,
+                add,
+            ).alias("pos_weighted"),
+        )
+
+    packed = EX.bind(TX.tokens(F.col("text")), body)
+    return docs.select(
+        "doc_id",
+        packed["lens"].alias("lens"),
+        packed["n_long"].alias("n_long"),
+        packed["tot_chars"].alias("tot_chars"),
+        packed["pos_weighted"].alias("pos_weighted"),
+    )
+
+
+@register(
     "q_approx_distinct",
     """
     SELECT event_type,

@@ -85,6 +85,100 @@ def test_roundtrip_encode_decode(case):
     assert protowire.decode_tx(raw) == expected
 
 
+MSG_DELEGATE_URL = "type.googleapis.com/cosmos.staking.v1beta1.MsgDelegate"
+MSG_VOTE_URL = "type.googleapis.com/cosmos.gov.v1beta1.MsgVote"
+MSG_WITHDRAW_URL = (
+    "type.googleapis.com/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"
+)
+_VOTE_NAMES = {
+    1: "VOTE_OPTION_YES",
+    2: "VOTE_OPTION_ABSTAIN",
+    3: "VOTE_OPTION_NO",
+    4: "VOTE_OPTION_NO_WITH_VETO",
+}
+
+
+def _vi_field(field_no: int, n: int) -> bytes:
+    return _varint(field_no << 3 | 0) + _varint(n)
+
+
+@st.composite
+def mixed_msg_strategy(draw):
+    """Transactions mixing every registered Any type (plus unknowns) in
+    one messages array — the heterogeneous-Any shape the registry must
+    render without interference between decoders."""
+    kinds = draw(
+        st.lists(
+            st.sampled_from(["send", "delegate", "vote", "withdraw", "unknown"]),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    body = b""
+    expected_msgs = []
+    for i, kind in enumerate(kinds):
+        addr_a = draw(ADDR)
+        addr_b = draw(ADDR)
+        if kind == "send":
+            m = _ld(1, addr_a.encode()) + _ld(2, addr_b.encode())
+            body += _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, m))
+            exp = {"@type": MSG_SEND_URL}
+            if addr_a:
+                exp["fromAddress"] = addr_a
+            if addr_b:
+                exp["toAddress"] = addr_b
+        elif kind == "delegate":
+            amt = draw(AMOUNT)
+            coin = _ld(1, b"uknow") + _ld(2, str(amt).encode())
+            m = _ld(1, addr_a.encode()) + _ld(2, addr_b.encode()) + _ld(3, coin)
+            body += _ld(1, _ld(1, MSG_DELEGATE_URL.encode()) + _ld(2, m))
+            exp = {"@type": MSG_DELEGATE_URL}
+            if addr_a:
+                exp["delegatorAddress"] = addr_a
+            if addr_b:
+                exp["validatorAddress"] = addr_b
+            exp["amount"] = {"denom": "uknow", "amount": str(amt)}
+        elif kind == "vote":
+            pid = draw(st.integers(min_value=0, max_value=2**40))
+            opt = draw(st.integers(min_value=0, max_value=6))
+            m = _vi_field(1, pid) + _ld(2, addr_a.encode()) + _vi_field(3, opt)
+            body += _ld(1, _ld(1, MSG_VOTE_URL.encode()) + _ld(2, m))
+            exp = {"@type": MSG_VOTE_URL}
+            if pid:
+                exp["proposalId"] = str(pid)
+            if addr_a:
+                exp["voter"] = addr_a
+            if opt:
+                exp["option"] = _VOTE_NAMES.get(opt, opt)
+        elif kind == "withdraw":
+            m = _ld(1, addr_a.encode()) + _ld(2, addr_b.encode())
+            body += _ld(1, _ld(1, MSG_WITHDRAW_URL.encode()) + _ld(2, m))
+            exp = {"@type": MSG_WITHDRAW_URL}
+            if addr_a:
+                exp["delegatorAddress"] = addr_a
+            if addr_b:
+                exp["validatorAddress"] = addr_b
+        else:  # unknown type → opaque rendering (pinned policy)
+            payload = draw(st.binary(max_size=8))
+            url = f"type.googleapis.com/x.test.Msg{i}"
+            body += _ld(1, _ld(1, url.encode()) + _ld(2, payload))
+            exp = {
+                "@type": url,
+                "value": base64.b64encode(payload).decode(),
+            }
+        expected_msgs.append(exp)
+    raw = _ld(1, body) + _ld(2, b"")
+    expected = {"body": {"messages": expected_msgs}, "authInfo": {}}
+    return raw, expected
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(mixed_msg_strategy())
+def test_mixed_registry_roundtrip(case):
+    raw, expected = case
+    assert protowire.decode_tx(raw) == expected
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.binary(min_size=0, max_size=64))
 def test_garbage_never_hangs_or_lies(data):
