@@ -2583,27 +2583,31 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup: the same event scan
     aggregated at hour AND day grain (the timescale/materialized-rollup
-    shape). One scan, hour-grain partial aggs, then the day grain derived
-    by RE-AGGREGATING the hour partials — not a second pass over the
-    events (the oracle spells it as two scans; the engine's plan reads
-    once and reuses ~24× smaller intermediates, the only formulation that
-    survives 100 TB of raw events)."""
+    shape) via GROUPING SETS — ONE scan, one Expand, one shuffle. The
+    naive union-of-two-groupBys formulation plans as two full scans
+    (Catalyst does not reuse the hour aggregation across union branches —
+    verified with .explain), which is the formulation that dies at 100 TB
+    of raw events; grouping sets is the single-pass plan."""
     ev = load_table(spark, sf_dir, "events")
-    hour = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    exp = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+        F.col("value").cast(DEC_PRICE).alias("v"),
+    )
+    agg = exp.groupingSets(
+        [["h", "event_type"], ["d", "event_type"]], "h", "d", "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC_PRICE)).alias("sum_dec"),
+        F.sum("v").alias("sum_dec"),
+        (F.grouping("h") == 0).alias("__is_hour"),  # only valid inside agg
     )
-    day = hour.groupBy(
-        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
-    ).agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
-    out = hour.withColumn("grain", F.lit("hour")).unionByName(
-        day.withColumn("grain", F.lit("day"))
-    )
-    return out.select(
-        F.unix_timestamp("bucket").alias("bucket_epoch"),
-        "grain",
+    is_hour = F.col("__is_hour")
+    return agg.select(
+        F.when(is_hour, F.unix_timestamp("h"))
+        .otherwise(F.unix_timestamp("d"))
+        .alias("bucket_epoch"),
+        F.when(is_hour, F.lit("hour")).otherwise(F.lit("day")).alias("grain"),
         "event_type",
         "n",
         F.col("sum_dec").cast("double").alias("sum_value"),

@@ -100,6 +100,19 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(salted.collect()) == sorted(plain.collect())
 
 
+def test_time_bucket_rollup_is_single_pass(spark, sf_dir):
+    """Multi-grain rollup must be ONE scan + Expand + one shuffle
+    (grouping sets), not a union of per-grain groupBys — Catalyst does
+    not reuse the finer-grain aggregation across union branches, so the
+    union formulation plans as two full raw scans (dead at 100 TB)."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["q_time_bucket_rollup"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
 def test_near_dup_never_collects_corpus(spark, monkeypatch):
     """embedding_near_dup_pairs must stay fully distributed: round 1 it
     built a broadcast matrix from a driver-side collect() of the whole
