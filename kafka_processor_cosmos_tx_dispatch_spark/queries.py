@@ -1841,6 +1841,82 @@ def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_editdist(pairs, docs)
 
 
+@register(
+    "dedup_hybrid_verify",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
+      FROM embeddings),
+    nv AS (SELECT vec_id, v,
+                  CAST(list_dot_product(v, v) AS BIGINT) AS nsq FROM qv)
+    SELECT p.doc_a, p.doc_b,
+           list_dot_product(a.v, b.v)
+             / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim,
+           (list_dot_product(a.v, b.v)
+             / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) >= 0.4)
+             AS verified
+    FROM pairs p
+    JOIN nv a ON p.doc_a = a.vec_id
+    JOIN nv b ON p.doc_b = b.vec_id
+    """,
+)
+def dedup_hybrid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup verification — the full production pipeline
+    shape: cheap text blocking (MinHash LSH candidates) verified by
+    embedding cosine, so the expensive signal runs over O(candidates),
+    never O(n²). Two equi-joins attach each side's quantized embedding;
+    the integer-dot cosine keeps both engines bit-identical."""
+    from .functions import vectors as V
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        V.quantized(F.col("embedding")).alias("v"),
+    )
+    emb = emb.select(
+        "vec_id", "v", V.dot_int(F.col("v"), F.col("v")).alias("nsq")
+    )
+    j = (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("v").alias("va"),
+                F.col("nsq").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("v").alias("vb"),
+                F.col("nsq").alias("nb"),
+            ),
+            "doc_b",
+        )
+    )
+    sim = V.dot_int(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        sim.alias("cos_sim"),
+        (sim >= 0.4).alias("verified"),
+    )
+
+
 _IVF_CELLS = 8
 
 
@@ -2440,6 +2516,113 @@ def q_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         v.isNotNull().alias("ok"),
         F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1]))
+                  ELSE CAST([] AS VARCHAR[]) END AS bigrams
+           FROM t)
+    SELECT doc_id,
+           CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_distinct,
+           CASE WHEN len(bigrams) > 0
+                THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                           / CAST(len(bigrams) AS DOUBLE)
+                ELSE 0.0 END AS rep_ratio
+    FROM bg
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher/C4-style quality gate): share
+    of duplicate bigrams per doc. Row-local HOFs only — bigrams never
+    explode into rows, so the operator is a narrow codegen'd projection
+    at any corpus size. The ratio divides identical exact integers on
+    both engines, so the doubles are bit-identical."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def body(toks: F.Column) -> F.Column:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            F.size(bigrams).alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).alias("n_distinct"),
+        )
+
+    c = EX.bind(TX.tokens(F.col("text")), body)
+    n_bg = c["n_bigrams"]
+    n_d = c["n_distinct"]
+    ratio = F.when(
+        n_bg > 0,
+        F.lit(1.0) - n_d.cast("double") / n_bg.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        n_d.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
+
+
+@register(
+    "text_redact",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com ref ', CAST(doc_id * 7919 + 100003 AS VARCHAR))
+               AS annotated
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(annotated,
+                '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS INTEGER) AS n_emails,
+           regexp_replace(
+             regexp_replace(annotated,
+                            '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (training-data scrubbing): regex masking of
+    emails and long digit runs, plus a match count — one narrow
+    projection, JVM regex, no Python. The corpus carries no natural PII,
+    so a deterministic synthetic annotation is appended first (the
+    redaction path itself is what's under test). Note DuckDB needs the
+    'g' flag to match Spark's replace-all semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    annotated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 100003).cast("string"),
+    )
+    email_re = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(annotated, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(annotated, email_re, "<EMAIL>"),
+            r"[0-9]{4,}",
+            "<NUM>",
+        ).alias("redacted"),
     )
 
 
