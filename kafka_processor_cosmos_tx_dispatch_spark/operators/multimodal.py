@@ -93,6 +93,36 @@ def sample_frames(binary_df: DataFrame, k: int = 4) -> DataFrame:
     return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+ENERGY_SCHEMA = "doc_id long, win_idx int, n_samples int, rms double"
+
+
+def audio_window_energy(binary_df: DataFrame, window: int = 64) -> DataFrame:
+    """Audio-style windowed RMS energy over the binary payload, treating
+    each byte as an unsigned PCM sample (the real pipeline decodes with
+    librosa/soundfile here — absent in this container, and byte-as-sample
+    keeps the math oracle-reproducible). 1→N rows per payload like frame
+    sampling; integer square-sums stay exact, the final divide+sqrt is
+    the only float step so both engines agree bitwise."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                n = len(data)
+                for i in range((n + window - 1) // window):
+                    seg = data[i * window : (i + 1) * window]
+                    s = sum(x * x for x in seg)
+                    rms = math.sqrt(s / float(len(seg)))
+                    rows.append((doc_id, i, len(seg), rms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "win_idx", "n_samples", "rms"]
+            )
+
+    return binary_df.mapInPandas(batches, schema=ENERGY_SCHEMA)
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 

@@ -1297,6 +1297,59 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sessionize_batch",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM l),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM m)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → gap flag →
+    running sum = session id → per-session rollup. The classic
+    lag+cumsum idiom: two window passes over ONE hash shuffle on user_id
+    (both windows and the final groupBy share the partitioning, so
+    Catalyst plans a single Exchange). Gap math in integer microseconds —
+    no float time arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        prev_us.isNull() | (us - prev_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_s).over(wc).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
+@register(
     "q_window_range_frame",
     """
     SELECT o_orderkey, o_custkey,
@@ -3162,6 +3215,39 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- multimodal -----------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_energy",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+               AS win
+      FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(win AS INTEGER) AS win_idx,
+             substr(text, win * 64 + 1, 64) AS s
+      FROM w)
+    SELECT doc_id, win_idx,
+           CAST(length(s) AS INTEGER) AS n_samples,
+           sqrt(list_sum(list_transform(string_split(s, ''),
+                                        c -> ord(c) * ord(c)))
+                / CAST(length(s) AS DOUBLE)) AS rms
+    FROM seg
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the audio-like payload (byte = unsigned
+    PCM sample; real pipelines decode with librosa here). 1→N Arrow rows
+    per payload; exact integer square-sums, one IEEE divide+sqrt. The
+    oracle rebuilds the same windows from the UTF-8 text (ASCII corpus ⇒
+    byte == codepoint)."""
+    from .operators.multimodal import audio_window_energy, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(with_binary_payload(docs), window=64)
 
 
 @register(
