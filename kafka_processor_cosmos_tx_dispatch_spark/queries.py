@@ -1895,6 +1895,46 @@ def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_drop_near",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_drop_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step completing near-dedup: keep one canonical survivor
+    (min doc_id) per duplicate cluster, pass through everything that
+    never entered a cluster. Candidates → components → one anti-join of
+    non-canonical members against the corpus — the pair graph is
+    O(collisions) and the final pass is one narrow join, so the drop
+    step adds nothing quadratic at 100 TB."""
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "dedup_hybrid_verify",
     f"""
     WITH {_minhash_sig_sql()},
@@ -2676,6 +2716,47 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"[0-9]{4,}",
             "<NUM>",
         ).alias("redacted"),
+    )
+
+
+@register(
+    "q_scalar_url",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://shard', CAST(doc_id % 5 AS VARCHAR),
+                    '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                    '?lang=en&rev=', CAST(doc_id % 7 AS VARCHAR)) AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]rev=([^&]*)', 1) AS rev,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (web-scrape pipeline staple): host / path /
+    query-param / protocol extraction with Spark's parse_url — a JVM
+    built-in the oracle mirrors with anchored regexes. Deterministic
+    synthetic URLs (corpus has none); one narrow projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang=en&rev="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("rev")).alias("rev"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
 
 
