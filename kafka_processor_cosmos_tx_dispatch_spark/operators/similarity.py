@@ -287,13 +287,17 @@ def embedding_near_dup_pairs(
             F.col("block_a") <= F.col("block_b"),
         )
     )
+    # Broadcast the PAIR table (B² rows of two ints — bounded and tiny),
+    # never the packed blocks: the packed side IS the corpus, and letting
+    # the planner broadcast it would reintroduce the exact corpus-sized
+    # broadcast this design removes. The second join's shuffle of
+    # (pairs × vecs_a) on block_b is the inherent quadratic data movement
+    # of exact all-pairs, spread across B²/2 bounded-memory tasks.
     tiled = (
-        block_pairs.join(
-            packed.select(
-                F.col("block").alias("block_a"), F.col("vecs").alias("vecs_a")
-            ),
-            "block_a",
+        packed.select(
+            F.col("block").alias("block_a"), F.col("vecs").alias("vecs_a")
         )
+        .join(F.broadcast(block_pairs), "block_a")
         .join(
             packed.select(
                 F.col("block").alias("block_b"), F.col("vecs").alias("vecs_b")
