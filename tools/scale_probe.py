@@ -51,6 +51,19 @@ def _docs(spark, n: int):
     return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
+def _vecs(spark, n: int):
+    """Seeded synthetic embeddings: 64-dim float vectors."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: ((F.xxhash64(F.col("id"), d) % 2000) / 1000.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+
+
 def probe(name: str, rows: int, fn) -> dict:
     dt = float("inf")
     for _ in range(2):  # min-of-2, matching bench.py's convention
@@ -71,6 +84,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=5_000_000)
     ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--vecs", type=int, default=50_000)
     args = ap.parse_args()
 
     shutil.rmtree(WORKDIR, ignore_errors=True)
@@ -142,6 +156,22 @@ def main() -> None:
     )
 
     probe("minhash_lsh", args.docs, lambda: run(minhash_lsh_pairs(docs)))
+
+    # block-tiled exact near-dup: quadratic work spread over B²/2 bounded
+    # tasks — the probe verifies throughput holds when B grows past one
+    # broadcastable block (the round-1 design's failure point)
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    vecs_path = f"{WORKDIR}/vecs"
+    _vecs(spark, args.vecs).write.mode("overwrite").parquet(vecs_path)
+    vecs = spark.read.parquet(vecs_path)
+    probe(
+        "embedding_near_dup",
+        args.vecs,
+        lambda: run(embedding_near_dup_pairs(vecs, threshold=0.9)),
+    )
 
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
