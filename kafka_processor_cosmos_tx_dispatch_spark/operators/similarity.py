@@ -270,12 +270,25 @@ def embedding_near_dup_pairs(
     )
     n = q.count()  # scalar aggregate — a distributed job, not a data collect
     n_blocks = max(1, math.ceil(n / rows_per_block))
+    # Pack each block as TWO flat columns (ids + row-major flattened
+    # matrix) instead of an array of structs: Arrow moves flat int64
+    # lists as contiguous buffers that numpy ingests zero-copy-ish,
+    # where per-struct conversion costs a Python dict per vector
+    # (measured ~4× on the 50k-vector probe). sort_array pins one
+    # deterministic order for both derived columns.
     packed = (
         q.withColumn(
             "block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
         )
         .groupBy("block")
-        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("vecs"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "qv"))).alias("pk")
+        )
+        .select(
+            "block",
+            F.transform("pk", lambda s: s["vec_id"]).alias("ids"),
+            F.flatten(F.transform("pk", lambda s: s["qv"])).alias("flat"),
+        )
     )
     # Unordered block pairs (a <= b), generated distributed. B is tiny
     # relative to N (N/rows_per_block), so B² rows of two ints is cheap.
@@ -295,31 +308,63 @@ def embedding_near_dup_pairs(
     # of exact all-pairs, spread across B²/2 bounded-memory tasks.
     tiled = (
         packed.select(
-            F.col("block").alias("block_a"), F.col("vecs").alias("vecs_a")
+            F.col("block").alias("block_a"),
+            F.col("ids").alias("ids_a"),
+            F.col("flat").alias("flat_a"),
         )
         .join(F.broadcast(block_pairs), "block_a")
         .join(
             packed.select(
-                F.col("block").alias("block_b"), F.col("vecs").alias("vecs_b")
+                F.col("block").alias("block_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("flat").alias("flat_b"),
             ),
             "block_b",
         )
+    )
+    # AQE's partition coalescing sizes partitions by BYTES, but this
+    # stage's cost is compute (one dense matmul per block pair), so
+    # byte-sized partitions serialize many pairs onto few cores
+    # (measured: 6 tasks for 91 pairs on 32 cores). Spread pairs across
+    # the executor parallelism explicitly.
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    parallelism = spark.sparkContext.defaultParallelism
+    tiled = tiled.repartition(
+        max(1, min(n_pairs, 2 * parallelism)), "block_a", "block_b"
     )
     thr = float(threshold)
 
     def gen(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                va, vb = row["vecs_a"], row["vecs_b"]
-                if not len(va) or not len(vb):
+                a_ids = np.asarray(row["ids_a"], dtype=np.int64)
+                b_ids = np.asarray(row["ids_b"], dtype=np.int64)
+                if not len(a_ids) or not len(b_ids):
                     continue
-                a_ids = np.array([v["vec_id"] for v in va], dtype=np.int64)
-                a_mat = np.array([v["qv"] for v in va], dtype=np.int64)
-                b_ids = np.array([v["vec_id"] for v in vb], dtype=np.int64)
-                b_mat = np.array([v["qv"] for v in vb], dtype=np.int64)
+                a_mat = np.asarray(row["flat_a"], dtype=np.int64).reshape(
+                    len(a_ids), -1
+                )
+                b_mat = np.asarray(row["flat_b"], dtype=np.int64).reshape(
+                    len(b_ids), -1
+                )
                 a_norms = (a_mat * a_mat).sum(axis=1)
                 b_norms = (b_mat * b_mat).sum(axis=1)
-                dots = a_mat @ b_mat.T  # int64-exact
+                # int64 matmul in numpy has no BLAS kernel (naive loops,
+                # ~3x the wall time of the whole stage). The quantized
+                # values are small — dims * max|a| * max|b| far below
+                # 2^53 — so float64 dgemm computes the SAME integers
+                # exactly. Guard the bound and fall back to int64 when a
+                # pathological input would overflow the mantissa.
+                dims = a_mat.shape[1]
+                bound = (
+                    float(np.abs(a_mat).max(initial=0))
+                    * float(np.abs(b_mat).max(initial=0))
+                    * dims
+                )
+                if bound < 2**53:
+                    dots = a_mat.astype(np.float64) @ b_mat.astype(np.float64).T
+                else:
+                    dots = a_mat @ b_mat.T  # int64-exact
                 sim = dots / np.sqrt(np.outer(a_norms, b_norms))
                 if row["block_a"] == row["block_b"]:
                     # diagonal block: both orientations present → keep a<b
