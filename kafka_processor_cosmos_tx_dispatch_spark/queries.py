@@ -2332,10 +2332,12 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via quantize-once + blocked int64
-    matmul (operators/similarity.py). Integer dots ≪ 2^53 are exact in
-    numpy int64 AND in DuckDB's double-accumulating list_dot_product, so
-    the two engines agree bit-for-bit."""
+    """Embedding-cosine near-dup pairs via quantize-once + block-tiled
+    dense matmul (operators/similarity.py): hash blocks packed flat, a
+    distributed block-pair equi-join, one exact dgemm per pair. Integer
+    dots ≪ 2^53 are exact in float64 BLAS, numpy int64, AND DuckDB's
+    double-accumulating list_dot_product, so the engines agree
+    bit-for-bit."""
     from .operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
