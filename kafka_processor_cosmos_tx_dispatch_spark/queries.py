@@ -819,6 +819,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_string_agg",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): collect_list is order-nondeterministic
+    in a distributed agg, so the deterministic spelling is sort_array
+    before array_join — matching the oracle's ORDER BY inside
+    string_agg."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
     "q_scalar_map",
     """
     SELECT event_id,
@@ -3169,6 +3198,48 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("session_window.start")).alias("session_start_epoch"),
         "n_events",
         "session_value",
+    )
+
+
+@register(
+    "streaming_windowed_topk",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS w, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS user_value
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY w
+                    ORDER BY user_value DESC, user_id) AS rn FROM agg)
+    SELECT CAST(epoch(w) AS BIGINT) AS window_start_epoch, user_id,
+           user_value, CAST(rn AS INTEGER) AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: rank functions can't run inside a streaming
+    aggregation, so the production pattern is two tiers — the STREAM
+    maintains the windowed per-user sums (incremental state), and the
+    top-k rank runs as a batch window function over the materialized
+    sink. This query exercises exactly that composition."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast(DEC_PRICE)).cast("double").alias("user_value")
+        )
+    )
+    out = _run_stream_to_table(agg, "stream_topk", "complete")
+    w = W.partitionBy("window").orderBy(F.desc("user_value"), F.asc("user_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "user_id",
+            "user_value",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
