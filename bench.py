@@ -98,7 +98,10 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     run_query(registry["q1_pricing_summary"](spark, sf_dir))
 
-    iters = max(1, int(os.environ.get("BENCH_ITERS", "2")))
+    # min-of-3 by default: at sub-second per-query times, min-of-2 showed
+    # ±20-60% run-to-run swings on untouched queries (page-cache and JIT
+    # noise); the third sample stabilizes the floor for ~20s extra wall.
+    iters = max(1, int(os.environ.get("BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
