@@ -52,6 +52,29 @@ def test_asof_basic_and_edges(spark):
     assert out.count() == left.count()  # left-outer: every left row survives
 
 
+def test_asof_matched_row_is_atomic(spark):
+    """ADVICE r1 (asof.py:90): when the matched right row carries NULL in
+    one value column, that null must SURVIVE — filling each column
+    independently with last(ignoreNulls) used to revive the stale value
+    from an older right row, emitting a row that never existed."""
+    left = spark.createDataFrame(
+        [(1, _t(10), 100)], "k int, ts timestamp, left_id int"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(5), 7, "old"),  # older row: val non-null
+            (1, _t(9), 8, None),  # true predecessor: val IS NULL
+        ],
+        "k int, ts timestamp, rid int, val string",
+    )
+    out = asof_join(
+        left, right, keys=["k"], ts_col="ts", right_value_cols=["rid", "val"]
+    )
+    row = out.collect()[0]
+    # the matched row is (rid=8, val=None) — not a chimera (8, "old")
+    assert (row["asof_rid"], row["asof_val"]) == (8, None)
+
+
 def test_asof_single_shuffle_plan(spark):
     """The whole operator must compile to ONE exchange (the window's
     hash partitioning) — no join node anywhere in the plan."""
