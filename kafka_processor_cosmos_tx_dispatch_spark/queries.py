@@ -2644,6 +2644,158 @@ def q_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_data_profile",
+    """
+    SELECT 'value' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS n_non_null,
+           COUNT(DISTINCT value) AS n_distinct,
+           CAST(MIN(value) AS DOUBLE) AS min_v,
+           CAST(MAX(value) AS DOUBLE) AS max_v
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(user_id), COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the audit step before any training run): per-
+    column row/null/distinct counts and range, computed for ALL profiled
+    columns in ONE scan — each metric set is an aggregate over the same
+    pass (the oracle spells it as a UNION of scans; Spark computes every
+    aggregate together then unpivots the single result row, which is the
+    only shape worth running over 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.min("user_id").cast("double").alias("min_user"),
+        F.max("user_id").cast("double").alias("max_user"),
+    )
+    per_col = F.array(
+        F.struct(
+            F.lit("value").alias("col_name"),
+            F.col("n").alias("n_rows"),
+            F.col("nn_value").alias("n_non_null"),
+            F.col("nd_value").alias("n_distinct"),
+            F.col("min_value").alias("min_v"),
+            F.col("max_value").alias("max_v"),
+        ),
+        F.struct(
+            F.lit("user_id").alias("col_name"),
+            F.col("n").alias("n_rows"),
+            F.col("nn_user").alias("n_non_null"),
+            F.col("nd_user").alias("n_distinct"),
+            F.col("min_user").alias("min_v"),
+            F.col("max_user").alias("max_v"),
+        ),
+    )
+    return agg.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 100),
+    cover AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(in_vocab AS BIGINT) AS in_vocab,
+           CAST(in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+    FROM cover
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + apply (tokenizer-prep shape): global top-100
+    token vocabulary (corpus-wide agg), then per-doc OOV/coverage via a
+    broadcast of the BOUNDED vocab against the exploded token stream.
+    The global stats → per-row apply round trip is the pattern every
+    tokenizer/normalizer pipeline runs; only the fixed-size vocab ever
+    moves, the corpus shuffles once for the frequency agg."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(True).alias("__v"))
+    )
+    cover = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v"), 1).otherwise(0)).alias("in_vocab"),
+        )
+    )
+    return cover.select(
+        "doc_id",
+        "n_tokens",
+        "in_vocab",
+        (F.col("in_vocab").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+@register(
+    "text_contamination",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM t),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS shared_shingles
+      FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id)
+    SELECT doc_id, CAST(shared_shingles AS BIGINT) AS shared_shingles
+    FROM hits
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (benchmark-leakage audit): flag
+    training docs sharing any 3-gram shingle with the eval set (doc_id <
+    10 here). The eval shingle set is BOUNDED → broadcast semi-join
+    against the training shingle stream — one pass over the corpus, no
+    all-pairs. The production shape for 'did my training data see the
+    test set'."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")), 3)).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("shared_shingles"))
+    )
+
+
+@register(
     "text_repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
