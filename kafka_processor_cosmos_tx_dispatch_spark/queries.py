@@ -2644,6 +2644,77 @@ def q_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_url_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://shard', CAST(doc_id % 5 AS VARCHAR),
+                    '.example.com/docs/', CAST(doc_id % 50 AS VARCHAR),
+                    '?session=', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_extract(url, '^([a-z]+://[^?#]+)', 1) AS canonical
+      FROM u)
+    SELECT canonical, COUNT(*) AS n_urls, MIN(doc_id) AS keep_doc
+    FROM c GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (web-crawl staple): strip the query/
+    fragment (session ids, tracking params), group by the canonical form,
+    keep the first-seen doc. One narrow projection + one hash agg; the
+    canonical key is what a crawl dedup shuffles on at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.parse_url(url, F.lit("HOST")),
+        F.parse_url(url, F.lit("PATH")),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 25.0) * 25.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (distribution audit): one scan, one hash agg
+    on the bucket key. floor(x/25) on doubles is exact for these
+    magnitudes; the per-bucket sum follows the decimal contract."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        bucket.alias("bucket"),
+        (bucket * 25.0).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("bucket_sum"),
+    )
+
+
+@register(
     "q_data_profile",
     """
     SELECT 'value' AS col_name,
