@@ -1165,6 +1165,60 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_TIERS = [  # (name, lo, hi) — deliberately unaligned with the 25-bucket grid
+    ("bronze", 0.0, 40.0),
+    ("silver", 40.0, 100.0),
+    ("gold", 100.0, 150.0),
+    ("platinum", 150.0, 200.0),
+]
+_TIER_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@register(
+    "q_join_banded_range",
+    f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {_TIER_SQL})
+    SELECT t.tier, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS tier_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta join — the SCALE formulation of a big-big non-equi
+    range join: bucketize the join value on a fixed grid, explode each
+    range into the buckets it overlaps, equi-join on the bucket id, then
+    apply the exact range predicate as a residual filter. The non-equi
+    condition never reaches the join operator (no broadcast-nested-loop,
+    no cartesian); work is O(rows x avg buckets-per-range) through a
+    hash join. Here the dim is broadcastable anyway — the point is the
+    pattern, pinned against the oracle's plain non-equi join."""
+    ev = load_table(spark, sf_dir, "events")
+    width = 25.0
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    banded = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                F.floor((F.col("hi") - 0.001) / width).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.select(
+        "value", F.floor(F.col("value") / width).cast("long").alias("bucket")
+    )
+    joined = ev_b.join(F.broadcast(banded), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("tier_value"),
+    )
+
+
 @register(
     "q_window_topk_per_group",
     """
