@@ -2921,6 +2921,121 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topterms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    ranked AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rnk
+      FROM tf t JOIN df d ON t.tok = d.tok)
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per document, TF-IDF shape: term frequency from
+    a (doc, token) agg, document frequency from a vocab-sized re-agg of
+    the SAME tf table (no second corpus scan), equi-join tf x df on the
+    token, rank within each doc. Rank order (tf DESC, df ASC, tok) is the
+    pure-integer stand-in for tf*ln(N/df) — ln() is not correctly-rounded
+    IEEE so its last bit differs across engines; the integer sort key is
+    bit-stable everywhere and preserves the 'frequent here, rare
+    globally' semantics. Scale: df is vocab-sized (sublinear); the tf-df
+    join shuffles on the token key where stopword skew is AQE-split; the
+    final rank shuffles by doc_id."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "rnk")
+    )
+
+
+@register(
+    "text_token_rarity",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    r AS (SELECT f.tok,
+                 CAST(FLOOR(1000000.0 * CAST(t.total AS DOUBLE)
+                            / CAST(f.cnt AS DOUBLE)) AS BIGINT) AS rarity
+          FROM freq f CROSS JOIN tot t),
+    per_doc AS (
+      SELECT tk.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(r.rarity) AS BIGINT) AS rarity_sum
+      FROM toks tk JOIN r ON tk.tok = r.tok
+      GROUP BY tk.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, rarity_sum,
+           CAST(rarity_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             / 1000000.0 AS mean_rarity
+    FROM per_doc
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet shape): build corpus-wide token
+    frequencies, score each doc by its mean inverse token frequency —
+    rare-token-heavy docs score high, boilerplate scores low. The exact
+    stand-in for mean unigram log-prob: ln() differs across engines in
+    the last ULP, while FLOOR(1e6 * total/cnt) is one correctly-rounded
+    IEEE divide + floor, so the per-token rarity is an exact integer and
+    per-doc sums are order-independent. Scale: the LM 'model' (freq) is
+    vocab-sized; the apply step is a corpus x vocab equi-join on the
+    token (AQE handles stopword skew), then one doc-keyed agg."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    rarity = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("total").cast("double")
+            / F.col("cnt").cast("double")
+        )
+        .cast("long")
+        .alias("rarity"),
+    )
+    per_doc = (
+        toks.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rarity").alias("rarity_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_sum",
+        (
+            F.col("rarity_sum").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_rarity"),
+    )
+
+
+@register(
     "text_repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
@@ -3320,6 +3435,56 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split(docs)
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "sample_temperature_weights",
+    """
+    WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_docs,
+                 CAST(FLOOR(1048576.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   AS w_fixed
+          FROM g),
+    tot AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS tot_w,
+                   CAST(SUM(n_docs) AS BIGINT) AS tot_n FROM w)
+    SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_docs AS DOUBLE) / CAST(t.tot_n AS DOUBLE) AS nat_share,
+           CAST(w.w_fixed AS DOUBLE) / CAST(t.tot_w AS DOUBLE) AS temp_share
+    FROM w CROSS JOIN tot t
+    """,
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights per language group (the
+    multilingual-pretraining rebalance: p_g^alpha / sum p_g^alpha with
+    alpha = 0.5, which upsamples low-resource groups). alpha = 0.5 is
+    exactly sqrt, the ONE power that is correctly-rounded IEEE on every
+    engine — fixed-point floor(2^20 * sqrt(n)) makes the weights exact
+    integers, so the normalizing sum is order-independent and the final
+    shares are single correctly-rounded divides. Scale: one corpus scan
+    into a group-count agg; everything after operates on the
+    groups-sized table (bounded, broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = g.select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(1048576.0) * F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("w_fixed"),
+    )
+    tot = w.agg(
+        F.sum("w_fixed").alias("tot_w"), F.sum("n_docs").alias("tot_n")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("tot_n").cast("double")).alias(
+            "nat_share"
+        ),
+        (F.col("w_fixed").cast("double") / F.col("tot_w").cast("double")).alias(
+            "temp_share"
+        ),
     )
 
 
