@@ -3306,6 +3306,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_quantiles",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(user_id, 0.25) AS p25,
+           quantile_cont(user_id, 0.5)  AS p50,
+           quantile_cont(user_id, 0.75) AS p75,
+           TRUE AS approx_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch): like the HLL
+    query, the sketch value is engine-specific, so the oracle pins the
+    INVARIANT — the approx median must land inside the exact rank band
+    [p48, p52] (accuracy=10000 ⇒ rank error ~n/10000, far inside the
+    band; Spark's GK sketch is deterministic for fixed data+accuracy, so
+    the boolean is stable). The exact p25/p50/p75 columns ARE
+    hash-compared: binary-fraction p over an integer column keeps the
+    interpolation bit-identical across engines. At 100 TB the sketch is
+    a fixed-size mergeable summary per group — one narrow pass, no
+    per-group sort — while exact percentiles buffer each group."""
+    ev = load_table(spark, sf_dir, "events")
+    ap = F.expr("approx_percentile(user_id, 0.5, 10000)")
+    lo = F.expr("percentile(user_id, 0.48)")
+    hi = F.expr("percentile(user_id, 0.52)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(user_id, 0.25)").alias("p25"),
+        F.expr("percentile(user_id, 0.5)").alias("p50"),
+        F.expr("percentile(user_id, 0.75)").alias("p75"),
+        ((ap >= lo) & (ap <= hi)).alias("approx_in_band"),
+    )
+
+
+@register(
     "q_time_bucket_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
