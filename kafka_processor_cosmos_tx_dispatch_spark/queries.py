@@ -1935,6 +1935,94 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _pr_iter(k: int, prev: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE."""
+    return f"""
+    i{k} AS (
+      SELECT n_.node,
+             tp.t + COALESCE(SUM((85 * p.r) // (100 * od.d)), 0) AS r
+      FROM nodes n_
+      CROSS JOIN tp
+      LEFT JOIN edges e ON e.dst = n_.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outd od ON od.src = e.src
+      GROUP BY n_.node, tp.t)"""
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    tp AS (SELECT 150000000000 // n AS t FROM nn),
+    outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_iter(1, "r0")},
+    {_pr_iter(2, "i1")},
+    {_pr_iter(3, "i2")}
+    SELECT node, CAST(r AS BIGINT) AS r FROM i3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 unrolled iterations, damping 0.85) over
+    the customer→supplier purchase graph — the second iterative
+    algorithm next to connected components, in the Pregel shape: each
+    round is one edges⋈ranks equi-join + a dst-keyed agg. All arithmetic
+    is int64 floor division (rank scale 10^12, contribution
+    (85·r) DIV (100·outdeg)), so ranks are exact integers: no float
+    accumulation order to diverge between engines, and the oracle is the
+    same three rounds unrolled as CTEs. Dangling-node mass is not
+    redistributed (documented simplification — both engines identical).
+    Scale: ranks/nodes/outdeg all partition by node key; for deep
+    iteration counts the loop needs checkpoint truncation exactly like
+    operators/dedup.py:connected_components (3 rounds doesn't)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000000000 DIV n").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * r) DIV (100 * d)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr("150000000000 DIV n")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
 @register(
     "dedup_verify_editdist",
     f"""
@@ -3948,6 +4036,7 @@ def _family(name: str) -> str:
         ("q_udaf", "agg"),
         ("q_explode", "flatten"),
         ("q_unpivot", "flatten"),
+        ("graph_", "graph"),
         ("dedup_", "dedup"),
         ("sim_", "sim"),
         ("text_", "text"),
