@@ -37,15 +37,26 @@ def asof_join(
     ts_col: str = "ts",
     right_value_cols: list[str] | None = None,
     tiebreak_col: str | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    `ts_col` <= left's `ts_col` within the same `keys` group (NULLs when
-    no predecessor exists — left-outer semantics).
+    """For each left row, attach the nearest right row within the same
+    `keys` group (NULLs when none exists — left-outer semantics):
+    `direction="backward"` (default) matches the greatest right `ts_col`
+    <= left's; `direction="forward"` the smallest right `ts_col` >=
+    left's — the same union + window plan with the sort reversed, still
+    one shuffle.
 
     `right_value_cols` are carried from the matched right row, renamed
     `asof_<name>`. `tiebreak_col` (a right column) resolves equal-ts
-    right rows toward the largest value.
+    right rows toward the largest value. `tolerance_us` (microseconds,
+    pandas merge_asof semantics) nulls the ENTIRE match when the nearest
+    row is farther than the bound — nearest-within-tolerance equals
+    nearest-overall-then-filter, so it's a post-predicate on the matched
+    struct, not a different join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_value_cols is None:
         right_value_cols = [
             c for c in right.columns if c not in keys and c != ts_col
@@ -63,6 +74,8 @@ def asof_join(
             T.StructField(a, right.schema[c].dataType)
             for c, a in zip(right_value_cols, carried)
         ]
+        # right row's own ts rides along for the tolerance predicate
+        + [T.StructField("__asof_ts", right.schema[ts_col].dataType)]
     )
     l_tagged = left.select(
         *left_cols,
@@ -86,13 +99,18 @@ def asof_join(
         F.lit(0).alias("__side"),
         tie.alias("__tie"),
         F.struct(
-            *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)]
+            *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
+            F.col(ts_col).alias("__asof_ts"),
         ).alias("__asof"),
     ).select(*l_tagged.columns)  # align column order for union
 
+    # backward scans time ascending (last-seen right = greatest ts <= l);
+    # forward scans descending (last-seen right = smallest ts >= l). At
+    # equal ts the right row sorts first either way (inclusive match).
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(ts_order, F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
@@ -100,10 +118,22 @@ def asof_join(
         F.col("__side"),
         F.last("__asof", ignorenulls=True).over(w).alias("__asof"),
     )
-    return (
-        filled.filter(F.col("__side") == 1)
-        .select(
-            *left_cols,
-            *[F.col(f"__asof.{a}").alias(a) for a in carried],
+    matched = filled.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        is_ts = isinstance(right.schema[ts_col].dataType, T.TimestampType)
+
+        def us(c: F.Column) -> F.Column:
+            return F.unix_micros(c) if is_ts else c.cast("long")
+
+        gap = (
+            us(F.col(ts_col)) - us(F.col("__asof.__asof_ts"))
+            if direction == "backward"
+            else us(F.col("__asof.__asof_ts")) - us(F.col(ts_col))
         )
+        matched = matched.withColumn(
+            "__asof", F.when(gap <= F.lit(tolerance_us), F.col("__asof"))
+        )
+    return matched.select(
+        *left_cols,
+        *[F.col(f"__asof.{a}").alias(a) for a in carried],
     )

@@ -1078,6 +1078,69 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_forward",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, value AS click_value, ts
+      FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.click_value,
+             p.ts AS pts, c.ts AS cts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts),
+    g AS (SELECT *, epoch_us(cts) - epoch_us(pts) AS gap FROM m)
+    SELECT purchase_id, user_id,
+           CASE WHEN gap <= 3600000000 THEN click_id END AS click_id,
+           CASE WHEN gap <= 3600000000 THEN click_value END AS click_value,
+           CASE WHEN gap <= 3600000000 THEN gap END AS gap_us
+    FROM g
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase matched to the
+    user's NEXT click, nulled when it is more than an hour later (pandas
+    merge_asof direction='forward', tolerance semantics — the
+    attribution-window shape). Same union + one-shuffle window plan as
+    the backward operator with the time sort reversed; the tolerance is
+    a post-predicate on the matched struct, never a join condition, so
+    the plan is unchanged. Oracle: DuckDB ASOF with the inequality
+    flipped plus the same CASE filter."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        ts_col="ts",
+        right_value_cols=["click_id", "click_value", "click_ts"],
+        tiebreak_col="click_id",
+        direction="forward",
+        tolerance_us=3_600_000_000,
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_value").alias("click_value"),
+        (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@register(
     "q_join_right_outer",
     """
     SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers,

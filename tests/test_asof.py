@@ -125,3 +125,41 @@ def test_asof_matches_naive_reference(spark):
 
     want = {i: expect(k, m) for k, m, i in left}
     assert got == want
+
+
+def test_asof_forward_with_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t(10), 100),  # right at 10 (inclusive) and 12 → picks 10
+            (1, _t(11), 101),  # nearest following is 12
+            (1, _t(40), 102),  # nothing after → null
+            (1, _t(0), 103),   # nearest following (5) is 5 min away → tolerance kills it
+        ],
+        "k int, ts timestamp, left_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t(5), 7, "a"),
+            (1, _t(10), 8, "b"),
+            (1, _t(12), 9, "c"),
+        ],
+        "k int, ts timestamp, rid int, val string",
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["k"],
+        ts_col="ts",
+        right_value_cols=["rid", "val"],
+        tiebreak_col="rid",
+        direction="forward",
+        tolerance_us=3 * 60 * 1_000_000,  # 3 minutes
+    )
+    got = {r["left_id"]: (r["asof_rid"], r["asof_val"]) for r in out.collect()}
+    assert got == {
+        100: (8, "b"),  # inclusive at equal ts
+        101: (9, "c"),
+        102: (None, None),  # no following row
+        103: (None, None),  # following row exists but outside tolerance
+    }
+    assert out.count() == left.count()
