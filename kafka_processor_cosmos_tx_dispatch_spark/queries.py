@@ -1283,6 +1283,77 @@ def q_join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert",
+    """
+    WITH src AS (
+      SELECT o_custkey + CASE WHEN o_custkey % 10 = 0 THEN 1000000 ELSE 0 END
+               AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+    tgt AS (SELECT c_custkey AS key, c_name AS name,
+                   CAST(c_acctbal AS DOUBLE) AS bal
+            FROM customer)
+    SELECT COALESCE(t.key, s.key) AS key,
+           CASE WHEN t.key IS NULL THEN 'NEW' ELSE t.name END AS name,
+           CASE WHEN s.key IS NULL THEN t.bal
+                WHEN t.key IS NULL THEN s.spend
+                ELSE t.bal + s.spend END AS new_bal,
+           CASE WHEN s.key IS NULL THEN 'keep'
+                WHEN t.key IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 upsert) expressed as relational algebra: target
+    dim FULL OUTER JOIN source updates on the key, then the three MERGE
+    branches as one projection — matched → update, not-matched-by-source
+    → keep, not-matched-by-target → insert (a sliver of source keys is
+    shifted so the insert branch actually fires). This is exactly what
+    Delta/Iceberg MERGE compiles to; at scale the join shuffles both
+    sides on the key and a real table format adds file-level pruning of
+    untouched partitions on top of this same row algebra. Arithmetic:
+    decimal-exact spend sum; new_bal is one double add of two exact
+    doubles — bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    src = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 10 == 0, 1000000).otherwise(0)
+            ).alias("key"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("key")
+        .agg(_dsum(F.col("o_totalprice")).alias("spend"))
+        .withColumn("__s", F.lit(True))
+    )
+    tgt = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(True).alias("__t"),
+    )
+    m = tgt.join(src, "key", "full_outer")
+    return m.select(
+        "key",
+        F.when(F.col("__t").isNull(), F.lit("NEW"))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(F.col("__s").isNull(), F.col("bal"))
+        .when(F.col("__t").isNull(), F.col("spend"))
+        .otherwise(F.col("bal") + F.col("spend"))
+        .alias("new_bal"),
+        F.when(F.col("__s").isNull(), F.lit("keep"))
+        .when(F.col("__t").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+@register(
     "q_window_topk_per_group",
     """
     SELECT p_brand, p_partkey, p_retailprice, rn FROM (
@@ -4084,6 +4155,7 @@ def _family(name: str) -> str:
         return "tpch"
     for prefix, fam in (
         ("q_join", "join"),
+        ("q_merge", "join"),
         ("q_asof", "join"),
         ("q_skew", "join"),
         ("q_window", "window"),
