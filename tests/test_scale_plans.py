@@ -193,3 +193,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "purchase" in plan
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert pruned.count() == want
+
+
+def test_banded_range_join_avoids_nested_loop(spark, sf_dir):
+    """The banded theta join must reach the join operator as an equi-join
+    on the bucket id — a plain non-equi condition degrades to broadcast
+    nested loop (or worse, cartesian), which is the exact failure mode
+    the pattern exists to avoid."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["q_join_banded_range"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_scoring_queries_stay_jvm_side(spark, sf_dir):
+    """TF-IDF, token rarity, temperature weights, PageRank, and the MERGE
+    emulation are pure built-in column expressions — no Python eval node
+    may appear in their hot path."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    for name in (
+        "text_tfidf_topterms",
+        "text_token_rarity",
+        "sample_temperature_weights",
+        "graph_pagerank",
+        "q_merge_upsert",
+    ):
+        plan = _plan(q.queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # scalar one-row broadcasts are fine; a full cartesian is not
+        assert "CartesianProduct" not in plan, name
