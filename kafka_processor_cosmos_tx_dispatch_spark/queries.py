@@ -1283,6 +1283,98 @@ def q_join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_null_safe",
+    """
+    WITH a AS (SELECT NULLIF(c_nationkey % 5, 0) AS k FROM customer),
+    b AS (SELECT NULLIF(s_nationkey % 5, 0) AS k FROM supplier)
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'null') AS k, COUNT(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    match EACH OTHER instead of vanishing — the semantics SQL equality
+    silently drops. Catalyst treats EqualNullSafe as a hashable join
+    key, so this stays a plain hash/sort-merge equi-join, not a nested
+    loop; the null bucket is one more key value (a hot one — at scale
+    it's the canonical skew candidate for AQE or salting)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("ka")
+    )
+    b = supp.select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("kb")
+    )
+    j = a.join(b, a.ka.eqNullSafe(b.kb))
+    return j.groupBy(
+        F.coalesce(F.col("ka").cast("string"), F.lit("null")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_gap_fill_locf",
+    """
+    WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                FROM events WHERE user_id < 20),
+    hourly AS (SELECT user_id, h,
+                      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+               FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    j AS (SELECT s.user_id, s.h, hv.v
+          FROM spine s LEFT JOIN hourly hv
+            ON s.user_id = hv.user_id AND s.h = hv.h)
+    SELECT user_id, epoch_us(h) AS hour_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (TimescaleDB `time_bucket_gapfill` + `locf`): build the dense hourly
+    spine per key from its own min/max hour (sequence + explode — rows
+    generated distributed, proportional to key-hours, never a driver
+    loop), left-join the sparse hourly aggregate, then one
+    last(ignoreNulls) window per key fills the gaps. The fill carries
+    exact decimal-sum doubles untouched, so values hash-compare. Scale:
+    spine generation and the (key, hour) equi-join partition by key;
+    the LOCF window is the same single-shuffle shape as the as-of join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(_dsum(F.col("value")).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+@register(
     "q_merge_upsert",
     """
     WITH src AS (
