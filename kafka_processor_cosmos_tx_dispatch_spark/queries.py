@@ -4083,6 +4083,39 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_incremental_merge",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: each micro-batch's
+    partial aggregate is MERGEd (the q_merge_upsert algebra — full-outer
+    join + coalesce) into a parquet state table via foreachBatch. The
+    partials are DECIMAL, and decimal addition is associative-exact, so
+    ANY micro-batch split reproduces the one-shot batch aggregate
+    bit-for-bit — the oracle is the plain batch GROUP BY. The double
+    cast happens once, at read-out. Scale: state and delta shuffle on
+    the group key per batch (a lakehouse table format adds file-level
+    pruning on top of this same row algebra); state versions rotate, no
+    driver-side accumulation anywhere. Multi-batch split-invariance is
+    pinned by tests/test_streaming.py (maxFilesPerTrigger=1)."""
+    import tempfile
+
+    from .streaming.incremental import incremental_decimal_merge
+
+    ev = _events_stream(spark, sf_dir)
+    return incremental_decimal_merge(
+        ev,
+        tempfile.mkdtemp(prefix="inc_merge_"),
+        key="user_id",
+        value_col="value",
+    )
+
+
+@register(
     "streaming_static_join",
     """
     SELECT e.event_id, e.event_type, n.n_name AS region_name

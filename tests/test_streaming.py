@@ -318,3 +318,55 @@ class TestCheckpointRecovery:
 
         got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
         assert got == list(range(15))  # each record exactly once
+
+
+class TestIncrementalMerge:
+    def test_multi_batch_split_matches_batch_agg(self, spark, tmp_path):
+        """Decimal partials make the per-batch MERGE associative-exact:
+        three micro-batches (maxFilesPerTrigger=1) must reproduce the
+        one-shot batch aggregate bit-for-bit, including users whose rows
+        span batches."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            incremental_decimal_merge,
+        )
+
+        src = str(tmp_path / "inc_src")
+        os.makedirs(src)
+        rows = [
+            [(1, 1, 10, "a", 1.17, 0), (2, 1, 11, "b", 2.03, 0)],
+            [(3, 2, 10, "a", 0.49, 0), (4, 2, 12, "c", 7.77, 0)],
+            [(5, 3, 10, "b", 10.01, 0), (6, 3, 11, "a", 0.01, 0)],
+        ]
+        for i, batch in enumerate(rows):
+            _mk_events(spark, batch).write.parquet(f"{src}/f{i}.parquet")
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src + "/*")
+        )
+        out = incremental_decimal_merge(
+            stream, str(tmp_path / "inc_state"), key="user_id", value_col="value"
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+        batch_df = spark.read.parquet(src + "/*")
+        expect = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("tv"),
+            )
+            .collect()
+        }
+        assert got == expect
+        assert got[10] == (3, 11.67)  # spans all three batches
