@@ -2,8 +2,9 @@
 
     exact dedup → near-dup candidates (MinHash+LSH) → embedding-cosine
     verify → connected components → keep one doc per cluster → quality
-    filter (Gopher checks + repetition gate) → PII redaction → sequence
-    packing → train/val/test split
+    filter (Gopher checks + repetition gate) → unigram-rarity gate →
+    PII redaction → sequence packing → train/val/test split →
+    per-language temperature sampling weights
 
 Every stage is the operator the oracle-checked queries use; this script
 just composes them. Run:
@@ -76,6 +77,27 @@ def main() -> None:
     docs = docs.filter(score >= 3)
     n3 = docs.count()
 
+    # 5b. corpus-statistics gate (CCNet shape, cf. queries.text_token_rarity):
+    # drop the most boilerplate-heavy docs by mean inverse token frequency
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    rarity = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.col("total").cast("double") / F.col("cnt").cast("double")).alias("r"),
+    )
+    doc_rarity = (
+        toks.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg((F.sum("r") / F.count(F.lit(1))).alias("mean_rarity"))
+    )
+    docs = docs.join(
+        doc_rarity.filter(F.col("mean_rarity") >= 50.0).select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    n4 = docs.count()
+
     # 6. PII-style scrub before packing (regex masking, JVM-side)
     docs = docs.withColumn(
         "text",
@@ -99,8 +121,21 @@ def main() -> None:
         )
         .orderBy("split")
     )
-    print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
+    print(
+        f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}"
+        f" → rarity {n4}"
+    )
     summary.show(truncate=False)
+
+    # 9. temperature-rebalanced sampling weights per language (α = 0.5,
+    # cf. queries.sample_temperature_weights): what the data loader
+    # would sample each surviving language at
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = g.select("lang", "n", F.sqrt(F.col("n").cast("double")).alias("w"))
+    shares = w.crossJoin(F.broadcast(w.agg(F.sum("w").alias("tw")))).select(
+        "lang", "n", (F.col("w") / F.col("tw")).alias("sample_share")
+    )
+    shares.orderBy("lang").show()
     spark.stop()
 
 

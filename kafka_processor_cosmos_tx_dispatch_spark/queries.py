@@ -1283,6 +1283,102 @@ def q_join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_first_last",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_id, user_id,
+           first_value(v IGNORE NULLS) OVER w AS first_v,
+           last_value(v IGNORE NULLS) OVER w AS last_v,
+           nth_value(v, 2 IGNORE NULLS) OVER w AS second_v
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value window functions with IGNORE NULLS over a
+    full-partition frame (a sparse column: small values nulled). The
+    deterministic ordering includes the unique event_id tiebreak; the
+    carried doubles are untouched originals, so values hash-compare.
+    One shuffle on the partition key, full-frame functions evaluated in
+    a single pass per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        F.first("v", ignorenulls=True).over(w).alias("first_v"),
+        F.last("v", ignorenulls=True).over(w).alias("last_v"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_v"),
+    )
+
+
+@register(
+    "q_histogram_equiheight",
+    """
+    WITH v AS (SELECT CAST(value * 100 AS BIGINT) AS cents FROM events),
+    c AS (SELECT quantile_cont(cents, 0.125) AS c1, quantile_cont(cents, 0.25) AS c2,
+                 quantile_cont(cents, 0.375) AS c3, quantile_cont(cents, 0.5) AS c4,
+                 quantile_cont(cents, 0.625) AS c5, quantile_cont(cents, 0.75) AS c6,
+                 quantile_cont(cents, 0.875) AS c7
+          FROM v)
+    SELECT 1 + CAST(cents > c1 AS INT) + CAST(cents > c2 AS INT)
+             + CAST(cents > c3 AS INT) + CAST(cents > c4 AS INT)
+             + CAST(cents > c5 AS INT) + CAST(cents > c6 AS INT)
+             + CAST(cents > c7 AS INT) AS bucket,
+           COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM v CROSS JOIN c GROUP BY 1
+    """,
+)
+def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (quantile-bucketed) histogram WITHOUT the naive
+    global-ntile formulation: ntile needs a single-partition window (the
+    whole table through one task — the canonical scale killer). Instead:
+    octile cut points in one aggregate pass (binary-fraction percentiles
+    over integer cents, bit-stable per the determinism contract), then a
+    broadcast of the 1-row cut table and a JVM-side comparison chain
+    assigns buckets — two narrow passes, no global sort at any size.
+    Boundary ties go left in both engines (strict >)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select((F.col("value") * 100).cast("long").alias("cents"))
+    cuts = v.agg(
+        *[
+            F.expr(f"percentile(cents, {k}/8.0)").alias(f"c{k}")
+            for k in range(1, 8)
+        ]
+    )
+    b = v.crossJoin(F.broadcast(cuts)).select(
+        "cents",
+        sum(
+            [F.lit(1)]
+            + [
+                (F.col("cents") > F.col(f"c{k}")).cast("int")
+                for k in range(1, 8)
+            ],
+            start=F.lit(0),
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+@register(
     "q_join_null_safe",
     """
     WITH a AS (SELECT NULLIF(c_nationkey % 5, 0) AS k FROM customer),
@@ -3346,6 +3442,48 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
             / F.lit(1000000.0)
         ).alias("mean_rarity"),
+    )
+
+
+@register(
+    "text_duplicate_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(CASE WHEN len(t) >= 5 THEN
+                   list_transform(generate_series(1, len(t) - 4),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+                 ELSE CAST([] AS VARCHAR[]) END) AS ng
+          FROM t)
+    SELECT ng, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY ng
+    ORDER BY n DESC, ng LIMIT 20
+    """,
+)
+def text_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-substring audit (the aggregate view of
+    'Deduplicating Training Data Makes LMs Better': which exact 5-gram
+    spans recur most, and across how many documents). One explode + one
+    hash agg + bounded top-k — the shuffle keys are the n-grams
+    themselves, map-side partial aggregation collapses the hot ones, and
+    TakeOrderedAndProject keeps only 20 rows per partition. The full
+    suffix-array approach finds arbitrary-length spans; fixed-length
+    n-gram counting is its bounded-memory streaming approximation."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")), 5)).alias("ng"),
+    )
+    return (
+        g.groupBy("ng")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), F.asc("ng"))
+        .limit(20)
     )
 
 
