@@ -91,11 +91,17 @@ def main() -> None:
         .groupBy("doc_id")
         .agg((F.sum("r") / F.count(F.lit(1))).alias("mean_rarity"))
     )
-    docs = docs.join(
-        doc_rarity.filter(F.col("mean_rarity") >= 50.0).select("doc_id"),
-        "doc_id",
-        "semi",
+    # relative gate: drop the bottom decile (most boilerplate-heavy);
+    # an absolute threshold would be corpus-vocabulary-dependent
+    thr = doc_rarity.agg(
+        F.expr("percentile(mean_rarity, 0.1)").alias("thr")
     )
+    keep = (
+        doc_rarity.crossJoin(F.broadcast(thr))
+        .filter(F.col("mean_rarity") >= F.col("thr"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "semi")
     n4 = docs.count()
 
     # 6. PII-style scrub before packing (regex masking, JVM-side)
