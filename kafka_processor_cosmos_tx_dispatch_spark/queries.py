@@ -3794,6 +3794,70 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_latest_by_key",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
+    """,
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction (the CDC/upsert-log dedup step) via
+    max_by over a lexicographic (ts, event_id) struct — a HASH AGGREGATE
+    with map-side partial combine, deliberately not the window
+    row_number formulation the oracle uses: the window needs a full
+    per-partition sort of every row, the agg keeps one row of state per
+    key and never sorts. Same result, strictly better 100 TB plan; the
+    unique event_id tiebreak makes both deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    )
+    return s.select("user_id", "s.event_id", "s.event_type", "s.value")
+
+
+@register(
+    "q_sketch_merge_hll",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events
+    """,
+)
+def q_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-partials-merge-later sketch pattern (Apache
+    DataSketches HLL): build one sketch per day partition, then
+    hll_union_agg merges the fixed-size binaries and estimates the
+    global distinct — the shape that lets a 100 TB pipeline keep
+    per-partition summaries and answer corpus-wide cardinality without
+    re-scanning. Sketch bytes are engine-specific, so the oracle pins
+    the INVARIANT: merged estimate within 5% of exact (deterministic
+    for fixed data+lgK, not a flaky tolerance)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.countDistinct("user_id").alias("nd_day"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("approx_ok"),
+    )
+
+
+@register(
     "q_time_bucket_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
