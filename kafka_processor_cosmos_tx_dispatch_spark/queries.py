@@ -3806,12 +3806,15 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-row-per-key compaction (the CDC/upsert-log dedup step) via
-    max_by over a lexicographic (ts, event_id) struct — a HASH AGGREGATE
-    with map-side partial combine, deliberately not the window
-    row_number formulation the oracle uses: the window needs a full
-    per-partition sort of every row, the agg keeps one row of state per
-    key and never sorts. Same result, strictly better 100 TB plan; the
-    unique event_id tiebreak makes both deterministic."""
+    max_by over a lexicographic (ts, event_id) struct — deliberately not
+    the window row_number formulation the oracle uses. The win is
+    shuffle VOLUME: partial_max_by combines map-side, so the exchange
+    moves one row per key per map partition, where the window shuffles
+    every input row and then sorts each partition by (key, ts, id).
+    (Struct agg state isn't hash-aggregable, so the local step is a
+    SortAggregate on the key alone — the cheap part; the wire is what
+    matters at 100 TB.) Unique event_id tiebreak keeps both engines
+    deterministic."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy("user_id").agg(
         F.max_by(

@@ -227,3 +227,32 @@ def test_corpus_scoring_queries_stay_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
         # scalar one-row broadcasts are fine; a full cartesian is not
         assert "CartesianProduct" not in plan, name
+
+
+def test_latest_by_key_combines_map_side_not_window(spark, sf_dir):
+    """q_latest_by_key's claim: max_by compaction combines map-side
+    (partial_max_by below the exchange — one row per key per map
+    partition crosses the wire) and never uses a Window node."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["q_latest_by_key"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_equiheight_histogram_has_no_global_window(spark, sf_dir):
+    """Equi-height bucketing must use cut points + broadcast, never a
+    global ntile (a single-partition window that funnels the whole table
+    through one task)."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["q_histogram_equiheight"](spark, sf_dir))
+    # ntile could only appear inside a Window node, so this covers it
+    assert "Window" not in plan
+
+
+def test_gap_fill_stays_jvm_side(spark, sf_dir):
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["q_gap_fill_locf"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
