@@ -3794,6 +3794,72 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_nested_lines",
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list({'l_linenumber': l_linenumber,
+                   'l_quantity': CAST(l_quantity AS BIGINT)}
+                  ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS lines
+      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           lines[1]['l_quantity'] AS first_qty,
+           lines[len(lines)]['l_quantity'] AS last_qty,
+           list_max(list_transform(generate_series(1, len(lines) - 1),
+             i -> abs(lines[i+1]['l_quantity'] - lines[i]['l_quantity'])))
+             AS max_jump
+    FROM g
+    """,
+)
+def q_nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip: build a per-order array<struct> of line
+    items (collect_list is shuffle-order-nondeterministic, so sort_array
+    on the struct — lexicographic over (l_linenumber, l_quantity), which
+    the oracle's ORDER BY mirrors; the synthetic line numbers are NOT
+    unique per order, so the second key is load-bearing), then
+    consume it with index-aware HOF lambdas (first/last element, max
+    adjacent-quantity jump) without ever exploding back to rows. The
+    nested column stays row-local: one shuffle for the groupBy, every
+    derived value a codegen'd projection."""
+    from .functions import exprs as EX
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber"),
+                    F.col("l_quantity").cast("long").alias("l_quantity"),
+                )
+            )
+        ).alias("lines")
+    )
+
+    def body(lines: F.Column) -> F.Column:
+        jumps = F.transform(
+            F.sequence(F.lit(1), F.size(lines) - 1),
+            lambda i: F.abs(
+                F.element_at(lines, i + 1)["l_quantity"]
+                - F.element_at(lines, i)["l_quantity"]
+            ),
+        )
+        return F.struct(
+            F.size(lines).alias("n_lines"),
+            F.element_at(lines, 1)["l_quantity"].alias("first_qty"),
+            F.element_at(lines, F.size(lines))["l_quantity"].alias("last_qty"),
+            # sequence(1, 0) is DESCENDING in Spark — guard single-line
+            F.when(F.size(lines) >= 2, F.array_max(jumps)).alias("max_jump"),
+        )
+
+    return g.select(
+        "l_orderkey", EX.bind(F.col("lines"), body).alias("s")
+    ).select("l_orderkey", "s.n_lines", "s.first_qty", "s.last_qty", "s.max_jump")
+
+
+@register(
     "q_latest_by_key",
     """
     WITH r AS (
