@@ -57,15 +57,20 @@ def main() -> None:
     emb = emb.select("vec_id", "v", V.dot_int(F.col("v"), F.col("v")).alias("nsq"))
     j = pairs.join(
         emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
-                   F.col("nsq").alias("na")), "doc_a"
+                   F.col("nsq").alias("na")), "doc_a", "left"
     ).join(
         emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
-                   F.col("nsq").alias("nb")), "doc_b"
+                   F.col("nsq").alias("nb")), "doc_b", "left"
     )
     sim = V.dot_int(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
-    verified = j.filter(sim >= 0.4).select("doc_a", "doc_b")
+    # a candidate missing an embedding passes through UNVERIFIED (left
+    # joins + null-sim coalesce) — dropping it would silently keep both
+    # duplicates whenever embedding coverage is partial
+    verified = j.filter(F.coalesce(sim >= 0.4, F.lit(True))).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components(verified)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")

@@ -167,3 +167,50 @@ def quality_score(text: Column, toks: Column) -> Column:
     for chk in checks:
         total = total + F.when(chk, 1).otherwise(0)
     return total
+
+
+# ---------------------------------------------------------------------------
+# corpus-level statistics (DataFrame-in, DataFrame-out)
+# ---------------------------------------------------------------------------
+
+
+def token_rarity_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+):
+    """Per-doc (n_tokens, rarity_sum) from corpus-wide token statistics —
+    the unigram-LM quality-scoring core (CCNet shape), shared by
+    queries.text_token_rarity (oracle-checked) and tools/scale_probe.py.
+
+    Per-token rarity is the exact integer floor(scale * total / cnt)
+    (one correctly-rounded IEEE divide + floor — ln() would differ
+    across engines in the last ULP), so per-doc sums are
+    order-independent. The LM 'model' (freq) is vocab-sized; the apply
+    step is a corpus × vocab equi-join on the token (AQE handles
+    stopword skew), then one doc-keyed agg.
+    """
+    toks = docs.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    rarity = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.lit(float(scale))
+            * F.col("total").cast("double")
+            / F.col("cnt").cast("double")
+        )
+        .cast("long")
+        .alias("rarity"),
+    )
+    return (
+        toks.join(rarity, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rarity").alias("rarity_sum"),
+        )
+    )

@@ -1329,7 +1329,7 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_histogram_equiheight",
     """
-    WITH v AS (SELECT CAST(value * 100 AS BIGINT) AS cents FROM events),
+    WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
     c AS (SELECT quantile_cont(cents, 0.125) AS c1, quantile_cont(cents, 0.25) AS c2,
                  quantile_cont(cents, 0.375) AS c3, quantile_cont(cents, 0.5) AS c4,
                  quantile_cont(cents, 0.625) AS c5, quantile_cont(cents, 0.75) AS c6,
@@ -1351,9 +1351,12 @@ def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     over integer cents, bit-stable per the determinism contract), then a
     broadcast of the 1-row cut table and a JVM-side comparison chain
     assigns buckets — two narrow passes, no global sort at any size.
-    Boundary ties go left in both engines (strict >)."""
+    Boundary ties go left in both engines (strict >). The cents
+    conversion must round EXPLICITLY: a bare double→BIGINT cast rounds
+    in DuckDB but truncates in Spark, so 35.61*100 = 3560.999… lands on
+    different integers and every downstream cut shifts."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select((F.col("value") * 100).cast("long").alias("cents"))
+    v = ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
     cuts = v.agg(
         *[
             F.expr(f"percentile(cents, {k}/8.0)").alias(f"c{k}")
@@ -2291,7 +2294,8 @@ def _pr_iter(k: int, prev: str) -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 unrolled iterations, damping 0.85) over
     the customer→supplier purchase graph — the second iterative
-    algorithm next to connected components, in the Pregel shape: each
+    algorithm next to connected components (operators/graph.py:pagerank,
+    shared with the 50x scale probe), in the Pregel shape: each
     round is one edges⋈ranks equi-join + a dst-keyed agg. All arithmetic
     is int64 floor division (rank scale 10^12, contribution
     (85·r) DIV (100·outdeg)), so ranks are exact integers: no float
@@ -2301,6 +2305,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ranks/nodes/outdeg all partition by node key; for deep
     iteration counts the loop needs checkpoint truncation exactly like
     operators/dedup.py:connected_components (3 rounds doesn't)."""
+    from .operators.graph import pagerank
+
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     edges = (
@@ -2311,38 +2317,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr("1000000000000 DIV n").alias("r")
-    )
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outd, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(85 * r) DIV (100 * d)").alias("c"),
-            )
-        )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.expr("150000000000 DIV n")
-                    + F.coalesce(F.col("inflow"), F.lit(0))
-                ).alias("r"),
-            )
-        )
-    return ranks
+    return pagerank(edges, rounds=3)
 
 
 @register(
@@ -3410,29 +3385,7 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
-    )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = freq.agg(F.sum("cnt").alias("total"))
-    rarity = freq.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.floor(
-            F.lit(1000000.0)
-            * F.col("total").cast("double")
-            / F.col("cnt").cast("double")
-        )
-        .cast("long")
-        .alias("rarity"),
-    )
-    per_doc = (
-        toks.join(rarity, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("rarity").alias("rarity_sum"),
-        )
-    )
+    per_doc = TX.token_rarity_scores(docs, scale=1_000_000)
     return per_doc.select(
         "doc_id",
         "n_tokens",

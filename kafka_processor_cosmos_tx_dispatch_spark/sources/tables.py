@@ -75,6 +75,10 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     # the driver for every widened query, defeating lazy planning. A scan of
     # >= target files is already at least that wide (one split per file
     # minimum); fewer files than target means a narrow scan worth widening.
+    # Known proxy limits (deliberate): an explicitly coalesced file-backed
+    # frame still counts its files (don't widen() after coalesce), and a
+    # non-file frame (no metadata at all) is repartitioned unconditionally —
+    # cheap for the small in-memory frames where that occurs.
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plans (e.g. in-memory test frames)

@@ -66,7 +66,16 @@ def incremental_decimal_merge(
         v = latest["v"] + 1
         path = os.path.join(state_dir, f"v{v}")
         merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
         latest.update(path=path, v=v)
+        if prev_path is not None:
+            # v{n} is fully committed — prune v{n-1} so state is bounded
+            # at one version, not O(batches) copies. Local-fs removal
+            # here; a cluster deployment points state at a table format
+            # whose commit protocol handles retention instead.
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -74,7 +83,14 @@ def incremental_decimal_merge(
         .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partial state table is NOT the aggregate — fail loudly rather
+        # than silently returning an undercount
+        q.stop()
+        raise TimeoutError(
+            "incremental_decimal_merge: stream did not finish within 300s; "
+            "state is partial"
+        )
     spark = stream.sparkSession
     if latest["path"] is None:
         return spark.createDataFrame(

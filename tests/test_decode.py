@@ -219,6 +219,7 @@ def test_descriptor_set_is_valid_protobuf(spark):
     tools/gen_descriptor.py. The spark-protobuf connector isn't bundled in
     this container (jvm_decode_available → False), so the JVM tier is
     exercised structurally; decode_tx_records stays the working path."""
+    import os
     import sys
 
     from kafka_processor_cosmos_tx_dispatch_spark.operators import decode as dec
@@ -242,7 +243,12 @@ def test_descriptor_set_is_valid_protobuf(spark):
     assert "cosmos.staking.v1beta1" in pkgs
 
     # regeneration is deterministic and matches the checked-in bytes
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
     try:
         import gen_descriptor
 

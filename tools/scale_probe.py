@@ -173,73 +173,26 @@ def main() -> None:
         lambda: run(embedding_near_dup_pairs(vecs, threshold=0.9)),
     )
 
-    # corpus-statistics build + apply (unigram rarity, queries.py
-    # text_token_rarity shape): vocab-sized model, corpus×vocab equi-join
+    # corpus-statistics build + apply (unigram rarity): the SAME operator
+    # the oracle-checked query uses (functions/text.py:token_rarity_scores)
     from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
 
-    def rarity():
-        toks = docs.select(
-            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
-        )
-        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        tot = freq.agg(F.sum("cnt").alias("total"))
-        r = freq.crossJoin(F.broadcast(tot)).select(
-            "tok",
-            F.floor(
-                F.lit(1e6) * F.col("total").cast("double") / F.col("cnt").cast("double")
-            ).alias("r"),
-        )
-        return (
-            toks.join(r, "tok")
-            .groupBy("doc_id")
-            .agg(F.sum("r").alias("rs"), F.count(F.lit(1)).alias("n"))
-        )
+    probe(
+        "token_rarity",
+        args.docs,
+        lambda: run(TX.token_rarity_scores(docs)),
+    )
 
-    probe("token_rarity", args.docs, lambda: run(rarity()))
+    # PageRank rounds over a synthetic power-law-ish edge graph: the SAME
+    # operator the oracle-checked query uses (operators/graph.py:pagerank)
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import pagerank
 
-    # PageRank rounds over a synthetic power-law-ish edge graph: each
-    # round is one edges⋈ranks equi-join + dst agg (queries.graph_pagerank)
     n_edges = args.events // 5
     edges = spark.range(n_edges).select(
         (F.abs(F.xxhash64("id")) % 100_000).alias("src"),
         (F.abs(F.xxhash64("id", F.lit(7))) % (1 + F.col("id") % 1000)).alias("dst"),
     )
-
-    def pagerank_rounds():
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-        outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        ranks = nodes.crossJoin(F.broadcast(nn)).select(
-            "node", F.expr("1000000000000 DIV n").alias("r")
-        )
-        for _ in range(3):
-            contrib = (
-                edges.join(ranks, edges.src == ranks.node)
-                .join(outd, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("(85 * r) DIV (100 * d)").alias("c"),
-                )
-            )
-            inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-            ranks = (
-                nodes.join(inflow, "node", "left")
-                .crossJoin(F.broadcast(nn))
-                .select(
-                    "node",
-                    (
-                        F.expr("150000000000 DIV n")
-                        + F.coalesce(F.col("inflow"), F.lit(0))
-                    ).alias("r"),
-                )
-            )
-        return ranks
-
-    probe("pagerank_3rounds", n_edges, lambda: run(pagerank_rounds()))
+    probe("pagerank_3rounds", n_edges, lambda: run(pagerank(edges, rounds=3)))
 
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
