@@ -3845,6 +3845,66 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sketch_countmin",
+    """
+    WITH it AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS item,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    h AS (SELECT item, cnt,
+                 ('0x' || substring(md5(CAST(item AS VARCHAR)), 1, 12))::BIGINT % 64 AS b0,
+                 ('0x' || substring(md5(CAST(item AS VARCHAR)), 13, 12))::BIGINT % 64 AS b1,
+                 ('0x' || substring(md5(CAST(item AS VARCHAR)), 21, 12))::BIGINT % 64 AS b2
+          FROM it),
+    s0 AS (SELECT b0, SUM(cnt) AS s FROM h GROUP BY b0),
+    s1 AS (SELECT b1, SUM(cnt) AS s FROM h GROUP BY b1),
+    s2 AS (SELECT b2, SUM(cnt) AS s FROM h GROUP BY b2)
+    SELECT h.item, CAST(h.cnt AS BIGINT) AS n_exact,
+           CAST(least(s0.s, s1.s, s2.s) AS BIGINT) AS est,
+           least(s0.s, s1.s, s2.s) >= h.cnt AS admissible
+    FROM h JOIN s0 USING (b0) JOIN s1 USING (b1) JOIN s2 USING (b2)
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=3 rows × w=64 buckets) for approximate
+    frequencies — and unlike HLL/GK, the ESTIMATES are hash-compared,
+    not just invariant-pinned: every CMS cell is an integer sum over
+    md5-derived buckets (the same conv/'0x'-substring idiom as MinHash),
+    so both engines build the identical sketch. est = min over rows of
+    the item's bucket sums; `admissible` pins the CMS guarantee
+    est >= exact. Scale: the sketch is built from the domain-sized item
+    counts (one corpus agg), then three bucket re-aggs of that bounded
+    table — raw events are touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    it = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("item")
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    digest = F.md5(F.col("item").cast("string"))
+    h = it.select(
+        "item",
+        "cnt",
+        (F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % 64).alias("b0"),
+        (F.conv(F.substring(digest, 13, 12), 16, 10).cast("long") % 64).alias("b1"),
+        (F.conv(F.substring(digest, 21, 12), 16, 10).cast("long") % 64).alias("b2"),
+    )
+    rows = [
+        h.groupBy(f"b{j}").agg(F.sum("cnt").alias(f"s{j}")) for j in range(3)
+    ]
+    j = h.join(rows[0], "b0").join(rows[1], "b1").join(rows[2], "b2")
+    est = F.least("s0", "s1", "s2")
+    return j.select(
+        "item",
+        F.col("cnt").alias("n_exact"),
+        est.alias("est"),
+        (est >= F.col("cnt")).alias("admissible"),
+    )
+
+
+@register(
     "q_sketch_merge_hll",
     """
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
