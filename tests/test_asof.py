@@ -163,3 +163,49 @@ def test_asof_forward_with_tolerance(spark):
         103: (None, None),  # following row exists but outside tolerance
     }
     assert out.count() == left.count()
+
+
+def test_asof_forward_matches_naive_reference(spark):
+    """Property check for direction='forward' + tolerance against a naive
+    per-row reference on a pseudo-random input (deterministic seed)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    left = [(rng.randrange(4), rng.randrange(100), i) for i in range(120)]
+    right = [(rng.randrange(4), rng.randrange(100), 1000 + i) for i in range(80)]
+    tol_min = 15
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in left], "k int, ts timestamp, left_id int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in right], "k int, ts timestamp, rid int"
+    )
+    out = asof_join(
+        ldf,
+        rdf,
+        keys=["k"],
+        ts_col="ts",
+        right_value_cols=["rid"],
+        tiebreak_col="rid",
+        direction="forward",
+        tolerance_us=tol_min * 60 * 1_000_000,
+    )
+    got = {r["left_id"]: r["asof_rid"] for r in out.collect()}
+
+    def expect(k, m):
+        cands = [(rm, rid) for rk, rm, rid in right if rk == k and rm >= m]
+        if not cands:
+            return None
+        # earliest ts wins; among equal ts the max rid (tiebreak_col)
+        best_ts = min(rm for rm, _ in cands)
+        if best_ts - m > tol_min:
+            return None
+        return max(rid for rm, rid in cands if rm == best_ts)
+
+    want = {i: expect(k, m) for k, m, i in left}
+    assert got == want
