@@ -74,8 +74,13 @@ def asof_join(
             T.StructField(a, right.schema[c].dataType)
             for c, a in zip(right_value_cols, carried)
         ]
-        # right row's own ts rides along for the tolerance predicate
-        + [T.StructField("__asof_ts", right.schema[ts_col].dataType)]
+        # right row's own ts rides along ONLY when a tolerance predicate
+        # needs it — the field costs window-state bytes per row otherwise
+        + (
+            [T.StructField("__asof_ts", right.schema[ts_col].dataType)]
+            if tolerance_us is not None
+            else []
+        )
     )
     l_tagged = left.select(
         *left_cols,
@@ -100,7 +105,11 @@ def asof_join(
         tie.alias("__tie"),
         F.struct(
             *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
-            F.col(ts_col).alias("__asof_ts"),
+            *(
+                [F.col(ts_col).alias("__asof_ts")]
+                if tolerance_us is not None
+                else []
+            ),
         ).alias("__asof"),
     ).select(*l_tagged.columns)  # align column order for union
 
