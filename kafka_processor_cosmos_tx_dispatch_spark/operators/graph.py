@@ -30,13 +30,19 @@ def pagerank(edges: DataFrame, rounds: int = 3) -> DataFrame:
     truncation exactly like operators/dedup.py:connected_components
     (a handful of rounds doesn't). Returns (node, r).
     """
+    # edges/nodes/outd are referenced in EVERY round — without lineage
+    # truncation Spark recomputes the caller's upstream plan (a join +
+    # distinct for the purchase graph) once per reference. Same
+    # localCheckpoint pattern as operators/dedup.connected_components.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{RANK_SCALE} DIV n").alias("r")
     )
