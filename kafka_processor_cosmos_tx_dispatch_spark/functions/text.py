@@ -194,7 +194,18 @@ def token_rarity_scores(
     toks = docs.select(
         id_col, F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # freq has THREE consumers (total, rarity, and transitively the apply
+    # join); un-materialized, each one recomputes a full corpus
+    # tokenization pass (no exchange/stage reuse across consumers, even
+    # under AQE). Checkpointing the vocab-sized agg caps the operator at
+    # the two unavoidable corpus passes: the freq build and the apply
+    # join (toks itself is cheaper to re-derive than to materialize
+    # exploded).
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     tot = freq.agg(F.sum("cnt").alias("total"))
     rarity = freq.crossJoin(F.broadcast(tot)).select(
         "tok",

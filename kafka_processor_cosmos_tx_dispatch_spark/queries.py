@@ -3338,7 +3338,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df re-agg and the final join; without
+    # materialization Spark recomputes the whole scan+explode+agg per
+    # consumer (verified: no exchange/stage reuse even under AQE —
+    # post-agg tf is the small relation, so one localCheckpoint beats
+    # two corpus tokenization passes).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("tok")
