@@ -1447,9 +1447,13 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine generation and the (key, hour) equi-join partition by key;
     the LOCF window is the same single-shuffle shape as the as-of join."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(_dsum(F.col("value")).alias("v"))
+    # key×hours-sized and consumed twice (bounds + the spine join) —
+    # checkpoint so the events scan runs once
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(_dsum(F.col("value")).alias("v"))
+        .localCheckpoint()
+    )
     bounds = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -3885,12 +3889,15 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (one corpus agg), then three bucket re-aggs of that bounded
     table — raw events are touched once."""
     ev = load_table(spark, sf_dir, "events")
+    # domain-sized and consumed four times (three bucket re-aggs + the
+    # estimate join) — checkpoint so the raw events scan runs once
     it = (
         ev.select(
             F.get_json_object("props", "$.k").cast("int").alias("item")
         )
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     digest = F.md5(F.col("item").cast("string"))
     h = it.select(
@@ -4108,7 +4115,13 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a group-count agg; everything after operates on the
     groups-sized table (bounded, broadcast)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # groups-sized and consumed twice (normalizer + final select) —
+    # checkpoint so the corpus is scanned once, not per consumer
+    g = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
     w = g.select(
         "lang",
         "n_docs",
