@@ -1283,6 +1283,44 @@ def q_join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_time_range",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_2h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+           ) AS n_2h
+    FROM events
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (the trailing-window time-series op:
+    'sum over the last 2 hours per key'). RANGE bounds are defined on the
+    ORDER BY value itself, so equal-ts rows share one frame and no row
+    tiebreak is needed — unlike ROWS frames, the result is deterministic
+    without a unique ordering column. Decimal sums keep every frame
+    exact. One shuffle on the key; frames evaluated with a sliding
+    add/remove pass per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    two_hours = 2 * 3600 * 1_000_000  # RANGE in unix_micros space
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-two_hours, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC_PRICE)).over(w).cast("double").alias("sum_2h"),
+        F.count(F.lit(1)).over(w).alias("n_2h"),
+    )
+
+
+@register(
     "q_window_first_last",
     """
     WITH v AS (
