@@ -3492,6 +3492,62 @@ def text_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    n AS (SELECT doc_id, t, len(t) AS n_toks,
+                 ((greatest(len(t) - 32, 0) + 23) // 24) + 1 AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id, t, n_toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM n)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                AS INTEGER) AS chunk_tokens,
+           array_to_string(
+             list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24 — the
+    embedding/pretraining chunker: every token is covered, consecutive
+    chunks share 8 tokens of context). The token array is built ONCE per
+    row (let-bound), the chunk count is a closed-form integer, and the
+    explode emits only index rows — each chunk then slices the bound
+    array, so work is O(total chunk tokens), with no re-tokenization per
+    chunk and no shuffle at all: the whole operator is a narrow
+    Generate + Project at any corpus size."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    size, stride = 32, 24
+
+    def chunks(t: F.Column) -> F.Column:
+        n_chunks = (
+            (F.greatest(F.size(t) - size, F.lit(0)) + (stride - 1))
+            .cast("long")
+            / stride
+        ).cast("long") + 1
+        return F.struct(
+            t.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
+        )
+
+    b = docs.select(
+        "doc_id", EX.bind(TX.tokens(F.col("text")), chunks).alias("s")
+    ).select("doc_id", F.col("s.t").alias("t"), F.explode("s.idx").alias("chunk_idx"))
+    sliced = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, size)
+    return b.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sliced).alias("chunk_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )
+
+
+@register(
     "text_repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
