@@ -126,6 +126,49 @@ def _signature_array(text: F.Column, k: int, shingle_n: int) -> F.Column:
     return EX.bind(pairs, mins)
 
 
+def _banded_keys(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc_id, band_key) rows: shingle → k min-hashes → `bands` md5 band
+    keys. Band keys are derived INSIDE a second let over the signature
+    array, so the whole shingle→signature pipeline runs once per doc
+    inside the explode's generator; distinct() then materializes
+    (doc_id, band_key) and everything downstream touches only those two
+    columns. explode_outer + null filter, not plain explode: the
+    non-outer Generate makes Catalyst infer a size()>0 pre-filter that
+    would run the entire md5 signature pipeline a second time per doc."""
+    assert k % bands == 0
+    r = k // bands
+    sig = _signature_array(F.col(text_col), k, shingle_n)
+
+    def band_keys(s: F.Column) -> F.Column:
+        # null sig (no shingles) → null array → explode emits nothing
+        return F.when(
+            s.isNotNull(),
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[s.getItem(b * r + i) for i in range(r)]))
+                    for b in range(bands)
+                ]
+            ),
+        )
+
+    return (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(EX.bind(sig, band_keys)).alias("band_key"),
+        )
+        .filter(F.col("band_key").isNotNull())
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -144,38 +187,7 @@ def minhash_lsh_pairs(
     of docs — e.g. boilerplate) which would otherwise explode
     quadratically; real pipelines log these instead of joining them.
     """
-    assert k % bands == 0
-    r = k // bands
-    sig = _signature_array(F.col(text_col), k, shingle_n)
-
-    def band_keys(s: F.Column) -> F.Column:
-        # null sig (no shingles) → null array → explode emits nothing
-        return F.when(
-            s.isNotNull(),
-            F.array(
-                *[
-                    F.md5(F.concat_ws("|", *[s.getItem(b * r + i) for i in range(r)]))
-                    for b in range(bands)
-                ]
-            ),
-        )
-
-    # band keys are derived INSIDE a second let over the signature array,
-    # so the whole shingle→signature pipeline runs once per doc inside the
-    # explode's generator; distinct() then materializes (doc_id, band_key)
-    # and everything downstream touches only those two columns.
-    # explode_outer + null filter, not plain explode: the non-outer
-    # Generate makes Catalyst infer a size()>0 pre-filter that would run
-    # the entire md5 signature pipeline a second time per doc.
-    banded = (
-        widen(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode_outer(EX.bind(sig, band_keys)).alias("band_key"),
-        )
-        .filter(F.col("band_key").isNotNull())
-        .distinct()
-    )
+    banded = _banded_keys(docs, id_col, text_col, k, bands, shingle_n)
     # Bucket cap as a count window over the band_key partitioning (not a
     # separate sizes-agg + join-back): the window's exchange is the SAME
     # hashpartitioning(band_key) the self-join needs, so AQE's exchange
@@ -198,6 +210,44 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def minhash_lsh_pairs_between(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 3,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental dedup: near-dup candidates ONLY across snapshots —
+    each new doc vs the existing corpus, never corpus × corpus. The
+    dominant quadratic term of a full self-join (old×old, the corpus
+    against itself) is skipped entirely, so the cost of deduplicating a
+    new crawl is O(new · collision rate), independent of corpus size.
+    The bucket cap applies to the CORPUS side (boilerplate band keys are
+    the blowup risk there); the join is a plain band-key equi-join, so
+    at 100 TB the corpus's banded table can be written once and reused
+    per crawl. Returns (new_id, old_id) distinct."""
+    bn = _banded_keys(new, id_col, text_col, k, bands, shingle_n)
+    bo = _banded_keys(old, id_col, text_col, k, bands, shingle_n)
+    w = Window.partitionBy("band_key")
+    bo_capped = (
+        bo.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    return (
+        bn.alias("n")
+        .join(bo_capped.alias("o").hint("shuffle_hash"), "band_key")
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2268,6 +2268,37 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    f"""
+    WITH {_minhash_sig_sql()},
+    ok_old AS (SELECT band_key FROM banded WHERE doc_id < 250
+               GROUP BY band_key HAVING COUNT(*) <= {_LSH_MAX_BUCKET})
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM banded n
+    JOIN ok_old ON n.band_key = ok_old.band_key
+    JOIN banded o ON n.band_key = o.band_key AND o.doc_id < 250
+    WHERE n.doc_id >= 250
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (new crawl vs existing corpus, here split at
+    doc_id 250): banded LSH join ACROSS the snapshots only —
+    operators/dedup.py:minhash_lsh_pairs_between skips the corpus×corpus
+    quadratic term entirely, so each new batch costs O(new · collisions)
+    regardless of corpus size. The production loop: dedup the new batch
+    against the corpus, drop hits, append survivors, reuse the corpus's
+    banded table next crawl."""
+    from .operators.dedup import minhash_lsh_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return minhash_lsh_pairs_between(
+        new, old, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+
+
+@register(
     "dedup_connected_components",
     f"""
     WITH RECURSIVE {_minhash_sig_sql()},
