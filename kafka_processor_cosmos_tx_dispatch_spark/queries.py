@@ -1970,6 +1970,41 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_set_ops_all",
+    """
+    SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', nationkey, COUNT(*) FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-aware — each duplicate survives min(l,r) or max(l-r,0)
+    times, which Spark plans as a counted anti/semi computation, not a
+    distinct. Output is aggregated per key so the multiplicities
+    themselves are what hash-compares."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+    def agg(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("nationkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(op).alias("op"), "nationkey", "n")
+
+    return agg(cust.intersectAll(supp), "intersect_all").unionByName(
+        agg(cust.exceptAll(supp), "except_all")
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function families
 # --------------------------------------------------------------------------
@@ -4701,6 +4736,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_dedup_payload",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS content_md5,
+                      octet_length(encode(text)) AS n_bytes
+               FROM documents)
+    SELECT content_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(MIN(n_bytes) AS BIGINT) AS n_bytes
+    FROM h GROUP BY content_md5 HAVING COUNT(*) >= 1
+    """,
+)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection on the BINARY payload column (the image
+    dedup step every multimodal crawl runs first: same bytes ⇒ same
+    asset, before any perceptual hashing). md5 runs JVM-side directly on
+    the binary column — the payload never leaves the executor and the
+    shuffle carries 16-byte digests, not blobs; min-id keeper per
+    content group mirrors the text dedup contract."""
+    from .operators.multimodal import with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs)
+    return (
+        b.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("content_md5"),
+            F.length(F.col("payload")).alias("n_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+    )
 
 
 def _family(name: str) -> str:
