@@ -2005,6 +2005,38 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scalar_try",
+    """
+    SELECT event_id,
+           value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_ratio,
+           TRY_CAST(event_type AS INTEGER) AS etype_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           list_extract(string_split(event_type, '_'), 3) AS third_piece
+    FROM events
+    """,
+)
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (try_divide / try_cast / try_element_at):
+    malformed input yields NULL instead of a task failure — the ANSI-safe
+    row-level error handling a 100 TB batch needs, where one bad record
+    must not kill a 10-hour job. Cross-engine parity verified: Spark
+    try_divide by zero ≡ DuckDB NULLIF-divide, try_cast ≡ TRY_CAST,
+    try_element_at out-of-bounds ≡ list_extract (both NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 3).cast("double")
+        ).alias("safe_ratio"),
+        F.expr("try_cast(event_type AS INT)").alias("etype_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.try_element_at(F.split("event_type", "_"), F.lit(3)).alias(
+            "third_piece"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function families
 # --------------------------------------------------------------------------
