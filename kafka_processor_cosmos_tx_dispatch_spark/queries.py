@@ -1516,6 +1516,49 @@ def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bucketed_join_agg",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS volume
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both sides written `bucketBy(8, orderkey)`
+    (pre-shuffled at write time), then joined and aggregated. On a
+    cluster this is THE repeated-fact-join pattern — the scans come up
+    hash-partitioned, so the join needs no Exchange on either side
+    (pinned by tests/test_scale_plans.py:test_bucketed_join_has_no_exchange);
+    here the same path is driven end-to-end through the warehouse with
+    the result oracle-checked against the plain join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for name, df, key in (
+        ("bq_orders", orders, "o_orderkey"),
+        ("bq_lineitem", li, "l_orderkey"),
+    ):
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(name)
+    o = spark.table("bq_orders")
+    l = spark.table("bq_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_extendedprice")).alias("volume"),
+        )
+    )
+
+
+@register(
     "q_merge_upsert",
     """
     WITH src AS (
@@ -2363,6 +2406,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_between(
         new, old, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
     )
+
+
+@register(
+    "sample_balanced_pairs",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pos AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    neg0 AS (
+      SELECT least(doc_id, (doc_id + 250) % 500) AS doc_a,
+             greatest(doc_id, (doc_id + 250) % 500) AS doc_b
+      FROM documents WHERE doc_id <> (doc_id + 250) % 500),
+    neg AS (
+      SELECT DISTINCT n.doc_a, n.doc_b FROM neg0 n
+      LEFT JOIN pos p ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
+      WHERE p.doc_a IS NULL)
+    SELECT doc_a, doc_b, 1 AS label FROM pos
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS label FROM neg
+    """,
+)
+def sample_balanced_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair assembly: positives = LSH near-dup
+    candidates (label 1), negatives = a deterministic derangement-style
+    pairing (doc_id ↔ doc_id+N/2 mod N, normalized to doc_a < doc_b)
+    with any accidental positive removed by anti-join (label 0) — the
+    build step for embedding/reranker training sets. Deterministic
+    throughout: no random sampling, the negative pairing is pure
+    arithmetic, and the anti-join guarantees label consistency. Scale:
+    positives are O(collisions); negatives are one narrow projection +
+    one anti-join on the pair key."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    partner = (F.col("doc_id") + 250) % 500
+    neg = (
+        docs.select(
+            F.least(F.col("doc_id"), partner).alias("doc_a"),
+            F.greatest(F.col("doc_id"), partner).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .join(pos, ["doc_a", "doc_b"], "left_anti")
+    )
+    return pos.select(
+        "doc_a", "doc_b", F.lit(1).alias("label")
+    ).unionByName(neg.select("doc_a", "doc_b", F.lit(0).alias("label")))
 
 
 @register(

@@ -22,6 +22,7 @@ from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
 # re-running them here would double the suite's runtime for no new signal.
 EAGER = {
     "dedup_connected_components",
+    "q_bucketed_join_agg",  # warehouse writes on call
     "graph_pagerank",
     "q_gap_fill_locf",
     "q_sketch_countmin",
