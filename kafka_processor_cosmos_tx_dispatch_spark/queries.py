@@ -4114,6 +4114,85 @@ def q_nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_stages",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase):
+    how many users reach each stage, where each stage must occur AT OR
+    AFTER the previous stage's first occurrence. The oracle spells it as
+    three scans + two joins; the Spark plan is ONE shuffle — chained
+    window minimums over the same user partitioning (each select layer
+    references the previous stage's windowed result; same partition spec
+    ⇒ Catalyst plans one Exchange), then a per-user rollup and three
+    conditional counts unpivoted to stage rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("v"),
+        F.max("t_click").alias("c"),
+        F.max("t_purchase").alias("p"),
+    )
+    counts = per_user.agg(
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_click"),
+        F.count("p").alias("n_purchase"),
+    )
+    stages = F.array(
+        F.struct(F.lit("view").alias("stage"), F.col("n_view").alias("users")),
+        F.struct(
+            F.lit("click_after_view").alias("stage"),
+            F.col("n_click").alias("users"),
+        ),
+        F.struct(
+            F.lit("purchase_after_click").alias("stage"),
+            F.col("n_purchase").alias("users"),
+        ),
+    )
+    return counts.select(F.explode(stages).alias("s")).select("s.*")
+
+
+@register(
     "q_latest_by_key",
     """
     WITH r AS (
