@@ -1539,10 +1539,21 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
     for name, df, key in (
         ("bq_orders", orders, "o_orderkey"),
         ("bq_lineitem", li, "l_orderkey"),
     ):
+        # a FRESH session's in-memory catalog doesn't know tables a prior
+        # session wrote, but the warehouse dir persists — overwrite alone
+        # then dies with LOCATION_ALREADY_EXISTS. Drop both catalog entry
+        # and location first.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
             "parquet"
         ).saveAsTable(name)
