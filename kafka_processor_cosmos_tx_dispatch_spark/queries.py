@@ -4527,7 +4527,8 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_PHYSICAL_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
-)  # ts is TIMESTAMP(NANOS) in the parquet → long under nanosAsLong
+)  # ts read as raw int64 — nanos or micros since epoch depending on the
+# harness generation's physical type (see _events_stream)
 
 _DISPATCH_ROUTE_ORACLE = _ORACLE["dispatch_route"]
 
@@ -4541,8 +4542,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream_reader(
         spark, f"{sf_dir}/events*.parquet", _EVENTS_PHYSICAL_SCHEMA
     )
+    # The long-typed read surfaces the parquet's physical int64 verbatim:
+    # ns-since-epoch for TIMESTAMP(NANOS) files, µs-since-epoch for
+    # TIMESTAMP(MICROS) files. 2024 epochs are ~1.7e15 µs vs ~1.7e18 ns, so
+    # a 1e17 threshold cleanly discriminates per row (both harness
+    # generations stay correct without re-probing the file footer).
     return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        "ts",
+        F.timestamp_micros(
+            F.when(F.col("ts") > F.lit(10**17), F.expr("ts DIV 1000")).otherwise(
+                F.col("ts")
+            )
+        ),
     )
 
 

@@ -47,14 +47,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get(conf_key, None) != "true":
         spark.conf.set(conf_key, "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # TIMESTAMP(NANOS) columns surface as long (see session.py nanosAsLong);
-    # convert to microsecond timestamps — the same truncation DuckDB applies.
+    # The harness timestamps are naive wall times meant as UTC. Two physical
+    # encodings have appeared across harness generations; normalize BOTH to
+    # a TimestampType (LTZ) whose epoch equals the wall time read as UTC —
+    # the representation every downstream query (unix_micros, window(),
+    # as-of) was built on:
+    #  - TIMESTAMP(NANOS) → long under nanosAsLong: integer DIV, not float
+    #    /: ns-since-epoch (~1.7e18) exceeds a double's 53-bit mantissa, so
+    #    float division can be ±1 µs off.
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: convert
+    #    via timestampdiff from the NTZ epoch — pure wall-clock arithmetic,
+    #    independent of spark.sql.session.timeZone (a plain NTZ→LTZ cast
+    #    shifts the epoch by the session offset and breaks oracle parity
+    #    under any non-UTC session).
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            # integer DIV, not float /: ns-since-epoch (~1.7e18) exceeds a
-            # double's 53-bit mantissa, so float division can be ±1 µs off
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {field.name})"
+                    )
+                ),
             )
     return df
 
