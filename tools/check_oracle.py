@@ -6,6 +6,11 @@ and an order-insensitive value comparison (columns sorted by name, rows
 sorted, values normalized). Run:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+The comparison core is importable — tests/test_oracle_sweep.py runs the
+same check over the full declared surface as a pytest gate, so a
+regression in any oracle-paired query fails CI even when the round
+driver's budget window samples only a subset.
 """
 
 from __future__ import annotations
@@ -54,6 +59,49 @@ def rows_key(cols, rows):
     )
 
 
+def make_duckdb(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """Connection with the harness tables registered as views (the same
+    registration the round driver performs)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_query(spark, con, fn, oracle_sql, sf_dir) -> list[str]:
+    """Run one Spark query + its DuckDB oracle; return a list of mismatch
+    descriptions (empty = parity). Raises nothing: engine errors are
+    returned as findings so a sweep reports every broken query at once."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return [f"spark error: {e}"]
+    if oracle_sql is None:
+        return []  # rows-only queries have no oracle to diff against
+    try:
+        res = con.execute(oracle_sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        return [f"duckdb error: {e}"]
+    status = []
+    if len(srows) != len(drows):
+        status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        status.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    if not status:
+        sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
+        if sk != dk:
+            n_diff = sum(1 for a, b in zip(sk, dk) if a != b)
+            first = next((f"spark={a} duck={b}" for a, b in zip(sk, dk) if a != b), "")
+            status.append(f"values differ ({n_diff}/{len(sk)} rows); first: {first}")
+    return status
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -62,12 +110,7 @@ def main():
     from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
 
     spark = get_spark(app_name="check_oracle")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = make_duckdb(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -76,44 +119,20 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
-            continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows={len(srows)}) [{time.time()-t0:.1f}s]")
+            try:
+                n = len(fn(spark, sf_dir).collect())
+                print(f"SKIP {name}: no oracle (rows={n}) [{time.time()-t0:.1f}s]")
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL {name}: spark error: {e}")
             continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
-            continue
-        status = []
-        if len(srows) != len(drows):
-            status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            status.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if not status:
-            sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
-            if sk != dk:
-                n_diff = sum(1 for a, b in zip(sk, dk) if a != b)
-                status.append(f"values differ ({n_diff}/{len(sk)} rows)")
-                for a, b in list(zip(sk, dk))[:200]:
-                    if a != b:
-                        print(f"   spark: {a}\n   duck : {b}")
-                        break
+        status = compare_query(spark, con, fn, oracles[name], sf_dir)
         if status:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
         else:
-            print(f"OK   {name} rows={len(srows)} [{time.time()-t0:.1f}s]")
+            print(f"OK   {name} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
