@@ -1533,32 +1533,19 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned by tests/test_scale_plans.py:test_bucketed_join_has_no_exchange);
     here the same path is driven end-to-end through the warehouse with
     the result oracle-checked against the plain join."""
+    from .sinks import ensure_bucketed_table
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    import os
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    warehouse = warehouse.removeprefix("file:")
-    for name, df, key in (
-        ("bq_orders", orders, "o_orderkey"),
-        ("bq_lineitem", li, "l_orderkey"),
-    ):
-        # a FRESH session's in-memory catalog doesn't know tables a prior
-        # session wrote, but the warehouse dir persists — overwrite alone
-        # then dies with LOCATION_ALREADY_EXISTS. Drop both catalog entry
-        # and location first.
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").format(
-            "parquet"
-        ).saveAsTable(name)
-    o = spark.table("bq_orders")
-    l = spark.table("bq_lineitem")
+    # table setup (warehouse mutation) lives in sinks.py and goes through
+    # the Hadoop FileSystem API — works under any warehouse scheme, and
+    # keeps this function a pure read + join over the catalog tables
+    o = ensure_bucketed_table(spark, orders, "bq_orders", "o_orderkey", 8)
+    l = ensure_bucketed_table(spark, li, "bq_lineitem", "l_orderkey", 8)
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderpriority")

@@ -58,6 +58,42 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def reset_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse location, on any filesystem.
+
+    A fresh session's in-memory catalog doesn't know tables a prior
+    session wrote, but the warehouse directory persists — so a plain
+    overwrite dies with LOCATION_ALREADY_EXISTS. DROP TABLE alone only
+    clears the catalog half. Deletion goes through the Hadoop FileSystem
+    API resolved from the warehouse URI itself, so the same call works on
+    file:, hdfs:, s3a:, ... — no scheme string surgery, no silent no-op
+    on non-local warehouses (a shutil.rmtree would only ever delete local
+    paths)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    jvm = spark._jvm
+    # managed-table location = <warehouse>/<lowercased name>
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Idempotent setup: (re)write `df` as a bucketed managed table and
+    return it as read from the catalog. Factored out of the query layer
+    so plans stay pure reads; the warehouse mutation lives here."""
+    reset_managed_table(spark, table)
+    write_bucketed(df, table, bucket_col, num_buckets=num_buckets)
+    return spark.table(table)
+
+
 def read_partition_pruned(
     spark: SparkSession, path: str, **partition_values: str
 ) -> DataFrame:
