@@ -1,0 +1,353 @@
+"""Descriptor-driven protobuf-JSON rendering for `Any` payloads.
+
+The reference resolves `Any` types by scanning the classpath for every
+compiled protobuf class and folding their descriptors into a JsonFormat
+TypeRegistry (/root/reference/src/main/kotlin/com/okp4/processor/cosmos/
+ProtoTypeRegistry.kt:16-31) — i.e. it can render ANY type it was compiled
+with, with zero per-type code. This module is the same idea for an engine
+with no compiled classes: the checked-in FileDescriptorSet
+(resources/cosmos_tx.desc, also consumed by the JVM decode tier) carries
+the full schema, and ONE table-driven walker renders any message type in
+it by the protobuf-JSON conventions (camelCase/json_name keys, 64-bit
+ints as strings, bytes as base64, enums by name with unknown numbers as
+ints, proto3 scalar default-omission, `Any` nesting with `@type`).
+
+A FileDescriptorSet is itself a protobuf message, so it is parsed with
+the same pure-Python wire reader used for transactions
+(functions/protowire.py) — no `protobuf` package dependency. Field and
+type numbers below are from the public descriptor.proto.
+
+Not implemented (absent from the tx schema): groups, proto2 extensions,
+map fields, and the special JSON forms of the well-known wrapper types
+(Timestamp/Duration/Struct/...); encountering one raises DecodeError,
+which the decode stage converts to error-topic routing.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+from dataclasses import dataclass
+
+from .protowire import DecodeError, parse_fields
+
+__all__ = ["TypeRegistry", "default_registry"]
+
+# FieldDescriptorProto.Type (descriptor.proto)
+_T_DOUBLE = 1
+_T_FLOAT = 2
+_T_INT64 = 3
+_T_UINT64 = 4
+_T_INT32 = 5
+_T_FIXED64 = 6
+_T_FIXED32 = 7
+_T_BOOL = 8
+_T_STRING = 9
+_T_GROUP = 10
+_T_MESSAGE = 11
+_T_BYTES = 12
+_T_UINT32 = 13
+_T_ENUM = 14
+_T_SFIXED32 = 15
+_T_SFIXED64 = 16
+_T_SINT32 = 17
+_T_SINT64 = 18
+
+_LABEL_REPEATED = 3
+
+# JsonFormat renders 64-bit integers as JSON strings (precision safety)
+_AS_STRING_64 = {_T_INT64, _T_UINT64, _T_FIXED64, _T_SFIXED64, _T_SINT64}
+_SIGNED_VARINT = {_T_INT64, _T_INT32}  # two's-complement varints
+_ZIGZAG = {_T_SINT32, _T_SINT64}
+# proto3 packed-by-default scalar types: a repeated field may arrive as
+# one length-delimited blob of concatenated values
+_PACKED_VARINT = {
+    _T_INT64,
+    _T_UINT64,
+    _T_INT32,
+    _T_UINT32,
+    _T_BOOL,
+    _T_ENUM,
+    _T_SINT32,
+    _T_SINT64,
+}
+_PACKED_FIXED64 = {_T_FIXED64, _T_SFIXED64, _T_DOUBLE}
+_PACKED_FIXED32 = {_T_FIXED32, _T_SFIXED32, _T_FLOAT}
+
+_ANY_FQN = "google.protobuf.Any"
+
+
+@dataclass(frozen=True)
+class _Field:
+    json_name: str
+    number: int
+    ftype: int
+    repeated: bool
+    type_name: str  # fully-qualified (no leading dot) for message/enum
+
+
+def _g(buf: bytes) -> dict[int, list]:
+    fields: dict[int, list] = {}
+    for no, _wt, val in parse_fields(buf):
+        fields.setdefault(no, []).append(val)
+    return fields
+
+
+def _utf8(v) -> str:
+    if not isinstance(v, bytes):
+        raise DecodeError("expected length-delimited field")
+    try:
+        return v.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise DecodeError("invalid utf-8 string") from e
+
+
+def _camel(name: str) -> str:
+    parts = name.split("_")
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class TypeRegistry:
+    """fqn → message/enum tables parsed from a FileDescriptorSet, plus
+    the generic JsonFormat-convention decoder over them."""
+
+    def __init__(
+        self,
+        messages: dict[str, list[_Field]],
+        enums: dict[str, dict[int, str]],
+    ) -> None:
+        self._messages = messages
+        self._enums = enums
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TypeRegistry":
+        messages: dict[str, list[_Field]] = {}
+        enums: dict[str, dict[int, str]] = {}
+
+        def add_enum(buf: bytes, scope: str) -> None:
+            f = _g(buf)  # EnumDescriptorProto: name=1, value=2
+            fqn = f"{scope}.{_utf8(f[1][-1])}"
+            table: dict[int, str] = {}
+            for ev in f.get(2, []):  # EnumValueDescriptorProto: name=1, number=2
+                e = _g(ev)
+                table[e.get(2, [0])[-1]] = _utf8(e[1][-1])
+            enums[fqn] = table
+
+        def add_message(buf: bytes, scope: str) -> None:
+            # DescriptorProto: name=1, field=2, nested_type=3, enum_type=4
+            f = _g(buf)
+            fqn = f"{scope}.{_utf8(f[1][-1])}"
+            fields = []
+            for fd in f.get(2, []):
+                # FieldDescriptorProto: name=1, number=3, label=4, type=5,
+                # type_name=6, json_name=10
+                d = _g(fd)
+                name = _utf8(d[1][-1])
+                fields.append(
+                    _Field(
+                        json_name=(
+                            _utf8(d[10][-1]) if 10 in d else _camel(name)
+                        ),
+                        number=d[3][-1],
+                        ftype=d[5][-1],
+                        repeated=d.get(4, [0])[-1] == _LABEL_REPEATED,
+                        type_name=(
+                            _utf8(d[6][-1]).lstrip(".") if 6 in d else ""
+                        ),
+                    )
+                )
+            messages[fqn] = fields
+            for nested in f.get(3, []):
+                add_message(nested, fqn)
+            for en in f.get(4, []):
+                add_enum(en, fqn)
+
+        # FileDescriptorSet: file=1; FileDescriptorProto: package=2,
+        # message_type=4, enum_type=5
+        for fdp in _g(data).get(1, []):
+            f = _g(fdp)
+            pkg = _utf8(f[2][-1]) if 2 in f else ""
+            for m in f.get(4, []):
+                add_message(m, pkg)
+            for e in f.get(5, []):
+                add_enum(e, pkg)
+        return cls(messages, enums)
+
+    # -- lookup --------------------------------------------------------------
+
+    def has_message(self, fqn: str) -> bool:
+        return fqn in self._messages
+
+    # -- decoding ------------------------------------------------------------
+
+    def decode(self, fqn: str, buf: bytes, strict_any: bool = False) -> dict:
+        """Render one message of type `fqn` as its protobuf-JSON object."""
+        try:
+            fields = self._messages[fqn]
+        except KeyError:
+            raise DecodeError(f"type not in descriptor set: {fqn!r}") from None
+        wire = _g(buf)
+        out: dict = {}
+        for fd in fields:
+            if fd.number not in wire:
+                continue
+            vals = wire[fd.number]
+            if fd.repeated:
+                if fd.ftype not in (_T_MESSAGE, _T_STRING, _T_BYTES):
+                    vals = self._unpack(fd, vals)
+                rendered = [self._value(fd, v, strict_any) for v in vals]
+                if rendered:
+                    out[fd.json_name] = rendered
+            else:
+                raw = vals[-1]  # last occurrence wins for singular fields
+                v = self._value(fd, raw, strict_any)
+                if self._printable(fd, v, raw):
+                    out[fd.json_name] = v
+        return out
+
+    def decode_any(self, buf: bytes, strict_any: bool = False) -> dict:
+        """google.protobuf.Any → {"@type": url, ...fields} for types in
+        the set. The unknown-type policy (opaque vs DecodeError) is owned
+        by the caller (protowire._decode_any) — this raises."""
+        f = _g(buf)
+        type_url = _utf8(f[1][-1]) if 1 in f else ""
+        value = f[2][-1] if 2 in f else b""
+        if not isinstance(value, bytes):
+            raise DecodeError("Any.value must be bytes")
+        fqn = type_url.rsplit("/", 1)[-1]
+        out = {"@type": type_url}
+        out.update(self.decode(fqn, value, strict_any))
+        return out
+
+    def _unpack(self, fd: _Field, vals: list) -> list:
+        """Expand packed encodings: any length-delimited occurrence of a
+        packable scalar field is a concatenation of values."""
+        flat: list = []
+        for v in vals:
+            if not isinstance(v, bytes):
+                flat.append(v)
+            elif fd.ftype in _PACKED_VARINT:
+                pos = 0
+                while pos < len(v):
+                    # varints inside a packed blob
+                    item, shift = 0, 0
+                    while True:
+                        if pos >= len(v):
+                            raise DecodeError("truncated packed varint")
+                        b = v[pos]
+                        pos += 1
+                        item |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                        if shift > 63:
+                            raise DecodeError("packed varint too long")
+                    flat.append(item)
+            elif fd.ftype in _PACKED_FIXED64:
+                if len(v) % 8:
+                    raise DecodeError("truncated packed fixed64")
+                flat.extend(
+                    int.from_bytes(v[i : i + 8], "little")
+                    for i in range(0, len(v), 8)
+                )
+            elif fd.ftype in _PACKED_FIXED32:
+                if len(v) % 4:
+                    raise DecodeError("truncated packed fixed32")
+                flat.extend(
+                    int.from_bytes(v[i : i + 4], "little")
+                    for i in range(0, len(v), 4)
+                )
+            else:
+                raise DecodeError(
+                    f"length-delimited value for scalar type {fd.ftype}"
+                )
+        return flat
+
+    def _value(self, fd: _Field, v, strict_any: bool):
+        t = fd.ftype
+        if t == _T_MESSAGE:
+            if not isinstance(v, bytes):
+                raise DecodeError("expected length-delimited message")
+            if fd.type_name == _ANY_FQN:
+                # route through protowire so ONE unknown-type policy
+                # (opaque vs strict) governs every nesting level
+                from . import protowire
+
+                return protowire._decode_any(v, strict_any)
+            return self.decode(fd.type_name, v, strict_any)
+        if t == _T_STRING:
+            return _utf8(v)
+        if t == _T_BYTES:
+            if not isinstance(v, bytes):
+                raise DecodeError("expected length-delimited bytes")
+            return base64.b64encode(v).decode("ascii")
+        if t == _T_BOOL:
+            return bool(v)
+        if t == _T_ENUM:
+            return self._enums.get(fd.type_name, {}).get(v, v)
+        if t == _T_DOUBLE:
+            return struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+        if t == _T_FLOAT:
+            return struct.unpack("<f", int(v).to_bytes(4, "little"))[0]
+        if t == _T_GROUP:
+            raise DecodeError("proto2 groups are not supported")
+        if not isinstance(v, int):
+            raise DecodeError(f"expected numeric wire value for type {t}")
+        if t in _ZIGZAG:
+            v = (v >> 1) ^ -(v & 1)
+        elif t in _SIGNED_VARINT:
+            v = _signed64(v)
+        elif t == _T_SFIXED64:
+            v = _signed64(v)
+        elif t == _T_SFIXED32:
+            v = v - (1 << 32) if v >= (1 << 31) else v
+        if t in _AS_STRING_64:
+            return str(v)
+        return v
+
+    @staticmethod
+    def _printable(fd: _Field, v, raw) -> bool:
+        """proto3 default-omission for singular fields: scalars at their
+        default are not printed (no field presence); message fields print
+        whenever set on the wire, even if empty. Enums are judged by the
+        wire NUMBER (0 omitted whatever its name renders as)."""
+        if fd.ftype == _T_MESSAGE:
+            return True
+        if fd.ftype == _T_ENUM:
+            return raw != 0
+        if fd.ftype in _AS_STRING_64:
+            return v != "0"
+        if fd.ftype == _T_BOOL:
+            return v is True
+        if fd.ftype in (_T_STRING, _T_BYTES):
+            return v != ""
+        return v != 0
+
+
+_DESC_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "cosmos_tx.desc",
+)
+
+_default: TypeRegistry | None = None
+
+
+def default_registry() -> TypeRegistry:
+    """Lazy singleton over the checked-in descriptor set — the analog of
+    the reference's lazily-built classpath registry
+    (ProtoTypeRegistry.kt:13-16): parsed once per process, shared by
+    every decode call (and by every Arrow batch worker that imports this
+    module)."""
+    global _default
+    if _default is None:
+        with open(_DESC_PATH, "rb") as fh:
+            _default = TypeRegistry.from_bytes(fh.read())
+    return _default

@@ -16,13 +16,15 @@ Production note: on a real cluster this step belongs in spark-protobuf
 module keeps the engine dependency-free and the *semantics* testable —
 notably Result-style failure capture (malformed bytes → error, original
 bytes preserved; TopologyProducer.kt:122) and the `Any` registry
-behavior (ProtoTypeRegistry.kt:13-32, here the `_MSG_DECODERS` map).
+behavior (ProtoTypeRegistry.kt:13-32 — here descriptor-driven: the
+checked-in FileDescriptorSet renders any contained type through
+functions/descriptors.py, no per-type code).
 """
 
 from __future__ import annotations
 
 import base64
-from typing import Any, Callable
+from typing import Any
 
 __all__ = ["DecodeError", "decode_tx", "tx_to_json_obj"]
 
@@ -127,106 +129,6 @@ def _decode_coin(buf: bytes) -> dict:
     return out
 
 
-def _decode_msg_send(buf: bytes) -> dict:
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f and _str(f[1][-1]):
-        out["fromAddress"] = _str(f[1][-1])
-    if 2 in f and _str(f[2][-1]):
-        out["toAddress"] = _str(f[2][-1])
-    if 3 in f:
-        out["amount"] = [_decode_coin(c) for c in f[3]]
-    return out
-
-
-def _decode_input_output(buf: bytes) -> dict:
-    # bank.v1beta1 Input/Output share the shape: address=1, coins=2
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f and _str(f[1][-1]):
-        out["address"] = _str(f[1][-1])
-    if 2 in f:
-        out["coins"] = [_decode_coin(c) for c in f[2]]
-    return out
-
-
-def _decode_msg_multi_send(buf: bytes) -> dict:
-    # cosmos.bank.v1beta1.MsgMultiSend: inputs=1, outputs=2
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f:
-        out["inputs"] = [_decode_input_output(x) for x in f[1]]
-    if 2 in f:
-        out["outputs"] = [_decode_input_output(x) for x in f[2]]
-    return out
-
-
-def _decode_msg_delegate(buf: bytes) -> dict:
-    # cosmos.staking.v1beta1.MsgDelegate / MsgUndelegate share field
-    # numbers: delegator_address=1, validator_address=2, amount=3 (Coin).
-    # `amount` is a MESSAGE field (proto3 presence): printed when set on
-    # the wire even if empty — unlike scalar default-omission.
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f and _str(f[1][-1]):
-        out["delegatorAddress"] = _str(f[1][-1])
-    if 2 in f and _str(f[2][-1]):
-        out["validatorAddress"] = _str(f[2][-1])
-    if 3 in f:
-        out["amount"] = _decode_coin(f[3][-1])
-    return out
-
-
-_VOTE_OPTIONS = {
-    1: "VOTE_OPTION_YES",
-    2: "VOTE_OPTION_ABSTAIN",
-    3: "VOTE_OPTION_NO",
-    4: "VOTE_OPTION_NO_WITH_VETO",
-}
-
-
-def _decode_msg_vote(buf: bytes) -> dict:
-    # cosmos.gov.v1beta1.MsgVote: proposal_id=1 (uint64), voter=2,
-    # option=3 (enum). JsonFormat renders enums by NAME, unknown enum
-    # numbers as ints, and omits the 0/UNSPECIFIED default.
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f and f[1][-1]:
-        out["proposalId"] = str(f[1][-1])
-    if 2 in f and _str(f[2][-1]):
-        out["voter"] = _str(f[2][-1])
-    if 3 in f and f[3][-1]:
-        out["option"] = _VOTE_OPTIONS.get(f[3][-1], f[3][-1])
-    return out
-
-
-def _decode_msg_withdraw_reward(buf: bytes) -> dict:
-    # cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward:
-    # delegator_address=1, validator_address=2
-    f = _group(buf)
-    out: dict = {}
-    if 1 in f and _str(f[1][-1]):
-        out["delegatorAddress"] = _str(f[1][-1])
-    if 2 in f and _str(f[2][-1]):
-        out["validatorAddress"] = _str(f[2][-1])
-    return out
-
-
-# the `Any` registry: type_url suffix → decoder (≅ ProtoTypeRegistry's
-# classpath scan over every compiled GeneratedMessageV3,
-# ProtoTypeRegistry.kt:16-31; extend by registering more entries)
-_MSG_DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "cosmos.bank.v1beta1.MsgSend": _decode_msg_send,
-    "cosmos.bank.v1beta1.MsgMultiSend": _decode_msg_multi_send,
-    "cosmos.staking.v1beta1.MsgDelegate": _decode_msg_delegate,
-    "cosmos.staking.v1beta1.MsgUndelegate": _decode_msg_delegate,
-    "cosmos.gov.v1beta1.MsgVote": _decode_msg_vote,
-    "cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward": (
-        _decode_msg_withdraw_reward
-    ),
-}
-
-
 def _decode_any(buf: bytes, strict_any: bool = False) -> dict:
     """Decode a google.protobuf.Any.
 
@@ -244,20 +146,29 @@ def _decode_any(buf: bytes, strict_any: bool = False) -> dict:
     - strict_any=True: raise DecodeError, which the decode stage's
       failure capture turns into error-topic routing — the nearest
       RECOVERABLE analog of the reference's throw.
+
+    Payload rendering is table-driven: any message type present in the
+    checked-in FileDescriptorSet renders through the generic walker in
+    functions/descriptors.py (≅ the reference's resolve-every-compiled-
+    type registry, ProtoTypeRegistry.kt:16-31) — registering a new type
+    means regenerating the descriptor set, not writing a decoder.
     """
+    from .descriptors import default_registry
+
     f = _group(buf)
     type_url = _str(f[1][-1]) if 1 in f else ""
     value = f[2][-1] if 2 in f else b""
     if not isinstance(value, bytes):
         raise DecodeError("Any.value must be bytes")
-    decoder = _MSG_DECODERS.get(type_url.rsplit("/", 1)[-1])
-    if decoder is None:
-        if strict_any:
-            raise DecodeError(f"unregistered Any type: {type_url!r}")
-        return {"@type": type_url, "value": _b64(value)}
-    out = {"@type": type_url}
-    out.update(decoder(value))
-    return out
+    registry = default_registry()
+    fqn = type_url.rsplit("/", 1)[-1]
+    if registry.has_message(fqn):
+        out = {"@type": type_url}
+        out.update(registry.decode(fqn, value, strict_any))
+        return out
+    if strict_any:
+        raise DecodeError(f"unregistered Any type: {type_url!r}")
+    return {"@type": type_url, "value": _b64(value)}
 
 
 def _decode_tx_body(buf: bytes, strict_any: bool = False) -> dict:

@@ -233,12 +233,19 @@ FILES = [
                 field("validator_address", 2, T_STRING),
                 field("amount", 3, T_MESSAGE, OPT, COIN),
             ),
+            message(
+                "MsgBeginRedelegate",
+                field("delegator_address", 1, T_STRING),
+                field("validator_src_address", 2, T_STRING),
+                field("validator_dst_address", 3, T_STRING),
+                field("amount", 4, T_MESSAGE, OPT, COIN),
+            ),
         ],
     ),
     file_proto(
         "cosmos/gov/v1beta1/tx.proto",
         "cosmos.gov.v1beta1",
-        [],
+        ["cosmos/base/v1beta1/coin.proto"],
         [
             message(
                 "MsgVote",
@@ -247,7 +254,13 @@ FILES = [
                 field(
                     "option", 3, T_ENUM, OPT, ".cosmos.gov.v1beta1.VoteOption"
                 ),
-            )
+            ),
+            message(
+                "MsgDeposit",
+                field("proposal_id", 1, T_UINT64),
+                field("depositor", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, REP, COIN),
+            ),
         ],
         enums=[
             enum_type(
