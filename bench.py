@@ -41,6 +41,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_fingerprint",
     "sim_embedding_near_dup",
+    # round-4 breadth (VERDICT r2 #6): the newest heavy operators, so
+    # regressions in them are visible round-over-round
+    "q_funnel_stages",
+    "q_merge_upsert",
+    "q_join_banded_range",
+    "dedup_connected_components",
+    "dedup_incremental",
+    "graph_pagerank",
 ]
 
 
@@ -78,6 +86,55 @@ def dispatch_throughput(spark, n: int = 2_000_000) -> dict:
     return {
         "dispatch_synthetic_rows": n,
         "dispatch_rows_per_sec": int(n / dt),
+    }
+
+
+def streaming_throughput(spark, sf_dir: str) -> dict:
+    """Streaming router throughput — the reference's operational surface
+    is a streaming dispatcher, so report rows/s THROUGH the streaming
+    engine (file stream → decode-shape projection → rule evaluation →
+    multicast → sink), not just the batch plan. Numbers come from
+    StreamingQueryProgress (numInputRows / triggerExecution), i.e. they
+    include micro-batch scheduling overhead — the honest streaming
+    figure."""
+    from pyspark.sql import functions as F
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        EVENT_RULES,
+        _events_stream,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.streaming.dispatch import (
+        streaming_dispatch,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    rec = F.struct(
+        F.col("event_type"),
+        F.col("value"),
+        F.struct(F.get_json_object("props", "$.k").cast("int").alias("k")).alias(
+            "props"
+        ),
+    )
+    routed = streaming_dispatch(
+        ev.withColumn("rec", rec), EVENT_RULES, struct_col="rec"
+    )
+    query = (
+        routed.writeStream.format("noop").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(300)
+    progress = query.recentProgress
+    rows = sum(p["numInputRows"] for p in progress)
+    ms = sum(
+        p["durationMs"]["triggerExecution"]
+        for p in progress
+        if p.get("durationMs", {}).get("triggerExecution")
+    )
+    return {
+        "streaming_dispatch_input_rows": rows,
+        "streaming_dispatch_batches": len(progress),
+        "streaming_dispatch_rows_per_sec": (
+            int(rows * 1000 / ms) if ms else None
+        ),
     }
 
 
@@ -119,12 +176,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         **dispatch_throughput(spark),
+        **streaming_throughput(spark, sf_dir),
     }
     prev = _load_previous_round()
     if prev is not None:
         prev_total, prev_queries, prev_round = prev
-        if prev_total:
-            result["delta_vs_prev_pct"] = round(100.0 * (total - prev_total) / prev_total, 1)
+        # compare totals over the SHARED query set only, so widening the
+        # headline list doesn't read as a regression
+        shared = [n for n in timings if prev_queries.get(n)]
+        prev_shared = sum(prev_queries[n] for n in shared)
+        if prev_shared:
+            cur_shared = sum(timings[n] for n in shared)
+            result["delta_vs_prev_pct"] = round(
+                100.0 * (cur_shared - prev_shared) / prev_shared, 1
+            )
+            result["delta_shared_queries"] = len(shared)
         result["prev_round"] = prev_round
         result["delta_queries_pct"] = {
             name: round(100.0 * (t - prev_queries[name]) / prev_queries[name], 1)
