@@ -1,0 +1,119 @@
+"""Skew handling on deliberately skewed fixtures — proving the salted
+join and the LSH bucket cap actually ENGAGE, not just exist (round-2
+verdict #9: the skew claims were prose, this makes them machine-checked).
+
+AQE's own skew-join split is not asserted here: its trigger thresholds
+(256 MB partitions) are unreachable on test-sized data by design; the
+paths below are the engine's explicit skew defenses that work at ANY
+size and therefore can be pinned deterministically.
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+    minhash_lsh_pairs,
+)
+
+S = 8  # salt fan-out, mirrors q_skew_salted_join
+HOT = 7
+N_FACT = 20_000
+HOT_FRACTION = 0.9
+
+
+def _skewed_fact(spark):
+    """90% of fact rows carry one hot key — the classic skew shape."""
+    return spark.range(N_FACT).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 10 * HOT_FRACTION, F.lit(HOT))
+        .otherwise(F.col("id") % 100)
+        .alias("key"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+
+
+def _dim(spark):
+    return spark.range(100).select(
+        F.col("id").alias("key"), F.concat(F.lit("seg_"), F.col("id") % 5).alias("seg")
+    )
+
+
+class TestSaltedJoin:
+    def _salted(self, fact, dim):
+        f = fact.withColumn("salt", F.pmod(F.col("row_id"), F.lit(S)).cast("int"))
+        d = dim.withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(S - 1)).cast("array<int>")),
+        ).hint("shuffle_hash")
+        return f.join(d, (f["key"] == d["key"]) & (f["salt"] == d["salt"]))
+
+    def test_bit_identical_to_plain_join(self, spark):
+        fact, dim = _skewed_fact(spark), _dim(spark)
+        salted = (
+            self._salted(fact, dim)
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        plain = (
+            fact.join(dim, "key")
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_hot_key_spreads_across_all_salt_groups(self, spark):
+        """The point of salting: the hot key's rows must occupy all S
+        (key, salt) shuffle groups, each holding ~1/S of the hot rows —
+        i.e. the single monster reducer partition no longer exists."""
+        fact = _skewed_fact(spark).withColumn(
+            "salt", F.pmod(F.col("row_id"), F.lit(S)).cast("int")
+        )
+        sizes = (
+            fact.filter(F.col("key") == HOT)
+            .groupBy("key", "salt")
+            .count()
+            .collect()
+        )
+        hot_total = int(N_FACT * HOT_FRACTION)
+        assert len(sizes) == S
+        assert max(r["count"] for r in sizes) <= hot_total / S * 1.5
+
+    def test_plan_joins_on_salt_not_broadcast(self, spark):
+        plan = self._salted(
+            _skewed_fact(spark), _dim(spark)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan and "salt" in plan
+        assert "BroadcastHashJoin" not in plan
+
+
+class TestLshBucketCap:
+    def test_boilerplate_bucket_dropped_real_pairs_kept(self, spark):
+        """200 identical boilerplate docs share every band key: an
+        uncapped self-join would emit 200*199/2 = 19900 pairs from that
+        one bucket. The cap (max_bucket=64) must drop the hot bucket
+        entirely — O(collisions) stays bounded — while a small genuine
+        near-dup cluster (bucket size 2) still pairs up."""
+        boiler = [
+            (i, "terms of service apply to all users of this site always")
+            for i in range(200)
+        ]
+        real = [
+            (1000, "the quick brown fox jumps over the lazy dog today ok"),
+            (1001, "the quick brown fox jumps over the lazy dog today no"),
+        ]
+        docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(docs, max_bucket=64).collect()
+        ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (1000, 1001) in ids
+        assert all(a >= 1000 and b >= 1000 for a, b in ids), (
+            f"boilerplate bucket leaked {len(ids)} pairs"
+        )
+
+    def test_cap_is_a_dial_not_a_constant(self, spark):
+        """Raising the cap above the bucket size readmits the bucket —
+        the filter is driven by the actual per-bucket count."""
+        boiler = [(i, "same exact text in every row of this tiny set") for i in range(10)]
+        docs = spark.createDataFrame(boiler, "doc_id long, text string")
+        assert minhash_lsh_pairs(docs, max_bucket=4).count() == 0
+        assert minhash_lsh_pairs(docs, max_bucket=16).count() == 45  # C(10,2)
