@@ -4992,6 +4992,375 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_join_bloom_prefilter",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS volume
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (bloom) join pre-pruning, built by hand since this
+    build doesn't SQL-register bloom_filter_agg: the filtered dim's keys
+    are folded into a 16 Kbit bloom (3 md5-derived positions, bit-or'd
+    into 256 words — one narrow agg), the single-row word array is
+    broadcast into the fact scan, and only rows passing all three bit
+    probes reach the join. The exact semi-join then removes false
+    positives, so the bloom is RESULT-TRANSPARENT (oracle = plain join).
+    At 100 TB this is the shape of Spark's own runtime row-group
+    filters: the fact side is pruned BEFORE the shuffle, for the cost of
+    broadcasting 2 KB. Probes are O(1) element_at on the dense word
+    array — no per-row scan of a position list."""
+    M, W = 16384, 256  # bits, 64-bit words
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+
+    def pos(col: Column, i: int) -> Column:
+        # same md5 'hash family' idiom as MinHash / Count-Min
+        digest = F.md5(F.concat(col.cast("string"), F.lit(f"#bloom{i}")))
+        return F.conv(F.substring(digest, 1, 12), 16, 10).cast("long") % M
+
+    key = F.col("c_custkey")
+    words = (
+        cust.select(
+            F.explode(F.array(pos(key, 0), pos(key, 1), pos(key, 2))).alias(
+                "bit"
+            )
+        )
+        .select(
+            F.shiftright("bit", 6).alias("w"),
+            F.expr("shiftleft(1L, cast(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    # dense, index-addressable word array in ONE row (no driver collect)
+    bloom = (
+        spark.range(W)
+        .join(words, F.col("id") == F.col("w"), "left")
+        .select("id", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "word"))),
+                lambda s: s["word"],
+            ).alias("bloom")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    okey = F.col("o_custkey")
+    probed = orders.crossJoin(F.broadcast(bloom)).withColumns(
+        {f"p{i}": pos(okey, i) for i in range(3)}
+    )
+    hit = " AND ".join(
+        f"(element_at(bloom, cast(p{i} DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, cast(p{i} % 64 AS INT))) != 0"
+        for i in range(3)
+    )
+    pref = probed.filter(F.expr(hit)).drop("bloom", "p0", "p1", "p2")
+    return (
+        pref.join(
+            F.broadcast(cust), okey == F.col("c_custkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("volume"),
+        )
+    )
+
+
+@register(
+    "q_window_interval_overlap",
+    """
+    WITH pts AS (
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d
+      FROM events
+      UNION ALL
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) + 1800000000, -1
+      FROM events),
+    r AS (SELECT event_type,
+                 SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                              ROWS UNBOUNDED PRECEDING) AS load
+          FROM pts)
+    SELECT event_type, CAST(MAX(load) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY event_type
+    """,
+)
+def q_window_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals (sweep line): each 30-min interval
+    becomes a +1 point at its start and a -1 at its end; a running sum
+    ordered by time is the instantaneous load and its max the peak. The
+    SCALE point: the naive formulation is an interval self-join
+    (O(n·overlap), a banded-join at best); the sweep is one union + ONE
+    window over the same partitioning — linear in events. Tie rule: ends
+    sort before starts at the same microsecond (d ascending ⇒ [t, t+30m)
+    half-open semantics), identical in the oracle's ORDER BY t, d."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    half_hour = 1_800_000_000
+    pts = ev.select("event_type", "t", F.lit(1).alias("d")).unionAll(
+        ev.select(
+            "event_type",
+            (F.col("t") + half_hour).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        pts.withColumn("load", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(F.max("load").alias("peak_concurrent"))
+    )
+
+
+@register(
+    "q_stats_outlier_mad",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, AVG(v) AS med FROM v
+      WHERE rn IN ((n + 1) // 2, n // 2 + 1) GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, ABS(v.v - med.med) AS dv, v.event_id, med.med,
+             ROW_NUMBER() OVER (PARTITION BY v.event_type
+                                ORDER BY ABS(v.v - med.med), v.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY v.event_type) AS n
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, AVG(dv) AS mad FROM dev
+      WHERE rn IN ((n + 1) // 2, n // 2 + 1) GROUP BY event_type)
+    SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n, med.med, mad.mad,
+           CAST(SUM(CASE WHEN ABS(v.v - med.med) > 3.5 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY v.event_type, med.med, mad.mad
+    """,
+)
+def q_stats_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate (median absolute deviation) — the
+    training-data quality filter that survives heavy tails where
+    mean/stddev z-scores don't. Exact rank-based medians (avg of the two
+    middle values on a (value, id)-ordered multiset) rather than
+    percentile interpolation, so both engines produce bit-identical
+    doubles and the 3.5·MAD threshold compares exactly. Scale: two
+    window passes + two tiny per-group joins, all partitioned by the
+    SAME group key — one logical shuffle family, no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v"), "event_id"
+    )
+    wv = W.partitionBy("event_type").orderBy("v", "event_id")
+    wn = W.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "v",
+        "event_id",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = (F.col("rn") == F.expr("(n + 1) DIV 2")) | (
+        F.col("rn") == F.expr("n DIV 2 + 1")
+    )  # integer DIV — float / would make rn == 105.5 silently never match
+    med = v.filter(mid).groupBy("event_type").agg(F.avg("v").alias("med"))
+    dv = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        "event_id",
+        F.abs(F.col("v") - F.col("med")).alias("dv"),
+        "v",
+    )
+    wd = W.partitionBy("event_type").orderBy("dv", "event_id")
+    d = dv.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mad = d.filter(mid).groupBy("event_type").agg(F.avg("dv").alias("mad"))
+    return (
+        dv.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dv") > 3.5 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )
+
+
+@register(
+    "q_latest_by_key_tombstone",
+    """
+    WITH c AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             event_id, event_type, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                CAST(json_extract_string(props, '$.k') AS INTEGER)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, k, CAST(event_id AS BIGINT) AS last_event,
+           event_type AS last_type, value AS last_value
+    FROM c WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_latest_by_key_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction WITH DELETES: the changelog's latest row per key
+    wins, and a tombstone ('error' here) as the latest row removes the
+    key from the compacted view — the full Kafka-compacted-topic /
+    Delta-CDF semantics, one step past q_latest_by_key. Same scale
+    shape: max_by hash-agg (map-side combinable partials, no per-key
+    sort), tombstone filter applied AFTER the winner is chosen — filter
+    first would wrongly resurrect the previous version."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = F.max_by(
+        F.struct("event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            "ts",
+        )
+        .groupBy("user_id", "k")
+        .agg(latest.alias("last"))
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            "k",
+            F.col("last.event_id").alias("last_event"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+
+
+def _phash_block_sql(b: int) -> str:
+    """One 16-bit block signature over the TEXT (ASCII ⇒ char == byte
+    offsets, asserted by the query): md5 of the b-th of 8 equal slices."""
+    return (
+        f"substring(md5(substring(text, 1 + {b} * ((length(text) + 7) // 8),"
+        f" (length(text) + 7) // 8)), 1, 4)"
+    )
+
+
+@register(
+    "multimodal_near_dup_phash",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [{", ".join(_phash_block_sql(b) for b in range(8))}] AS s
+      FROM documents WHERE octet_length(encode(text)) = length(text)),
+    banded AS (
+      SELECT doc_id, s, j AS band_idx, s[2 * j + 1] || s[2 * j + 2] AS band
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band = b.band
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(8 - (SELECT COUNT(*) FROM unnest(range(8)) t(i)
+                     WHERE sa[i + 1] = sb[i + 1]) AS INT) AS diff_blocks
+    FROM cand
+    WHERE (SELECT COUNT(*) FROM unnest(range(8)) t(i)
+           WHERE sa[i + 1] = sb[i + 1]) >= 6
+    """,
+)
+def multimodal_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-duplicate detection for binary assets:
+    the payload is cut into 8 equal blocks, each block hashed to a
+    16-bit signature (a block-level 'phash' — robust to edits localized
+    in ≤2 blocks, the CDC-chunking idea), signatures banded 2-blocks-
+    per-band into 4 keys, candidates generated by band equi-join
+    (pigeonhole: ≤2 differing blocks can kill at most 2 of 4 bands), and
+    verified by block hamming distance ≥6-of-8. All JVM-side on the
+    BINARY payload — blobs never shuffle, 4-char band digests do. The
+    oracle computes the same signatures over the text (payload = UTF-8
+    bytes; the ASCII guard keeps char and byte slicing identical)."""
+    from .operators.multimodal import with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs).filter(
+        F.length(F.col("payload")) == F.length(F.col("text"))
+    )
+    sigs = F.array(
+        *[
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(payload, 1 + {bi} *"
+                        " ((length(payload) + 7) DIV 8),"
+                        " (length(payload) + 7) DIV 8)"
+                    )
+                ),
+                1,
+                4,
+            )
+            for bi in range(8)
+        ]
+    )
+    sig = b.select("doc_id", sigs.alias("s"))
+    banded = sig.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col("s").getItem(2 * j), F.col("s").getItem(2 * j + 1)
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("s"),
+            F.col("b.s").alias("s2"),
+        )
+        .distinct()
+    )
+    same = sum(
+        (F.col("s").getItem(i) == F.col("s2").getItem(i)).cast("int")
+        for i in range(8)
+    )
+    return (
+        cand.withColumn("n_same", same)
+        .filter(F.col("n_same") >= 6)
+        .select(
+            "doc_a", "doc_b", (F.lit(8) - F.col("n_same")).cast("int").alias("diff_blocks")
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -57,6 +57,7 @@ BNLJ_OK = {
     "sample_stratified",
     "sample_hash_split",
     "q_join_range_nonequi",  # broadcast non-equi vs bounded dim (by design)
+    "q_join_bloom_prefilter",  # 1-row bloom word-array broadcast into the scan
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sim_embedding_near_dup",  # bounded block-pair KEY table broadcast
     "q_sketch_merge_hll",  # 1-row merged-sketch estimate
