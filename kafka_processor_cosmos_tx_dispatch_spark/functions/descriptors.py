@@ -104,8 +104,11 @@ def _utf8(v) -> str:
 
 
 def _camel(name: str) -> str:
+    # protoc's jsonName: uppercase the first letter of each segment after
+    # the first, PRESERVING the rest (capitalize() would lowercase it:
+    # foo_bAR must give fooBAR, not fooBar)
     parts = name.split("_")
-    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+    return parts[0] + "".join(p[:1].upper() + p[1:] for p in parts[1:])
 
 
 def _signed64(v: int) -> int:
@@ -212,20 +215,6 @@ class TypeRegistry:
                     out[fd.json_name] = v
         return out
 
-    def decode_any(self, buf: bytes, strict_any: bool = False) -> dict:
-        """google.protobuf.Any → {"@type": url, ...fields} for types in
-        the set. The unknown-type policy (opaque vs DecodeError) is owned
-        by the caller (protowire._decode_any) — this raises."""
-        f = _g(buf)
-        type_url = _utf8(f[1][-1]) if 1 in f else ""
-        value = f[2][-1] if 2 in f else b""
-        if not isinstance(value, bytes):
-            raise DecodeError("Any.value must be bytes")
-        fqn = type_url.rsplit("/", 1)[-1]
-        out = {"@type": type_url}
-        out.update(self.decode(fqn, value, strict_any))
-        return out
-
     def _unpack(self, fd: _Field, vals: list) -> list:
         """Expand packed encodings: any length-delimited occurrence of a
         packable scalar field is a concatenation of values."""
@@ -288,18 +277,27 @@ class TypeRegistry:
             if not isinstance(v, bytes):
                 raise DecodeError("expected length-delimited bytes")
             return base64.b64encode(v).decode("ascii")
+        if t == _T_GROUP:
+            raise DecodeError("proto2 groups are not supported")
+        # every remaining type is numeric on the wire: a length-delimited
+        # occurrence (e.g. an enum encoded as bytes) must surface as
+        # DecodeError — the error-topic trigger — not leak raw bytes into
+        # the JSON object (json.dumps would then TypeError and crash the
+        # task instead of routing the record)
+        if not isinstance(v, int):
+            raise DecodeError(f"expected numeric wire value for type {t}")
         if t == _T_BOOL:
             return bool(v)
         if t == _T_ENUM:
             return self._enums.get(fd.type_name, {}).get(v, v)
         if t == _T_DOUBLE:
-            return struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+            if v >> 64:
+                raise DecodeError("double value exceeds 64 bits")
+            return struct.unpack("<d", v.to_bytes(8, "little"))[0]
         if t == _T_FLOAT:
-            return struct.unpack("<f", int(v).to_bytes(4, "little"))[0]
-        if t == _T_GROUP:
-            raise DecodeError("proto2 groups are not supported")
-        if not isinstance(v, int):
-            raise DecodeError(f"expected numeric wire value for type {t}")
+            if v >> 32:
+                raise DecodeError("float value exceeds 32 bits")
+            return struct.unpack("<f", v.to_bytes(4, "little"))[0]
         if t in _ZIGZAG:
             v = (v >> 1) ^ -(v & 1)
         elif t in _SIGNED_VARINT:

@@ -49,7 +49,11 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # a 10-byte varint's final payload can push past 2**64 —
+            # wire format semantics are modulo 2**64 (standard readers
+            # truncate), so mask; otherwise int64 renders the untruncated
+            # value and diverges from JsonFormat on legal encodings
+            return result & ((1 << 64) - 1), pos
         shift += 7
         if shift > 63:
             raise DecodeError("varint too long")

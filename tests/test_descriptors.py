@@ -188,3 +188,77 @@ class TestRegistryPolicy:
         reg = default_registry()
         for fqn in reg._messages:
             assert reg.decode(fqn, b"") == {}
+
+
+class TestWireTypeValidation:
+    """Numeric-typed fields fed a length-delimited wire value must raise
+    DecodeError (→ error-topic routing), never return raw bytes that
+    would TypeError in json.dumps and kill the Spark task — the
+    reference captures ALL deserialization failures (runCatching,
+    TopologyProducer.kt:122)."""
+
+    def _raises(self, reg, payload):
+        try:
+            reg.decode("test.T", payload)
+        except protowire.DecodeError:
+            return
+        raise AssertionError("expected DecodeError")
+
+    def test_enum_as_length_delimited(self):
+        reg = _registry_with(_fd(b"e", 1, 14))  # enum
+        self._raises(reg, _ld(1, b"junk"))
+
+    def test_bool_as_length_delimited(self):
+        reg = _registry_with(_fd(b"b", 1, 8))
+        self._raises(reg, _ld(1, b"\x01"))
+
+    def test_double_as_length_delimited(self):
+        reg = _registry_with(_fd(b"d", 1, 1))
+        self._raises(reg, _ld(1, b"\x00" * 8))
+
+    def test_float_as_fixed64(self):
+        # fixed64 value (up to 2**64-1) into a float field: must raise,
+        # not OverflowError inside to_bytes(4)
+        reg = _registry_with(_fd(b"f", 1, 2))
+        payload = _varint(1 << 3 | 1) + (2**64 - 1).to_bytes(8, "little")
+        self._raises(reg, payload)
+
+    def test_int_as_length_delimited_unpacked_singular(self):
+        reg = _registry_with(_fd(b"i", 1, 5))  # singular int32
+        self._raises(reg, _ld(1, b"abc"))
+
+    def test_msgvote_bad_enum_routes_to_error_not_crash(self):
+        # the ADVICE repro: MsgVote.option as length-delimited — must
+        # surface as the decode stage's error column end-to-end
+        url = "type.googleapis.com/cosmos.gov.v1beta1.MsgVote"
+        msg = _vi(1, 1) + _ld(2, b"v") + _ld(3, b"junk")
+        raw = _tx_raw(_ld(1, _any(url, msg)))
+        try:
+            protowire.decode_tx(raw)
+        except protowire.DecodeError:
+            pass
+        else:
+            raise AssertionError("expected DecodeError")
+
+
+class TestJsonNameAlgorithm:
+    def test_camel_preserves_mixed_case(self):
+        # protoc jsonName: foo_bAR → fooBAR (capitalize() would give fooBar)
+        from kafka_processor_cosmos_tx_dispatch_spark.functions.descriptors import (
+            _camel,
+        )
+
+        assert _camel("foo_bAR") == "fooBAR"
+        assert _camel("from_address") == "fromAddress"
+        assert _camel("a__b") == "aB"
+        assert _camel("single") == "single"
+
+
+class TestVarintMask:
+    def test_ten_byte_varint_wraps_modulo_2_64(self):
+        # full 10-byte varint with all payload bits set encodes a value
+        # >= 2**64; wire semantics are modulo 2**64 → -1 for int64
+        reg = _registry_with(_fd(b"n", 1, 3))  # int64
+        ten = bytes([0xFF] * 9 + [0x7F])  # 2**70 - 1 untruncated
+        out = reg.decode("test.T", _varint(1 << 3 | 0) + ten)
+        assert out == {"n": "-1"}  # (2**70-1) mod 2**64 == 2**64-1 → -1
