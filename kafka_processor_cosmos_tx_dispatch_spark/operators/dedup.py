@@ -421,57 +421,223 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every node in the pair graph, component =
     the minimum doc_id reachable — the canonical post-dedup step that
     turns pairwise matches into duplicate CLUSTERS (keep min-id, drop the
     rest).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds. Near-dup graphs are forests of tiny
-    cliques, so the diameter is small; each round is one equi-join + one
-    agg (both shuffle on node id, AQE-coalesced), and localCheckpoint
-    truncates the lineage so the plan stays O(1) per round instead of
-    nesting. Convergence is detected by the strictly-decreasing label
-    sum — one cheap scalar action per round, no full-table compare. At
-    social-graph scale (long chains) swap the propagation body for the
-    large-star/small-star rounds of Kiveris et al.; the loop shell,
-    checkpointing, and convergence test stay the same.
+    Accelerated min-label propagation: each round every node takes
+
+        c(u) ← min( c(u),  min over neighbors v of c(v),  c(c(u)) )
+
+    — the neighbor term spreads the minimum one hop, the pointer-jump
+    term c(c(u)) doubles the effective propagation distance (labels are
+    always ids of reachable nodes, so the jump stays inside the
+    component), giving O(log diameter) rounds instead of O(diameter):
+    plain neighbor-min never converged within 25 rounds on the sf0.1
+    near-dup graph (long chains, not just cliques), this does in ~6.
+    Fixpoint ⇒ c(u) ≤ c(v) for every edge in both directions ⇒ labels
+    are constant per component = the component's minimum id.
+
+    Per-round cost is ONE driver action: all three update legs read only
+    the previous round's MATERIALIZED labels, and the checkpoint that
+    truncates lineage carries an observe() metric counting changed
+    labels, so convergence detection rides the same job instead of a
+    second full-table scan. The edge relation is materialized
+    pre-partitioned on the join key (dst), and a checkpointed DataFrame
+    preserves its partitioning — every round's edges⋈labels join reuses
+    it with no new exchange on the edge side.
+
+    Checkpoint durability: `reliable=None` (default) auto-selects
+    `df.checkpoint()` when the context has a checkpoint dir configured
+    (`spark.sparkContext.setCheckpointDir(...)` — survives executor
+    loss, the right mode for 1000-executor runs) and falls back to
+    `localCheckpoint` otherwise (executor-memory-resident: cheapest, but
+    lineage is gone, so an executor loss fails the job — acceptable for
+    short local runs, not for long cluster jobs). Pass True/False to
+    force.
     """
+    from pyspark.sql import Observation
+
+    from .iterative import materialize, resolve_reliable
+
+    reliable = resolve_reliable(pairs.sparkSession, reliable)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return materialize(df, reliable)
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = _materialize(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("dst")
+    )
+    labels = _materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        labels = (
+        jump = labels.select(
+            F.col("doc_id").alias("__jsrc"), F.col("component").alias("__jc")
+        ).join(
+            labels.select(
+                F.col("component").alias("__jsrc"),
+                F.col("doc_id").alias("__jdst"),
+            ),
+            "__jsrc",
+        ).select(
+            F.col("__jdst").alias("__jump_id"),
+            F.col("__jc").alias("jump_component"),
+        )
+        obs = Observation()
+        labels = _materialize(
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .join(jump, labels["doc_id"] == jump["__jump_id"], "left")
             .select(
                 "doc_id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
+                    F.coalesce(F.col("jump_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("__prev")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("__prev")
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
+        if not obs.get["changed"]:
             break
-        prev_sum = cur_sum
     return labels
+
+
+def connected_components_twolevel(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    edges_per_partition: int = 2_000_000,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Two-level connected components: partition-local union-find, then
+    the iterative loop only on the (much smaller) cross-partition linker
+    graph. Same contract as connected_components: (doc_id, component)
+    with component = min doc_id in the connected component.
+
+    Why two levels: the label-propagation loop pays a fixed per-round
+    driver cost, and round count grows with graph diameter — the worst
+    shape for long chains. Union-find is linear-time but needs the whole
+    edge set in one memory. The standard large-scale resolution is to do
+    both at their right granularity:
+
+    1. LOCAL: edges are coalesced so each partition holds at most
+       ~edges_per_partition rows (memory-bounded: a partition's DSU dict
+       holds at most 2× that many nodes), and one Arrow-batched
+       mapInPandas pass runs path-compressed union-find per partition,
+       emitting (node, root) with root = min node id of the local
+       component.
+    2. LINK: a node whose edges landed in several partitions has several
+       local roots; grouping the mapping by node links them — the linker
+       graph has one edge per (node, extra-root), i.e. it shrinks with
+       partition count, not data size.
+    3. GLOBAL: connected_components() on the linker graph (tiny:
+       its nodes are local roots only) resolves cross-partition merges
+       in O(log linker-diameter) cheap rounds.
+    4. APPLY: mapping ⋈ resolution, groupBy node, min — one shuffle.
+
+    At 100 TB: step 1 scans the pair stream once (no shuffle beyond the
+    coalesce), step 2 shuffles the mapping (≤ 2 rows per edge, usually
+    ~1 per node), step 3 runs on data ~1000× smaller than the input.
+    Locally (one partition) the linker graph is empty and the loop never
+    runs. Ids must be integral (DSU schema is long).
+    """
+    import pandas as pd
+
+    from .iterative import materialize, resolve_reliable
+
+    reliable = resolve_reliable(pairs.sparkSession, reliable)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return materialize(df, reliable)
+
+    edges = _materialize(
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+    )
+    n_edges = edges.count()  # cheap: counts the materialized RDD
+    if n_edges == 0:
+        return edges.select(
+            F.col("src").alias("doc_id"), F.col("src").alias("component")
+        )
+    n_parts = max(1, -(-n_edges // edges_per_partition))
+    if edges.rdd.getNumPartitions() > n_parts:
+        edges = edges.coalesce(n_parts)
+
+    def union_find(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by VALUE: min id wins, so roots are the
+                    # local component minimum without a second pass
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "root": [find(x) for x in nodes]}
+        )
+
+    mapping = _materialize(edges.mapInPandas(union_find, "node long, root long"))
+
+    linker = (
+        mapping.groupBy("node")
+        .agg(F.min("root").alias("rmin"), F.collect_set("root").alias("roots"))
+        .select(F.explode("roots").alias("doc_a"), F.col("rmin").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    resolution = connected_components(linker, reliable=reliable)
+    return (
+        mapping.join(
+            resolution, mapping["root"] == resolution["doc_id"], "left"
+        )
+        .groupBy(mapping["node"].alias("doc_id"))
+        .agg(
+            F.min(F.coalesce(resolution["component"], mapping["root"])).alias(
+                "component"
+            )
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,38 +16,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterative import materialize, resolve_reliable
+
 RANK_SCALE = 1_000_000_000_000  # 10^12 fixed-point rank units
 
 
-def pagerank(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    rounds: int = 3,
+    dangling: bool = False,
+    reliable: bool | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
     """Fixed-point PageRank (damping 0.85) over `edges(src, dst)`.
 
     All arithmetic is int64 floor division — contribution
     (85·r) DIV (100·outdeg), teleport (15·SCALE) DIV (100·N) — so ranks
     are exact integers: no float accumulation order to diverge between
-    engines or runs. Dangling-node mass is not redistributed (documented
-    simplification). For deep `rounds` the loop needs checkpoint
-    truncation exactly like operators/dedup.py:connected_components
-    (a handful of rounds doesn't). Returns (node, r).
+    engines or runs.
+
+    `dangling=True` redistributes the rank mass held by sink nodes
+    (no out-edges) uniformly each round: every node additionally gains
+    (85·Σ dangling r) DIV (100·N). The dangling-node set is static and
+    materialized once; the per-round mass is a 1-row aggregate joined
+    back by broadcast (no shuffle added). `dangling=False` keeps the
+    documented drop-the-mass simplification.
+
+    Deep iteration: every `checkpoint_every` rounds the rank relation is
+    checkpointed through operators/iterative.py (lineage truncation +
+    plan-stats reset; reliable checkpoint when a checkpoint dir is
+    configured — see that module). A handful of rounds needs none, so
+    the default engages only for rounds > 4. Returns (node, r).
     """
+    reliable = resolve_reliable(edges.sparkSession, reliable)
     # edges/nodes/outd are referenced in EVERY round — without lineage
     # truncation Spark recomputes the caller's upstream plan (a join +
-    # distinct for the purchase graph) once per reference. Same
-    # localCheckpoint pattern as operators/dedup.connected_components.
-    edges = edges.localCheckpoint()
-    nodes = (
+    # distinct for the purchase graph) once per reference.
+    edges = materialize(edges, reliable)
+    nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    outd = materialize(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), reliable
+    )
+    if dangling:
+        dang_nodes = materialize(
+            nodes.join(outd, nodes["node"] == outd["src"], "left_anti"), reliable
+        )
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{RANK_SCALE} DIV n").alias("r")
     )
     teleport = f"{15 * RANK_SCALE // 100} DIV n"
-    for _ in range(rounds):
+    for i in range(rounds):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outd, "src")
@@ -57,14 +81,27 @@ def pagerank(edges: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
+        base = nodes.join(inflow, "node", "left").crossJoin(F.broadcast(nn))
+        if dangling:
+            dm = (
+                ranks.join(dang_nodes, "node")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dm"))
+            )
+            ranks = base.crossJoin(F.broadcast(dm)).select(
+                "node",
+                (
+                    F.expr(teleport)
+                    + F.expr("(85 * dm) DIV (100 * n)")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("r"),
+            )
+        else:
+            ranks = base.select(
                 "node",
                 (
                     F.expr(teleport) + F.coalesce(F.col("inflow"), F.lit(0))
                 ).alias("r"),
             )
-        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            ranks = materialize(ranks, reliable)
     return ranks

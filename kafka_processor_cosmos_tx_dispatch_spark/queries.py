@@ -2479,19 +2479,22 @@ def sample_balanced_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-CLUSTER assignment over the MinHash pair graph: iterative
-    min-label propagation (operators/dedup.py:connected_components) — the
-    one genuinely iterative algorithm in the engine, still oracle-checked
-    (DuckDB computes the same components by recursive transitive
-    closure). Each round is an equi-join + agg with checkpoint-truncated
-    lineage; rounds = graph diameter (tiny for near-dup cliques)."""
-    from .operators.dedup import connected_components, minhash_lsh_pairs
+    """Duplicate-CLUSTER assignment over the MinHash pair graph, still
+    oracle-checked (DuckDB computes the same components by recursive
+    transitive closure). Two-level algorithm
+    (operators/dedup.py:connected_components_twolevel): memory-bounded
+    partition-local union-find, then accelerated label propagation on
+    the cross-partition linker graph only — the iterative rounds run on
+    data ~1000× smaller than the pair stream, so per-round driver cost
+    stops dominating and long chains (which defeat pure per-round
+    propagation: O(diameter) rounds) are collapsed locally first."""
+    from .operators.dedup import connected_components_twolevel, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
     )
-    return connected_components(pairs)
+    return connected_components_twolevel(pairs)
 
 
 def _pr_iter(k: int, prev: str) -> str:
@@ -2552,6 +2555,74 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, rounds=3)
+
+
+def _pr_iter_dangling(k: int, prev: str) -> str:
+    """One unrolled dangling-mass PageRank iteration as DuckDB CTEs:
+    dm{k} = the uniform share of rank mass held by sink nodes under
+    {prev}, added to every node's teleport term."""
+    return f"""
+    dm{k} AS (SELECT (85 * COALESCE(
+                 (SELECT SUM(p.r) FROM {prev} p JOIN dang USING (node)), 0))
+               // (100 * (SELECT n FROM nn)) AS dmt),
+    i{k} AS (
+      SELECT n_.node,
+             tp.t + dm{k}.dmt
+                  + COALESCE(SUM((85 * p.r) // (100 * od.d)), 0) AS r
+      FROM nodes n_
+      CROSS JOIN tp
+      CROSS JOIN dm{k}
+      LEFT JOIN edges e ON e.dst = n_.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outd od ON od.src = e.src
+      GROUP BY n_.node, tp.t, dm{k}.dmt)"""
+
+
+@register(
+    "graph_pagerank_dangling",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    dang AS (SELECT node FROM nodes EXCEPT SELECT src FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    tp AS (SELECT 150000000000 // n AS t FROM nn),
+    outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+    {_pr_iter_dangling(1, "r0")},
+    {_pr_iter_dangling(2, "i1")},
+    {_pr_iter_dangling(3, "i2")},
+    {_pr_iter_dangling(4, "i3")},
+    {_pr_iter_dangling(5, "i4")}
+    SELECT node, CAST(r AS BIGINT) AS r FROM i5
+    """,
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (operators/graph.py:
+    pagerank(dangling=True)): in the customer→supplier purchase graph
+    every supplier node is a sink, so without redistribution their rank
+    mass (most of the total after round 1) simply vanishes — this
+    variant hands it back uniformly, the textbook-correct formulation.
+    The per-round mass is a 1-row broadcast aggregate over the static
+    sink-node set; 5 rounds also exercises the deep-iteration
+    checkpoint shell (operators/iterative.py: lineage truncation +
+    plan-stats reset at round 4). Same exact-int64 arithmetic as
+    graph_pagerank, so the oracle (the same 5 rounds as unrolled CTEs
+    with a scalar dm term) hash-compares exactly."""
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, rounds=5, dangling=True)
 
 
 @register(

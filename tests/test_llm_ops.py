@@ -198,6 +198,66 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 120-node chain: the accelerated (pointer-jump) loop must find
+    the true minimum despite diameter >> a naive round budget, within
+    max_iterations=25 (2^25 ≫ 120 via doubling)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_connected_components_twolevel_matches_iterative(spark):
+    """Two-level (partition-local union-find + linker-graph loop) must
+    produce identical clusters to the pure iterative operator — on a
+    seeded random graph, both single-partition (linker empty) and with
+    edges_per_partition forced tiny so the cross-partition linker path
+    does the merging."""
+    import random
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components,
+        connected_components_twolevel,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    one_part = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_twolevel(pairs).collect()
+    }
+    assert one_part == want
+    # 250 edges / 16 per partition → ~16 partitions: every merge crosses
+    # partitions, so the linker graph + global loop carry the result
+    multi_part = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_twolevel(
+            pairs, edges_per_partition=16
+        ).collect()
+    }
+    assert multi_part == want
+
+
+def test_connected_components_twolevel_empty(spark):
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components_twolevel,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_twolevel(pairs).count() == 0
+
+
 def test_pack_sequences_matches_bruteforce(spark):
     """Distributed-scan packing == naive python prefix-sum packing,
     including across bucket boundaries (range_size smaller than the doc

@@ -24,6 +24,7 @@ EAGER = {
     "dedup_connected_components",
     "q_bucketed_join_agg",  # warehouse writes on call
     "graph_pagerank",
+    "graph_pagerank_dangling",
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
