@@ -26,12 +26,40 @@ from __future__ import annotations
 import base64
 from typing import Any
 
-__all__ = ["DecodeError", "decode_tx", "tx_to_json_obj"]
+__all__ = [
+    "DecodeError",
+    "decode_tx",
+    "encode_ld",
+    "encode_varint",
+    "reencode_tx",
+    "tx_to_json_obj",
+]
 
 
 class DecodeError(ValueError):
     """Malformed wire bytes — the analog of `Result.failure` in the
     reference's decode stage."""
+
+
+# ---------------------------------------------------------------------------
+# wire-level writer (canonical: minimal varints)
+# ---------------------------------------------------------------------------
+
+
+def encode_varint(n: int) -> bytes:
+    """Minimal varint of a value in [0, 2^64)."""
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | 0x80]) if n else bytes([b])
+        if not n:
+            return out
+
+
+def encode_ld(field_no: int, data: bytes) -> bytes:
+    """One length-delimited field."""
+    return encode_varint(field_no << 3 | 2) + encode_varint(len(data)) + data
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +285,49 @@ def decode_tx(raw: bytes, strict_any: bool = False) -> dict:
         if 3 in f:
             tx["signatures"] = [_b64(_bytes(s, "signature")) for s in f[3]]
         return tx
+    except DecodeError:
+        raise
+    except Exception as e:  # malformed in a shape we didn't enumerate
+        raise DecodeError(f"malformed tx: {e}") from e
+
+
+def reencode_tx(raw: bytes, strict_any: bool = False) -> bytes:
+    """Re-serialize the rebuilt Tx the way the reference's rule branches
+    do (`tx.toByteArray()`, TopologyProducer.kt:155-159): parse
+    TxRaw{body_bytes, auth_info_bytes, signatures}, canonically re-encode
+    the nested TxBody/AuthInfo through the descriptor registry, and emit
+    Tx in protobuf-java's writer shape — fields in ascending number
+    order, minimal varints, default-valued proto3 scalars omitted.
+
+    Tx's `body` and `auth_info` MESSAGE fields are always emitted (even
+    empty): `TxRaw.toTx()` always sets them (kt:48-54), and a set message
+    field serializes as a zero-length field — which is why the
+    reference's empty-tx fixture is `0a00 1200`, not `b""`. Canonical
+    inputs round-trip byte-identically; non-canonical-but-legal inputs
+    (out-of-order fields, non-minimal varints, explicitly-present
+    default scalars) are normalized, matching what protobuf-java's
+    parse→serialize does. Raises DecodeError on malformed input — but
+    the dispatch path only re-serializes records that already decoded
+    successfully."""
+    from .descriptors import default_registry
+
+    reg = default_registry()
+    try:
+        f = _group(raw)
+        body = reg.reencode(
+            "cosmos.tx.v1beta1.TxBody",
+            _bytes(f[1][-1], "body_bytes") if 1 in f else b"",
+            strict_any,
+        )
+        auth = reg.reencode(
+            "cosmos.tx.v1beta1.AuthInfo",
+            _bytes(f[2][-1], "auth_info_bytes") if 2 in f else b"",
+            strict_any,
+        )
+        out = encode_ld(1, body) + encode_ld(2, auth)
+        if 3 in f:
+            out += b"".join(encode_ld(3, _bytes(s, "signature")) for s in f[3])
+        return out
     except DecodeError:
         raise
     except Exception as e:  # malformed in a shape we didn't enumerate

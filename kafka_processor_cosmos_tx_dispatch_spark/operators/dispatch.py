@@ -32,6 +32,8 @@ reference's stateless topology, and survives any scale-up.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -201,6 +203,7 @@ def value_for_topic(
     raw_col: str | None = None,
     json_col: str | None = None,
     dlq_topic: str = DEFAULT_DLQ_TOPIC,
+    reserialize: bool = False,
 ) -> DataFrame:
     """Project the per-destination output value, mirroring the branches:
 
@@ -208,14 +211,47 @@ def value_for_topic(
     DLQ → the JSON envelope as a string (:186-195);
     error topic → the original input bytes (:122).
 
+    ``reserialize=False`` (default) passes the original input bytes to
+    rule topics — byte-identical to the reference for canonical wire
+    encodings, and free. ``reserialize=True`` reproduces the reference's
+    exact semantics (`tx.toByteArray()` on the REBUILT Tx, kt:155-159):
+    the payload is re-encoded canonically through protowire.reencode_tx,
+    so non-canonical-but-legal inputs (out-of-order fields, non-minimal
+    varints, explicitly-present default scalars) are normalized the way
+    protobuf-java's parse→serialize normalizes them. Costs one
+    Arrow-batched Python pass; the UDF is total (undecodable bytes pass
+    through unchanged) because when() does NOT stop Python UDF
+    evaluation on non-matching rows — error-branch rows flow through the
+    batch too, and their value comes from the raw-bytes branch anyway.
+
     Output column ``value`` is binary (DLQ string UTF-8 encoded) so one
     Kafka sink handles all destinations.
     """
     payload = F.col(payload_col)
     raw = F.col(raw_col) if raw_col else payload
     txj = F.col(json_col) if json_col else F.lit(None).cast("string")
+    if reserialize:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.protowire import DecodeError, reencode_tx
+
+        def _one(b) -> bytes | None:
+            if b is None:
+                return None
+            try:
+                return reencode_tx(bytes(b))
+            except DecodeError:
+                return bytes(b)  # error-branch rows: value unused there
+
+        @pandas_udf("binary")
+        def _reenc(col: pd.Series) -> pd.Series:
+            return col.map(_one)
+
+        rule_value = _reenc(raw.cast("binary"))
+    else:
+        rule_value = payload.cast("binary")
     value = (
-        F.when(F.col("rule_idx") >= 0, payload.cast("binary"))
+        F.when(F.col("rule_idx") >= 0, rule_value)
         .when(F.col("rule_idx") == F.lit(ERROR), raw.cast("binary"))
         .otherwise(F.encode(dlq_envelope(txj, raw), "UTF-8"))
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1889,16 +1891,17 @@ def q_udaf_grouped_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result order-independent and oracle-exact. The physical plan is
     the same two-phase hash-partition shape as a native agg, with the
     aggregation body in vectorized Python."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: `from __future__ import annotations` turns
-    # type hints into strings, which defeats signature-based inference
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def sum_cents(v):
+    # type-hint style (Series -> scalar == grouped agg); the hints are
+    # strings under `from __future__ import annotations`, so `pd` must be
+    # resolvable in THIS module's globals for get_type_hints()
+    @pandas_udf("long")
+    def sum_cents(v: pd.Series) -> int:
         return int(v.mul(100).round().astype("int64").sum())
 
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def count_rows(v):
+    @pandas_udf("long")
+    def count_rows(v: pd.Series) -> int:
         return len(v)
 
     # pandas grouped-agg UDFs can't mix with JVM aggregates in one agg()

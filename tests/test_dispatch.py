@@ -140,6 +140,50 @@ def test_value_projection_per_destination(tx_df, rules):
     assert dlq["message"] is None and json.loads(dlq["txJson"]) == TX3
 
 
+def test_value_projection_reserialize(spark, rules):
+    """reserialize=True: rule topics carry the protowire re-encoded Tx
+    (reference semantics — tx.toByteArray(), TopologyProducer.kt:
+    155-159). Canonical wire inputs round-trip byte-identically; a
+    non-minimal-varint input is normalized (bytes differ, JSON equal);
+    DLQ/error projections are untouched."""
+    from kafka_processor_cosmos_tx_dispatch_spark.functions import protowire
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.txgen import record_at
+
+    def _ld(no, b):
+        return protowire.encode_ld(no, b)
+
+    canonical = record_at(0, 0)[1]  # txgen emits canonical MsgSend txs
+    vote_url = b"type.googleapis.com/cosmos.gov.v1beta1.MsgVote"
+    # proposal_id = 1 as the legal-but-non-minimal varint 81 00
+    nm_msg = bytes([1 << 3 | 0, 0x81, 0x00]) + _ld(2, b"voter1")
+    non_minimal = _ld(1, _ld(1, _ld(1, vote_url) + _ld(2, nm_msg))) + _ld(2, b"")
+    rows = [
+        (1, canonical, protowire.tx_to_json_obj(canonical), None),
+        (2, non_minimal, protowire.tx_to_json_obj(non_minimal), None),
+        (3, b"not-protobuf", None, "decode failure"),
+    ]
+    df = spark.createDataFrame(
+        [(i, r, json.dumps(j) if j is not None else None, e) for i, r, j, e in rows],
+        "tx_id long, raw binary, tx_json string, error string",
+    )
+    type_rule = [
+        DispatchRule("any-send-or-vote", "topic-1", "$.body.messages")
+    ]
+    out = dsp.dispatch(
+        df, type_rule, json_col="tx_json", error_col="error", error_topic="error"
+    )
+    out = dsp.value_for_topic(
+        out, type_rule, payload_col="raw", raw_col="raw", json_col="tx_json",
+        reserialize=True,
+    )
+    vals = {(r["tx_id"], r["topic"]): bytes(r["value"]) for r in out.collect()}
+    assert vals[(1, "topic-1")] == canonical  # canonical → byte-identical
+    reenc = vals[(2, "topic-1")]
+    assert reenc != non_minimal  # normalized
+    assert protowire.decode_tx(reenc) == protowire.decode_tx(non_minimal)
+    assert vals[(3, "error")] == b"not-protobuf"  # error: ORIGINAL bytes
+
+
 def test_multicast_count_matches_rule_hits(spark, rules):
     """A record matching k rules is duplicated exactly k times."""
     both = {"body": {"messages": [{"@type": MSG_SEND, "fromAddress": OKP4_ADDR}]}}
