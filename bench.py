@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_connected_components",
     "dedup_incremental",
     "graph_pagerank",
+    # round-5 breadth: the dangling-mass PageRank variant exercises the
+    # deep-iteration checkpoint shell (operators/iterative.py) per round
+    "graph_pagerank_dangling",
 ]
 
 

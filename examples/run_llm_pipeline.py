@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
 from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
-    connected_components,
+    connected_components_twolevel,
     drop_exact_duplicates,
     minhash_lsh_pairs,
 )
@@ -71,7 +71,7 @@ def main() -> None:
     verified = j.filter(F.coalesce(sim >= 0.4, F.lit(True))).select(
         "doc_a", "doc_b"
     )
-    comp = connected_components(verified)
+    comp = connected_components_twolevel(verified)
     losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     n2 = docs.count()
