@@ -153,7 +153,7 @@ def streaming_throughput(spark, n_batches: int = 12, rows_per_batch: int = 2_000
 
 
 def streaming_decode_throughput(
-    spark, n: int = 120_000, rows_per_batch: int = 10_000
+    spark, n: int = 600_000, rows_per_batch: int = 50_000
 ) -> dict:
     """Steady-state throughput of the FULL reference pipeline — txgen
     bounded stream (protobuf TxRaw wire bytes) → decode_tx_records

