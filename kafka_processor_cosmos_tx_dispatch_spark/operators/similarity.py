@@ -229,6 +229,103 @@ def _dims(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(vec_col)).first()[0]
 
 
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) clustering — semantic curation / cluster-balanced sampling
+# ---------------------------------------------------------------------------
+
+KMEANS_MEAN_OFFSET = 40_000  # > max |quantized component| (32768)
+
+
+def _kmeans_best(qv, centroids: list[list[int]]):
+    """struct(dist_sq, c) of the nearest centroid by exact integer
+    squared L2 distance (ties → lowest centroid id), computed in-row:
+    dist² = |v|² − 2·v·c + |c|², with |c|² folded in as a Python-int
+    literal. No join — the centroid bank is compiled into the plan."""
+    from ..functions import exprs as EX
+
+    def best(v):
+        vsq = V.dot_int(v, v)
+        cands = [
+            F.struct(
+                (
+                    vsq
+                    - F.lit(2).cast("long")
+                    * V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))
+                    + F.lit(sum(x * x for x in cv)).cast("long")
+                ).alias("dist_sq"),
+                F.lit(c).alias("c"),
+            )
+            for c, cv in enumerate(centroids)
+        ]
+        return F.array_min(F.array(*cands))
+
+    return EX.bind(qv, best)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column → (vec_id, cluster,
+    dist_sq): the semantic-curation primitive (cluster-balanced
+    sampling, per-cluster dedup budgets, topic pruning) and the third
+    iterative algorithm in the engine next to PageRank and connected
+    components.
+
+    Cross-engine-exact by construction: vectors quantized to int64
+    (functions/vectors.py contract), assignment by exact integer
+    squared-L2 with lowest-id tiebreak, and the centroid update is an
+    integer floor-division mean — computed on offset-shifted values
+    (component + 40000 ≥ 0) so Spark's truncating DIV and the oracle's
+    floor division agree regardless of sign. Initial centroids reuse the
+    data-free LCG bank (ivf_centroids), so round 0 is the IVF cell
+    assignment; empty clusters keep their previous centroid.
+
+    Scale shape (the MLlib pattern): assignment is in-row against a
+    broadcast-sized literal centroid bank (no join, narrow stage);
+    the update is one groupBy(cluster, dim) partial-aggregated shuffle
+    of k×dims cells; centroids (model state, k×dims ints) are collected
+    to the driver between rounds — the one legitimate driver-side
+    materialization, independent of data size.
+    """
+    dims = _dims(df, vec_col)
+    q = df.select(
+        F.col(id_col).alias("vec_id"), V.quantized(F.col(vec_col)).alias("qv")
+    )
+    cents = ivf_centroids(k, dims)
+    off = KMEANS_MEAN_OFFSET
+    for _ in range(rounds):
+        a = q.select(
+            "qv", _kmeans_best(F.col("qv"), cents)["c"].alias("cluster")
+        )
+        cell_rows = (
+            a.select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum(F.col("v") + F.lit(off)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("cd", F.expr("s DIV n") - F.lit(off))
+            .collect()  # bounded: k×dims ints — model state, not data
+        )
+        new: dict[int, dict[int, int]] = {}
+        for r in cell_rows:
+            new.setdefault(r["cluster"], {})[r["d"]] = r["cd"]
+        cents = [
+            [new[c][d] for d in range(dims)] if c in new else cents[c]
+            for c in range(k)
+        ]
+    best = _kmeans_best(F.col("qv"), cents)
+    return q.select(
+        "vec_id",
+        best["c"].alias("cluster"),
+        best["dist_sq"].alias("dist_sq"),
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

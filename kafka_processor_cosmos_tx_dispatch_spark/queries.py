@@ -2887,6 +2887,86 @@ def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    return _sim_topk_ivf_multiprobe_body(emb)
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment as a DuckDB CTE: nearest centroid by exact
+    integer squared L2 (|v|² − 2·v·c + |c|²), ties → lowest centroid."""
+    dist = (
+        "CAST(list_dot_product(v.qv, v.qv) AS BIGINT)"
+        " - 2 * CAST(list_dot_product(v.qv, ct.cv) AS BIGINT)"
+        " + CAST(list_dot_product(ct.cv, ct.cv) AS BIGINT)"
+    )
+    return f"""
+    {out} AS (
+      SELECT vec_id, qv, c AS cluster, dist_sq FROM (
+        SELECT v.vec_id, v.qv, ct.c, {dist} AS dist_sq,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, ct.c ASC) AS rn
+        FROM q v CROSS JOIN {cent} ct) WHERE rn = 1)"""
+
+
+def _km_update_sql(assign: str, prev_cent: str, out: str) -> str:
+    """One Lloyd centroid update as DuckDB CTEs: per-(cluster, dim)
+    integer floor-div mean over offset-shifted components (+40000 keeps
+    the numerator non-negative, so floor and truncating division agree);
+    empty clusters keep the previous centroid."""
+    return f"""
+    {out}_s AS (
+      SELECT cluster, d, SUM(qv[d + 1] + 40000) AS s, COUNT(*) AS n
+      FROM {assign} CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+      GROUP BY cluster, d),
+    {out} AS (
+      SELECT p.c, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev_cent} p LEFT JOIN (
+        SELECT cluster AS c, list(s // n - 40000 ORDER BY d) AS cv
+        FROM {out}_s GROUP BY cluster) u USING (c))"""
+
+
+@register(
+    "sim_kmeans_clusters",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")}
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist_sq
+    FROM afinal
+    """,
+)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (k=8, 2 update rounds —
+    operators/similarity.py:kmeans_assign): the semantic-curation
+    primitive (cluster-balanced sampling, per-cluster dedup budgets) and
+    the third iterative algorithm next to PageRank and connected
+    components. Assignment is in-row against a literal centroid bank
+    (narrow stage, no join); the update is one k×dims partial-aggregated
+    shuffle; centroids — model state, k×dims ints — are the one
+    legitimate driver-side collect. Exact integer squared-L2 with
+    offset-shifted floor-div means keeps both engines bit-identical; the
+    oracle unrolls the same two rounds as CTEs."""
+    from .operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+
+
+def _sim_topk_ivf_multiprobe_body(emb: DataFrame) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
     return ivf_topk(
         emb.filter(F.col("vec_id") < 10),
         emb,

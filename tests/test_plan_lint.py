@@ -25,6 +25,7 @@ EAGER = {
     "q_bucketed_join_agg",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
+    "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
