@@ -2964,6 +2964,56 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
 
 
+@register(
+    "sample_cluster_balanced",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")}
+    SELECT CAST(cluster AS INTEGER) AS cluster, vec_id,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT cluster, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rn
+      FROM afinal) WHERE rn <= 25
+    """,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the curation step k-means exists for:
+    exactly 25 vectors per semantic cluster, md5(id)-ranked so the draw
+    is uniform pseudo-random yet engine-reproducible (same contract as
+    sample_stratified, stratum = learned cluster instead of a label
+    column). Counters the head-heavy topic skew a uniform sample keeps:
+    every semantic region contributes equally to the curated set."""
+    from .operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        clusters.select("cluster", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+    )
+
+
 def _sim_topk_ivf_multiprobe_body(emb: DataFrame) -> DataFrame:
     from .operators.similarity import ivf_topk
 

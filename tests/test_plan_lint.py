@@ -26,6 +26,7 @@ EAGER = {
     "graph_pagerank",
     "graph_pagerank_dangling",
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
+    "sample_cluster_balanced",  # same (built on kmeans_assign)
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
