@@ -2699,13 +2699,13 @@ def dedup_drop_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical members against the corpus — the pair graph is
     O(collisions) and the final pass is one narrow join, so the drop
     step adds nothing quadratic at 100 TB."""
-    from .operators.dedup import connected_components, minhash_lsh_pairs
+    from .operators.dedup import connected_components_twolevel, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
     )
-    comp = connected_components(pairs)
+    comp = connected_components_twolevel(pairs)
     losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti").select("doc_id")
 
