@@ -2625,7 +2625,7 @@ def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank(edges, rounds=5, dangling=True)
+    return pagerank(edges, rounds=5, dangling=True, checkpoint_every=1)
 
 
 @register(
