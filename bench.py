@@ -92,11 +92,11 @@ def dispatch_throughput(spark, n: int = 2_000_000) -> dict:
     }
 
 
-def _steady_state(progress) -> tuple[int, int, int]:
-    """(batches, rows, rate rows/s) over all micro-batches EXCLUDING the
-    first — batch 0 pays source init, plan compilation, and codegen, so a
-    multi-batch run minus batch 0 is the steady-state number a long-lived
-    streaming job actually sustains."""
+def _steady_state(progress) -> tuple[int, int, int, int]:
+    """(total_batches, steady_batches, rows, rate rows/s) where the steady
+    subset excludes batch 0 (source init, plan compilation, codegen) and
+    zero-row trailing triggers — so steady_batches/rows/rate reconcile
+    with each other, and total_batches records how many triggers ran."""
     steady = [p for p in progress[1:] if p["numInputRows"]]
     rows = sum(p["numInputRows"] for p in steady)
     ms = sum(
@@ -104,7 +104,7 @@ def _steady_state(progress) -> tuple[int, int, int]:
         for p in steady
         if p.get("durationMs", {}).get("triggerExecution")
     )
-    return len(progress), rows, (int(rows * 1000 / ms) if ms else 0)
+    return len(progress), len(steady), rows, (int(rows * 1000 / ms) if ms else 0)
 
 
 def streaming_throughput(spark, n_batches: int = 12, rows_per_batch: int = 2_000_000) -> dict:
@@ -144,9 +144,10 @@ def streaming_throughput(spark, n_batches: int = 12, rows_per_batch: int = 2_000
         time.sleep(0.2)
     query.stop()
     query.awaitTermination(60)
-    batches, rows, rate = _steady_state(query.recentProgress)
+    total, steady, rows, rate = _steady_state(query.recentProgress)
     return {
-        "streaming_dispatch_batches": batches,
+        "streaming_dispatch_batches_total": total,
+        "streaming_dispatch_batches": steady,
         "streaming_dispatch_steady_rows": rows,
         "streaming_dispatch_rows_per_sec": rate,
     }
@@ -199,9 +200,10 @@ def streaming_decode_throughput(
     query.processAllAvailable()
     query.stop()
     query.awaitTermination(60)
-    batches, rows, rate = _steady_state(query.recentProgress)
+    total, steady, rows, rate = _steady_state(query.recentProgress)
     return {
-        "streaming_decode_batches": batches,
+        "streaming_decode_batches_total": total,
+        "streaming_decode_batches": steady,
         "streaming_decode_steady_rows": rows,
         "streaming_decode_rows_per_sec": rate,
     }
@@ -229,13 +231,23 @@ def main() -> None:
     # noise); the third sample stabilizes the floor for ~20s extra wall.
     iters = max(1, int(os.environ.get("BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(iters):  # min-of-N: drops JIT/scheduling noise
+        samples = []
+        for _ in range(iters):
             t0 = time.perf_counter()
             run_query(registry[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        median = samples[len(samples) // 2]
+        # min-of-N drops JIT/scheduling noise; median carries the variance
+        # signal so cross-round deltas are attributable (r5 verdict #5)
+        timings[name] = round(samples[0], 3)
+        stats[name] = {
+            "min": round(samples[0], 3),
+            "median": round(median, 3),
+            "iters": iters,
+        }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -243,6 +255,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_stats": stats,
         "sf": sf_num,
         **dispatch_throughput(spark),
         **streaming_throughput(spark),
@@ -250,28 +263,39 @@ def main() -> None:
     }
     prev = _load_previous_round()
     if prev is not None:
-        prev_total, prev_queries, prev_round = prev
+        prev_total, prev_queries, prev_stats, prev_round = prev
+        # deltas on medians when the prior round recorded them (r6+),
+        # else on mins (r5 and earlier recorded min only); medians make
+        # cross-round deltas attributable instead of min-noise
+        if prev_stats:
+            cur_cmp = {n: s["median"] for n, s in stats.items()}
+            prev_cmp = {n: s.get("median") for n, s in prev_stats.items()}
+            result["delta_basis"] = "median"
+        else:
+            cur_cmp = dict(timings)
+            prev_cmp = dict(prev_queries)
+            result["delta_basis"] = "min"
         # compare totals over the SHARED query set only, so widening the
         # headline list doesn't read as a regression
-        shared = [n for n in timings if prev_queries.get(n)]
-        prev_shared = sum(prev_queries[n] for n in shared)
+        shared = [n for n in cur_cmp if prev_cmp.get(n)]
+        prev_shared = sum(prev_cmp[n] for n in shared)
         if prev_shared:
-            cur_shared = sum(timings[n] for n in shared)
+            cur_shared = sum(cur_cmp[n] for n in shared)
             result["delta_vs_prev_pct"] = round(
                 100.0 * (cur_shared - prev_shared) / prev_shared, 1
             )
             result["delta_shared_queries"] = len(shared)
         result["prev_round"] = prev_round
         result["delta_queries_pct"] = {
-            name: round(100.0 * (t - prev_queries[name]) / prev_queries[name], 1)
-            for name, t in timings.items()
-            if prev_queries.get(name)
+            name: round(100.0 * (t - prev_cmp[name]) / prev_cmp[name], 1)
+            for name, t in cur_cmp.items()
+            if prev_cmp.get(name)
         }
     print(json.dumps(result))
     spark.stop()
 
 
-def _load_previous_round() -> tuple[float, dict, str] | None:
+def _load_previous_round() -> tuple[float, dict, dict, str] | None:
     """Newest BENCH_r*.json beside this file — the prior round's floor,
     so regressions (negative = faster, positive = slower) are visible in
     the round-over-round record."""
@@ -295,6 +319,7 @@ def _load_previous_round() -> tuple[float, dict, str] | None:
         return (
             float(data.get("value") or 0.0),
             dict(data.get("queries") or {}),
+            dict(data.get("queries_stats") or {}),
             f"r{n:02d}",
         )
     except (OSError, ValueError):

@@ -583,8 +583,17 @@ def connected_components_twolevel(
             F.col("src").alias("doc_id"), F.col("src").alias("component")
         )
     n_parts = max(1, -(-n_edges // edges_per_partition))
-    if edges.rdd.getNumPartitions() > n_parts:
+    cur_parts = edges.rdd.getNumPartitions()
+    if cur_parts > n_parts:
         edges = edges.coalesce(n_parts)
+    elif cur_parts < n_parts:
+        # coalesce never SPLITS partitions — if the incoming stream has
+        # fewer, larger partitions than the memory bound allows, a full
+        # repartition (round-robin) is required to keep every local DSU
+        # under ~2*edges_per_partition nodes (and it also levels skewed
+        # input partitions). One extra shuffle of the edge list, paid
+        # only when the bound would otherwise be violated.
+        edges = edges.repartition(n_parts)
 
     def union_find(batches):
         parent: dict[int, int] = {}
