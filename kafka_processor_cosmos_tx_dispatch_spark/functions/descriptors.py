@@ -29,8 +29,15 @@ import base64
 import os
 import struct
 from dataclasses import dataclass
+from typing import Any, Callable
 
-from .protowire import DecodeError, encode_ld, encode_varint, parse_fields
+from .protowire import (
+    DecodeError,
+    encode_ld,
+    encode_varint,
+    parse_fields,
+    parse_group,
+)
 
 __all__ = ["TypeRegistry", "default_registry"]
 
@@ -87,11 +94,7 @@ class _Field:
     type_name: str  # fully-qualified (no leading dot) for message/enum
 
 
-def _g(buf: bytes) -> dict[int, list]:
-    fields: dict[int, list] = {}
-    for no, _wt, val in parse_fields(buf):
-        fields.setdefault(no, []).append(val)
-    return fields
+_g = parse_group  # fused parse+group (protowire.py) — the decode hot path
 
 
 def _utf8(v) -> str:
@@ -126,6 +129,9 @@ class TypeRegistry:
     ) -> None:
         self._messages = messages
         self._enums = enums
+        # (fqn, strict_any) → compiled decoder closure; built lazily so
+        # recursive message types resolve their children at decode time
+        self._dec_cache: dict[tuple[str, bool], Any] = {}
 
     # -- construction --------------------------------------------------------
 
@@ -191,29 +197,174 @@ class TypeRegistry:
     # -- decoding ------------------------------------------------------------
 
     def decode(self, fqn: str, buf: bytes, strict_any: bool = False) -> dict:
-        """Render one message of type `fqn` as its protobuf-JSON object."""
-        try:
-            fields = self._messages[fqn]
-        except KeyError:
-            raise DecodeError(f"type not in descriptor set: {fqn!r}") from None
-        wire = _g(buf)
-        out: dict = {}
-        for fd in fields:
-            if fd.number not in wire:
-                continue
-            vals = wire[fd.number]
-            if fd.repeated:
-                if fd.ftype not in (_T_MESSAGE, _T_STRING, _T_BYTES):
-                    vals = self._unpack(fd, vals)
-                rendered = [self._value(fd, v, strict_any) for v in vals]
-                if rendered:
-                    out[fd.json_name] = rendered
+        """Render one message of type `fqn` as its protobuf-JSON object.
+
+        Dispatch is COMPILED per message type: the first decode of a type
+        builds a closure with every field's converter and default-
+        omission predicate pre-resolved (no per-value type if-chain, no
+        dataclass attribute walks in the hot loop — this module is the
+        decode tier's inner loop, see r5 verdict perf item). Semantics
+        are identical to the interpreted walk (_value/_printable, kept
+        for re-encoding and pinned by the goldens + the equivalence
+        property test in tests/test_descriptors.py)."""
+        return self._compiled(fqn, strict_any)(buf)
+
+    def _compiled(self, fqn: str, strict_any: bool) -> "Callable[[bytes], dict]":
+        key = (fqn, strict_any)
+        fn = self._dec_cache.get(key)
+        if fn is None:
+            if fqn not in self._messages:
+                raise DecodeError(f"type not in descriptor set: {fqn!r}")
+            fn = self._compile(fqn, strict_any)
+            self._dec_cache[key] = fn
+        return fn
+
+    def _compile(self, fqn: str, strict_any: bool) -> "Callable[[bytes], dict]":
+        """Build the specialized decoder closure for one message type.
+
+        Per field: conv(raw wire value) → JSON value (raising DecodeError
+        on shape violations — same garbage-tolerance contract as _value),
+        printable(v, raw) → proto3 default-omission. Nested message
+        fields resolve their child decoder lazily through the cache, so
+        recursive types terminate."""
+        specs: list[tuple] = []
+        for fd in self._messages[fqn]:
+            t = fd.ftype
+            conv: Callable
+            if t == _T_MESSAGE:
+                if fd.type_name == _ANY_FQN:
+
+                    def conv(v, _sa=strict_any):
+                        from . import protowire
+
+                        if not isinstance(v, bytes):
+                            raise DecodeError("expected length-delimited message")
+                        return protowire._decode_any(v, _sa)
+
+                else:
+
+                    def conv(v, _tn=fd.type_name, _sa=strict_any, _c=self._compiled):
+                        if not isinstance(v, bytes):
+                            raise DecodeError("expected length-delimited message")
+                        return _c(_tn, _sa)(v)
+
+                printable = lambda v, raw: True  # noqa: E731
+            elif t == _T_STRING:
+                conv = _utf8
+                printable = lambda v, raw: v != ""  # noqa: E731
+            elif t == _T_BYTES:
+
+                def conv(v):
+                    if not isinstance(v, bytes):
+                        raise DecodeError("expected length-delimited bytes")
+                    return base64.b64encode(v).decode("ascii")
+
+                printable = lambda v, raw: v != ""  # noqa: E731
+            elif t == _T_GROUP:
+
+                def conv(v):
+                    raise DecodeError("proto2 groups are not supported")
+
+                printable = lambda v, raw: True  # noqa: E731
             else:
-                raw = vals[-1]  # last occurrence wins for singular fields
-                v = self._value(fd, raw, strict_any)
-                if self._printable(fd, v, raw):
-                    out[fd.json_name] = v
-        return out
+                # numeric on the wire: a length-delimited occurrence must
+                # surface as DecodeError, not leak bytes into the JSON
+                if t == _T_BOOL:
+
+                    def num(v):
+                        return bool(v)
+
+                    printable = lambda v, raw: v is True  # noqa: E731
+                elif t == _T_ENUM:
+
+                    def num(v, _table=self._enums.get(fd.type_name, {})):
+                        return _table.get(v, v)
+
+                    printable = lambda v, raw: raw != 0  # noqa: E731
+                elif t == _T_DOUBLE:
+
+                    def num(v):
+                        if v >> 64:
+                            raise DecodeError("double value exceeds 64 bits")
+                        return struct.unpack("<d", v.to_bytes(8, "little"))[0]
+
+                    printable = lambda v, raw: v != 0  # noqa: E731
+                elif t == _T_FLOAT:
+
+                    def num(v):
+                        if v >> 32:
+                            raise DecodeError("float value exceeds 32 bits")
+                        return struct.unpack("<f", v.to_bytes(4, "little"))[0]
+
+                    printable = lambda v, raw: v != 0  # noqa: E731
+                else:
+                    if t in _ZIGZAG:
+
+                        def xform(v):
+                            return (v >> 1) ^ -(v & 1)
+
+                    elif t in _SIGNED_VARINT or t == _T_SFIXED64:
+                        xform = _signed64
+                    elif t == _T_SFIXED32:
+
+                        def xform(v):
+                            return v - (1 << 32) if v >= (1 << 31) else v
+
+                    else:
+                        xform = None
+                    if t in _AS_STRING_64:
+                        if xform is None:
+
+                            def num(v):
+                                return str(v)
+
+                        else:
+
+                            def num(v, _x=xform):
+                                return str(_x(v))
+
+                        printable = lambda v, raw: v != "0"  # noqa: E731
+                    else:
+                        if xform is None:
+
+                            def num(v):
+                                return v
+
+                        else:
+                            num = xform
+                        printable = lambda v, raw: v != 0  # noqa: E731
+
+                def conv(v, _num=num, _t=t):
+                    if not isinstance(v, int):
+                        raise DecodeError(f"expected numeric wire value for type {_t}")
+                    return _num(v)
+
+            needs_unpack = fd.repeated and t not in (_T_MESSAGE, _T_STRING, _T_BYTES)
+            specs.append((fd.number, fd.json_name, fd.repeated, conv, printable, needs_unpack, fd))
+
+        table = tuple(specs)
+        unpack = self._unpack
+
+        def dec(buf: bytes) -> dict:
+            wire = _g(buf)
+            out: dict = {}
+            for number, name, repeated, conv, printable, needs_unpack, fd in table:
+                vals = wire.get(number)
+                if vals is None:
+                    continue
+                if repeated:
+                    if needs_unpack:
+                        vals = unpack(fd, vals)
+                    if vals:
+                        out[name] = [conv(v) for v in vals]
+                else:
+                    raw = vals[-1]  # last occurrence wins for singular
+                    v = conv(raw)
+                    if printable(v, raw):
+                        out[name] = v
+            return out
+
+        return dec
 
     def _unpack(self, fd: _Field, vals: list) -> list:
         """Expand packed encodings: any length-delimited occurrence of a

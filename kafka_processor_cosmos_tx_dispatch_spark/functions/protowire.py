@@ -31,6 +31,7 @@ __all__ = [
     "decode_tx",
     "encode_ld",
     "encode_varint",
+    "parse_group",
     "reencode_tx",
     "tx_to_json_obj",
 ]
@@ -185,11 +186,110 @@ def parse_fields(buf: bytes) -> list[tuple[int, int, Any]]:
     return out
 
 
-def _group(buf: bytes) -> dict[int, list[Any]]:
-    fields: dict[int, list[Any]] = {}
-    for field_no, _wt, val in parse_fields(buf):
-        fields.setdefault(field_no, []).append(val)
-    return fields
+def parse_group(buf: bytes) -> dict[int, list[Any]]:
+    """field_no → [values in wire order], fused parse+group.
+
+    The decode tier calls this once per (nested) message — dict-of-lists
+    is exactly what every decoder consumes, so building it directly
+    saves the tuple-per-field + second grouping pass of
+    parse_fields→setdefault (~12% of end-to-end decode in profile).
+    parse_fields stays the API for consumers that need wire ORDER and
+    wire TYPES (re-encoding, unknown-field handling)."""
+    out: dict[int, list[Any]] = {}
+    pos = 0
+    size = len(buf)
+    while pos < size:
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:  # 1-byte key (field ≤ 15, the common case)
+            key = b
+        else:
+            key = b & 0x7F
+            shift = 7
+            while True:
+                if pos >= size:
+                    raise DecodeError("truncated varint")
+                b = buf[pos]
+                pos += 1
+                key |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    key &= 0xFFFFFFFFFFFFFFFF
+                    break
+                shift += 7
+                if shift > 63:
+                    raise DecodeError("varint too long")
+        field_no = key >> 3
+        wire_type = key & 0x07
+        if field_no == 0:
+            raise DecodeError("field number 0")
+        if wire_type == 0:  # varint
+            if pos >= size:
+                raise DecodeError("truncated varint")
+            b = buf[pos]
+            pos += 1
+            if b < 0x80:
+                val = b
+            else:
+                val = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= size:
+                        raise DecodeError("truncated varint")
+                    b = buf[pos]
+                    pos += 1
+                    val |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        val &= 0xFFFFFFFFFFFFFFFF
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise DecodeError("varint too long")
+        elif wire_type == 1:  # 64-bit
+            if pos + 8 > size:
+                raise DecodeError("truncated fixed64")
+            val = int.from_bytes(buf[pos : pos + 8], "little")
+            pos += 8
+        elif wire_type == 2:  # length-delimited
+            if pos >= size:
+                raise DecodeError("truncated varint")
+            b = buf[pos]
+            pos += 1
+            if b < 0x80:
+                n = b
+            else:
+                n = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= size:
+                        raise DecodeError("truncated varint")
+                    b = buf[pos]
+                    pos += 1
+                    n |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise DecodeError("varint too long")
+            if pos + n > size:
+                raise DecodeError("truncated bytes field")
+            val = buf[pos : pos + n]
+            pos += n
+        elif wire_type == 5:  # 32-bit
+            if pos + 4 > size:
+                raise DecodeError("truncated fixed32")
+            val = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        else:  # groups (3/4) and reserved types are invalid here
+            raise DecodeError(f"unsupported wire type {wire_type}")
+        lst = out.get(field_no)
+        if lst is None:
+            out[field_no] = [val]
+        else:
+            lst.append(val)
+    return out
+
+
+_group = parse_group
 
 
 def _str(v: Any) -> str:

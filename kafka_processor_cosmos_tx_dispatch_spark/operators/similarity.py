@@ -262,12 +262,61 @@ def _kmeans_best(qv, centroids: list[list[int]]):
     return EX.bind(qv, best)
 
 
+KMEANS_LITERAL_CELLS_MAX = 8192
+"""Above k×dims literal cells, the assignment switches from the compiled
+literal bank to the broadcast data bank: literal trees grow O(k·dims) and
+blow up analysis/codegen at curation-scale k (r5 verdict #2), while the
+data bank keeps the plan O(1) in k."""
+
+
+def _centroid_bank_df(spark, cents: list[list[int]]) -> DataFrame:
+    """1-row DataFrame carrying the whole centroid bank as DATA:
+    bank = array<struct<c:int, cv:array<long>, csq:long>>. crossJoin +
+    broadcast of this single row ships the bank to executors without
+    multiplying rows and without literal expression trees."""
+    bank = [
+        {"c": c, "cv": [int(x) for x in cv], "csq": sum(x * x for x in cv)}
+        for c, cv in enumerate(cents)
+    ]
+    return spark.createDataFrame(
+        [(bank,)], "bank array<struct<c:int, cv:array<long>, csq:long>>"
+    )
+
+
+def _kmeans_best_bank(qv, bank):
+    """Same struct(dist_sq, c) contract as _kmeans_best, but the centroid
+    bank arrives as an array column (from the broadcast 1-row join) and
+    the per-candidate distance is a nested HOF: transform over the bank
+    with an integer zip_with/aggregate dot inside. All JVM-side; the
+    expression tree size is independent of k."""
+    from ..functions import exprs as EX
+
+    def best(v):
+        vsq = V.dot_int(v, v)
+        return F.array_min(
+            F.transform(
+                bank,
+                lambda e: F.struct(
+                    (
+                        vsq
+                        - F.lit(2).cast("long") * V.dot_int(v, e["cv"])
+                        + e["csq"]
+                    ).alias("dist_sq"),
+                    e["c"].alias("c"),
+                ),
+            )
+        )
+
+    return EX.bind(qv, best)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     rounds: int = 2,
+    literal_cells_max: int = KMEANS_LITERAL_CELLS_MAX,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (vec_id, cluster,
     dist_sq): the semantic-curation primitive (cluster-balanced
@@ -284,12 +333,22 @@ def kmeans_assign(
     data-free LCG bank (ivf_centroids), so round 0 is the IVF cell
     assignment; empty clusters keep their previous centroid.
 
-    Scale shape (the MLlib pattern): assignment is in-row against a
-    broadcast-sized literal centroid bank (no join, narrow stage);
-    the update is one groupBy(cluster, dim) partial-aggregated shuffle
-    of k×dims cells; centroids (model state, k×dims ints) are collected
-    to the driver between rounds — the one legitimate driver-side
+    Scale shape (the MLlib pattern): assignment is in-row against the
+    centroid bank (no row-multiplying join, narrow stage); the update is
+    one groupBy(cluster, dim) partial-aggregated shuffle of k×dims
+    cells; centroids (model state, k×dims ints) are collected to the
+    driver between rounds — the one legitimate driver-side
     materialization, independent of data size.
+
+    Two assignment tiers, identical integer semantics (pinned by
+    tests/test_llm_ops.py tier-parity):
+    - k×dims ≤ literal_cells_max: centroids compiled into the plan as
+      literals (zero join, smallest per-row constant factor) — right for
+      routing-scale k.
+    - above it: the bank rides a broadcast 1-row crossJoin as DATA and
+      the per-row argmin is a nested HOF (_kmeans_best_bank) — the plan
+      stays O(1) in k, so curation-scale k (hundreds..thousands of
+      clusters) cannot blow up analysis or codegen.
     """
     dims = _dims(df, vec_col)
     q = df.select(
@@ -297,10 +356,19 @@ def kmeans_assign(
     )
     cents = ivf_centroids(k, dims)
     off = KMEANS_MEAN_OFFSET
+    use_bank = k * dims > literal_cells_max
+    spark = df.sparkSession
+
+    def assign(frame: DataFrame, cents: list[list[int]]):
+        """frame + best struct(dist_sq, c) column via the active tier."""
+        if use_bank:
+            joined = frame.crossJoin(F.broadcast(_centroid_bank_df(spark, cents)))
+            return joined, _kmeans_best_bank(F.col("qv"), F.col("bank"))
+        return frame, _kmeans_best(F.col("qv"), cents)
+
     for _ in range(rounds):
-        a = q.select(
-            "qv", _kmeans_best(F.col("qv"), cents)["c"].alias("cluster")
-        )
+        src, best = assign(q, cents)
+        a = src.select("qv", best["c"].alias("cluster"))
         cell_rows = (
             a.select("cluster", F.posexplode("qv").alias("d", "v"))
             .groupBy("cluster", "d")
@@ -318,8 +386,8 @@ def kmeans_assign(
             [new[c][d] for d in range(dims)] if c in new else cents[c]
             for c in range(k)
         ]
-    best = _kmeans_best(F.col("qv"), cents)
-    return q.select(
+    src, best = assign(q, cents)
+    return src.select(
         "vec_id",
         best["c"].alias("cluster"),
         best["dist_sq"].alias("dist_sq"),

@@ -119,6 +119,30 @@ class TestSimilarity:
         for q, sim in approx.items():
             assert sim <= exact[q] + 1e-12
 
+    def test_kmeans_bank_tier_matches_literal_tier(self, emb):
+        """The broadcast-data-bank assignment (large k×dims) must be
+        bit-identical to the compiled-literal assignment — same integer
+        squared-L2, same lowest-id tiebreak — on every row, for both the
+        in-loop updates and the final labels."""
+        sub = emb.filter(F.col("vec_id") < 300)
+        lit = similarity.kmeans_assign(sub, k=8, rounds=2)
+        bank = similarity.kmeans_assign(sub, k=8, rounds=2, literal_cells_max=0)
+        assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bank.collect()))
+
+    def test_kmeans_bank_tier_plan_is_k_independent(self, emb):
+        """At curation-scale k the plan must NOT carry the centroid bank
+        as literals: the bank rides a broadcast join, so plan size is
+        O(1) in k and analysis/codegen cannot blow up (r5 verdict #2)."""
+        sub = emb.filter(F.col("vec_id") < 50)
+        plan_k64 = similarity.kmeans_assign(
+            sub, k=64, rounds=0, literal_cells_max=0
+        )._jdf.queryExecution().optimizedPlan().toString()
+        plan_k8 = similarity.kmeans_assign(
+            sub, k=8, rounds=0, literal_cells_max=0
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert abs(len(plan_k64) - len(plan_k8)) < 500
+        assert "Join" in plan_k64
+
 
 class TestMultimodal:
     def test_feature_extraction_batches(self, docs):

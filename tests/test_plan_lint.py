@@ -87,3 +87,66 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
         assert "MapInPandas" not in plan, f"{name}: unexpected mapInPandas"
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+
+
+# ---------------------------------------------------------------------------
+# EAGER queries (r5 verdict #1 blind spot): their CALL already runs jobs
+# (checkpointed iteration rounds, centroid collects, warehouse writes), so
+# the lazy executedPlan lint above cannot see the plans that actually
+# executed. The SQL status store can: every execution — each iteration
+# round, each model-state collect, the final materialization — records its
+# physical plan description there. The test snapshots the execution-id
+# watermark, runs the query to completion, and red-flag-lints EVERY plan
+# that executed after the watermark. A deliberate exception needs a named
+# whitelist entry like everything else.
+# ---------------------------------------------------------------------------
+
+# Arrow-batched Python stages inside eager operators, by design:
+EAGER_PYTHON_OK = {
+    "dedup_connected_components",  # partition-local union-find (mapInPandas)
+}
+# Bounded-broadcast nested-loop stages inside eager operators:
+EAGER_BNLJ_OK = {
+    "graph_pagerank",  # 1-row node-count aggregate crossJoin (graph.py:75)
+    "graph_pagerank_dangling",  # 1-row dangling-mass aggregate crossJoin
+    "q_gap_fill_locf",  # 1-row ts-bounds aggregate crossJoin
+    "q_sketch_countmin",  # 1-row sketch-table broadcast into the probe
+    "sample_temperature_weights",  # 1-row normalization aggregate
+    "text_tfidf_topterms",  # 1-row corpus-size aggregate
+    "text_token_rarity",  # 1-row corpus-size aggregate
+    "streaming_incremental_merge",  # 1-row snapshot watermark aggregate
+}
+
+
+def _executions_after(spark, watermark: int) -> list[tuple[int, str]]:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > watermark:
+            out.append((e.executionId(), e.physicalPlanDescription()))
+    return out
+
+
+def _execution_watermark(spark) -> int:
+    return max((eid for eid, _ in _executions_after(spark, -1)), default=-1)
+
+
+@pytest.mark.parametrize("name", sorted(EAGER))
+def test_eager_query_executed_plans_have_no_red_flags(spark, sf_dir, name):
+    watermark = _execution_watermark(spark)
+    df = Q.queries()[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # final plan too
+    plans = _executions_after(spark, watermark)
+    assert plans, f"{name}: no executions captured in the SQL status store"
+    for eid, plan in plans:
+        tag = f"{name} execution#{eid}"
+        if name not in CROSS_OK:
+            assert "CartesianProduct" not in plan, f"{tag}: cartesian product"
+        if name not in PYTHON_OK | EAGER_PYTHON_OK:
+            assert "BatchEvalPython" not in plan, f"{tag}: row-Python eval"
+            assert "ArrowEvalPython" not in plan, f"{tag}: Python eval"
+            assert "MapInPandas" not in plan, f"{tag}: unexpected mapInPandas"
+        if name not in BNLJ_OK | EAGER_BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{tag}: BNLJ"

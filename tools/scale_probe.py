@@ -222,6 +222,44 @@ def main() -> None:
         ),
     )
 
+    # star-graph CC: one super-node in >50% of edges (r5 verdict #6) —
+    # the hub's edges land in every union-find partition, the linker
+    # graph concentrates on one node, and the min-aggregation must
+    # absorb it without a monster reducer
+    n_star = args.events // 20
+    star_pairs = (
+        spark.range(n_star)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") * 2)
+            .alias("doc_a"),
+            (F.col("id") * 2 + 1).alias("doc_b"),
+        )
+        .repartition(64)
+    )
+    probe(
+        "connected_components_star",
+        n_star,
+        lambda: run(
+            connected_components_twolevel(
+                star_pairs, edges_per_partition=max(1, n_star // 16)
+            )
+        ),
+    )
+
+    # k-means at curation-scale k=256 (r5 verdict #3): forces the
+    # broadcast-data-bank assignment tier (k*dims = 16384 cells > the
+    # literal ceiling), 2 Lloyd rounds + final labeling
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    probe(
+        "kmeans_k256",
+        args.vecs,
+        lambda: run(kmeans_assign(vecs, k=256, rounds=2)),
+    )
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
