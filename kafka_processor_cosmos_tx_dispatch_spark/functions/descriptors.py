@@ -465,15 +465,17 @@ class TypeRegistry:
 
     def reencode(self, fqn: str, buf: bytes, strict_any: bool = False) -> bytes:
         """Canonical re-serialization of one message: the bytes
-        protobuf-java produces after parse→toByteArray() — fields in
-        ascending number order, minimal varints, proto3 default-valued
+        protobuf-java produces after parse→toByteArray() — known fields
+        in ascending number order, minimal varints, proto3 default-valued
         singular scalars omitted, repeated packable scalars emitted
         packed, singular fields last-occurrence-wins, message fields
-        emitted whenever present on the wire (even empty), unknown field
-        numbers re-emitted after parsing in UnknownFieldSet order
-        (per number: varints, fixed32, fixed64, length-delimited).
-        Wrong-wire-type occurrences raise DecodeError, mirroring the
-        decoder's strictness."""
+        emitted whenever present on the wire (even empty). Field numbers
+        NOT in the descriptor go to the trailing unknown-field section —
+        protobuf-java writes the UnknownFieldSet after all known fields
+        (sorted by number among themselves; per number: varints, fixed32,
+        fixed64, length-delimited), so an unknown number lower than a
+        known one must NOT interleave. Wrong-wire-type occurrences raise
+        DecodeError, mirroring the decoder's strictness."""
         try:
             known = {f.number: f for f in self._messages[fqn]}
         except KeyError:
@@ -484,10 +486,11 @@ class TypeRegistry:
         out = b""
         for no in sorted(occ):
             fd = known.get(no)
-            if fd is None:
-                out += self._reenc_unknown(no, occ[no])
-            else:
+            if fd is not None:
                 out += self._reenc_field(fd, occ[no], strict_any)
+        for no in sorted(occ):
+            if no not in known:
+                out += self._reenc_unknown(no, occ[no])
         return out
 
     def _reenc_field(
@@ -587,24 +590,24 @@ class TypeRegistry:
         return v
 
     def _reenc_any(self, buf: bytes, strict_any: bool) -> bytes:
-        f = _g(buf)
-        type_url = _utf8(f[1][-1]) if 1 in f else ""
-        value = f[2][-1] if 2 in f else b""
-        if not isinstance(value, bytes):
-            raise DecodeError("Any.value must be bytes")
-        fqn = type_url.rsplit("/", 1)[-1]
-        if self.has_message(fqn):
-            inner = self.reencode(fqn, value, strict_any)
-        elif strict_any:
-            raise DecodeError(f"unregistered Any type: {type_url!r}")
-        else:
-            inner = value  # opaque passthrough (pinned unknown-type policy)
-        out = b""
-        if type_url:
-            out += encode_ld(1, type_url.encode("utf-8"))
-        if inner:
-            out += encode_ld(2, inner)
-        return out
+        """Re-serialize a google.protobuf.Any the way protobuf-java does:
+        the ENVELOPE (type_url, value) is a parsed message and gets the
+        canonical treatment, but `value` is a BYTES field — the payload
+        passes through VERBATIM, never recursively canonicalized. (The
+        reference's TxRaw.parseFrom→toTx→toByteArray never parses the
+        payload behind an Any, so non-canonical-but-legal payload bytes
+        survive the round-trip; an earlier revision normalized them,
+        breaking byte parity — r5 ADVICE.) Routing through the generic
+        reencode over the descriptor's own Any entry also preserves
+        unknown envelope fields in the trailing section. strict_any keeps
+        the pinned unknown-type policy: unregistered type_urls raise so
+        the record routes to the error topic."""
+        if strict_any:
+            f = _g(buf)
+            type_url = _utf8(f[1][-1]) if 1 in f else ""
+            if not self.has_message(type_url.rsplit("/", 1)[-1]):
+                raise DecodeError(f"unregistered Any type: {type_url!r}")
+        return self.reencode(_ANY_FQN, buf, strict_any)
 
     @staticmethod
     def _reenc_unknown(no: int, occ: list[tuple[int, object]]) -> bytes:

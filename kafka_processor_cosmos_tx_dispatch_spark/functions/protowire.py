@@ -470,10 +470,14 @@ def reencode_tx(raw: bytes, strict_any: bool = False) -> bytes:
     reference's empty-tx fixture is `0a00 1200`, not `b""`. Canonical
     inputs round-trip byte-identically; non-canonical-but-legal inputs
     (out-of-order fields, non-minimal varints, explicitly-present
-    default scalars) are normalized, matching what protobuf-java's
-    parse→serialize does. Raises DecodeError on malformed input — but
-    the dispatch path only re-serializes records that already decoded
-    successfully."""
+    default scalars) are normalized at every level protobuf-java
+    actually PARSES (Tx/TxBody/AuthInfo/SignerInfo/Fee/Coin and the Any
+    envelopes). `Any.value` payloads are opaque bytes to protobuf-java
+    and pass through VERBATIM — never recursively canonicalized — and
+    unknown field numbers re-emit after all known fields
+    (UnknownFieldSet writer order). Raises DecodeError on malformed
+    input — but the dispatch path only re-serializes records that
+    already decoded successfully."""
     from .descriptors import default_registry
 
     reg = default_registry()

@@ -445,10 +445,15 @@ def connected_components(
     the previous round's MATERIALIZED labels, and the checkpoint that
     truncates lineage carries an observe() metric counting changed
     labels, so convergence detection rides the same job instead of a
-    second full-table scan. The edge relation is materialized
-    pre-partitioned on the join key (dst), and a checkpointed DataFrame
-    preserves its partitioning — every round's edges⋈labels join reuses
-    it with no new exchange on the edge side.
+    second full-table scan. The edge relation is checkpointed ONCE
+    outside the loop with strip=False, keeping its honest plan stats
+    (safe for statics — no round-over-round compounding; see
+    operators/iterative.py). Each round's edges⋈labels join does
+    re-exchange the edge side: under AQE a checkpoint reports
+    UnknownPartitioning regardless (pinned in tests/test_iterative.py),
+    so per-round partitioning reuse is not available on this engine —
+    the exchange is linear in |E| per round, the same order as the join
+    itself.
 
     Checkpoint durability: `reliable=None` (default) auto-selects
     `df.checkpoint()` when the context has a checkpoint dir configured
@@ -469,10 +474,16 @@ def connected_components(
         return materialize(df, reliable)
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = _materialize(
+    # strip=False: checkpointed once, outside the loop — keeps honest
+    # stats; the repartition levels skew in the stored partitions (AQE
+    # checkpoints don't preserve partitioning for join reuse, see
+    # iterative.py)
+    edges = materialize(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition("dst")
+        ).repartition("dst"),
+        reliable,
+        strip=False,
     )
     labels = _materialize(
         edges.select(F.col("src").alias("doc_id"))

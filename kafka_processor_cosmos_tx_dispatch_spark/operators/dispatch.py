@@ -212,17 +212,18 @@ def value_for_topic(
     error topic → the original input bytes (:122).
 
     ``reserialize=False`` (default) passes the original input bytes to
-    rule topics — byte-identical to the reference for canonical wire
-    encodings, and free. ``reserialize=True`` reproduces the reference's
-    exact semantics (`tx.toByteArray()` on the REBUILT Tx, kt:155-159):
-    the payload is re-encoded canonically through protowire.reencode_tx,
-    so non-canonical-but-legal inputs (out-of-order fields, non-minimal
-    varints, explicitly-present default scalars) are normalized the way
-    protobuf-java's parse→serialize normalizes them. Costs one
-    Arrow-batched Python pass; the UDF is total (undecodable bytes pass
-    through unchanged) because when() does NOT stop Python UDF
-    evaluation on non-matching rows — error-branch rows flow through the
-    batch too, and their value comes from the raw-bytes branch anyway.
+    rule topics (and into the DLQ envelope's txBytes) — byte-identical
+    to the reference for canonical wire encodings, and free.
+    ``reserialize=True`` reproduces the reference's exact semantics
+    (`tx.toByteArray()` on the REBUILT Tx — rule branches kt:155-159 AND
+    the DLQ envelope's txBytes kt:186-195): the payload is re-encoded
+    through protowire.reencode_tx, normalizing non-canonical-but-legal
+    inputs exactly where protobuf-java's parse→serialize does (Any
+    payloads stay verbatim, see reencode_tx). Costs one Arrow-batched
+    Python pass; the UDF is total (undecodable bytes pass through
+    unchanged) because when() does NOT stop Python UDF evaluation on
+    non-matching rows — error-branch rows flow through the batch too,
+    and their value comes from the raw-bytes branch anyway.
 
     Output column ``value`` is binary (DLQ string UTF-8 encoded) so one
     Kafka sink handles all destinations.
@@ -248,12 +249,14 @@ def value_for_topic(
             return col.map(_one)
 
         rule_value = _reenc(raw.cast("binary"))
+        dlq_bytes = rule_value  # reference: DLQ carries tx.toByteArray()
     else:
         rule_value = payload.cast("binary")
+        dlq_bytes = raw
     value = (
         F.when(F.col("rule_idx") >= 0, rule_value)
         .when(F.col("rule_idx") == F.lit(ERROR), raw.cast("binary"))
-        .otherwise(F.encode(dlq_envelope(txj, raw), "UTF-8"))
+        .otherwise(F.encode(dlq_envelope(txj, dlq_bytes), "UTF-8"))
     )
     return dispatched.withColumn("value", value)
 

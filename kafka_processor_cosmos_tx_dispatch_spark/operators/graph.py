@@ -56,21 +56,28 @@ def pagerank(
     reliable = resolve_reliable(edges.sparkSession, reliable)
     # edges/nodes/outd are referenced in EVERY round — without lineage
     # truncation Spark recomputes the caller's upstream plan (a join +
-    # distinct for the purchase graph) once per reference.
-    edges = materialize(edges, reliable)
+    # distinct for the purchase graph) once per reference. strip=False:
+    # static relations checkpointed once keep their honest stats (no
+    # round-over-round compounding — iterative.py docstring).
+    edges = materialize(edges, reliable, strip=False)
     nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct(),
         reliable,
+        strip=False,
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     outd = materialize(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")), reliable
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")),
+        reliable,
+        strip=False,
     )
     if dangling:
         dang_nodes = materialize(
-            nodes.join(outd, nodes["node"] == outd["src"], "left_anti"), reliable
+            nodes.join(outd, nodes["node"] == outd["src"], "left_anti"),
+            reliable,
+            strip=False,
         )
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{RANK_SCALE} DIV n").alias("r")

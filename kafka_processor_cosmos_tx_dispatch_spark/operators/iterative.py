@@ -32,7 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def strip_plan_stats(df: DataFrame) -> DataFrame:
     """Rebuild a MATERIALIZED DataFrame as a fresh LogicalRDD without
-    the inherited originStats (see module docstring)."""
+    the inherited originStats (see module docstring).
+
+    What the strip costs (r5 ADVICE investigation, pinned by
+    tests/test_iterative.py): NOT partitioning — under AQE (our default)
+    Dataset.checkpoint captures outputPartitioning from a non-final
+    AdaptiveSparkPlan, which reports UnknownPartitioning(0), so a
+    checkpointed side re-shuffles in a keyed join with or without the
+    strip; the per-round edge exchange in the iterative operators is
+    inherent to AQE-era checkpoints, not introduced here. What strip=True
+    DOES lose is the checkpoint's honest statistics (the rebuilt
+    LogicalRDD estimates at the session default). Right for PER-ROUND
+    state — whose preserved stats compound super-linearly (module
+    docstring) — wrong for STATIC relations checkpointed once, which is
+    why materialize(strip=False) exists."""
     jdf = df._jdf
     jspark = df.sparkSession._jsparkSession
     fresh = jspark.internalCreateDataFrame(
@@ -47,8 +60,11 @@ def resolve_reliable(spark: SparkSession, reliable: bool | None) -> bool:
     return reliable
 
 
-def materialize(df: DataFrame, reliable: bool) -> DataFrame:
+def materialize(df: DataFrame, reliable: bool, strip: bool = True) -> DataFrame:
     """Eager checkpoint (reliable or local) + stats reset — the one
-    driver action per loop round."""
+    driver action per loop round. strip=False keeps the checkpoint's
+    preserved partitioning AND its plan statistics: correct only for
+    relations materialized ONCE outside the loop (stats preserved from a
+    loop-round plan compound round-over-round, see strip_plan_stats)."""
     ck = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
-    return strip_plan_stats(ck)
+    return strip_plan_stats(ck) if strip else ck

@@ -141,11 +141,15 @@ def test_value_projection_per_destination(tx_df, rules):
 
 
 def test_value_projection_reserialize(spark, rules):
-    """reserialize=True: rule topics carry the protowire re-encoded Tx
-    (reference semantics — tx.toByteArray(), TopologyProducer.kt:
-    155-159). Canonical wire inputs round-trip byte-identically; a
-    non-minimal-varint input is normalized (bytes differ, JSON equal);
-    DLQ/error projections are untouched."""
+    """reserialize=True: rule topics AND the DLQ envelope's txBytes carry
+    the protowire re-encoded Tx (reference semantics — tx.toByteArray(),
+    TopologyProducer.kt:155-159 and :186-195). Canonical wire inputs
+    round-trip byte-identically; non-canonical input at a PARSED level
+    (Fee.gas_limit non-minimal varint) is normalized (bytes differ, JSON
+    equal); an Any payload's bytes stay verbatim (protobuf-java never
+    parses them); the error branch keeps the ORIGINAL bytes."""
+    import base64
+
     from kafka_processor_cosmos_tx_dispatch_spark.functions import protowire
     from kafka_processor_cosmos_tx_dispatch_spark.sources.txgen import record_at
 
@@ -153,14 +157,18 @@ def test_value_projection_reserialize(spark, rules):
         return protowire.encode_ld(no, b)
 
     canonical = record_at(0, 0)[1]  # txgen emits canonical MsgSend txs
-    vote_url = b"type.googleapis.com/cosmos.gov.v1beta1.MsgVote"
-    # proposal_id = 1 as the legal-but-non-minimal varint 81 00
-    nm_msg = bytes([1 << 3 | 0, 0x81, 0x00]) + _ld(2, b"voter1")
-    non_minimal = _ld(1, _ld(1, _ld(1, vote_url) + _ld(2, nm_msg))) + _ld(2, b"")
+    # gas_limit = 1 as the legal-but-non-minimal varint 81 00, in
+    # AuthInfo.fee — a level protobuf-java PARSES, so it normalizes
+    nm_fee = bytes([2 << 3 | 0, 0x81, 0x00])
+    body = _ld(1, _ld(1, MSG_SEND.removeprefix("/").encode()))
+    non_minimal = _ld(1, body) + _ld(2, _ld(2, nm_fee))
+    # matches no rule → DLQ; also non-canonical at the parsed level
+    dlq_raw = _ld(1, b"") + _ld(2, _ld(2, nm_fee))
     rows = [
         (1, canonical, protowire.tx_to_json_obj(canonical), None),
         (2, non_minimal, protowire.tx_to_json_obj(non_minimal), None),
         (3, b"not-protobuf", None, "decode failure"),
+        (4, dlq_raw, protowire.tx_to_json_obj(dlq_raw), None),
     ]
     df = spark.createDataFrame(
         [(i, r, json.dumps(j) if j is not None else None, e) for i, r, j, e in rows],
@@ -179,9 +187,13 @@ def test_value_projection_reserialize(spark, rules):
     vals = {(r["tx_id"], r["topic"]): bytes(r["value"]) for r in out.collect()}
     assert vals[(1, "topic-1")] == canonical  # canonical → byte-identical
     reenc = vals[(2, "topic-1")]
-    assert reenc != non_minimal  # normalized
+    assert reenc != non_minimal  # parsed-level normalization
     assert protowire.decode_tx(reenc) == protowire.decode_tx(non_minimal)
     assert vals[(3, "error")] == b"not-protobuf"  # error: ORIGINAL bytes
+    dlq = json.loads(vals[(4, "dlq")].decode("utf-8"))
+    want = protowire.reencode_tx(dlq_raw)
+    assert want != dlq_raw
+    assert dlq["txBytes"] == base64.b64encode(want).decode()  # toByteArray()
 
 
 def test_multicast_count_matches_rule_hits(spark, rules):

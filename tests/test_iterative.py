@@ -61,6 +61,39 @@ def test_strip_plan_stats_preserves_rows_and_schema(spark):
     ]
 
 
+def test_materialize_nostrip_keeps_stats_not_partitioning(spark):
+    """What strip=False actually preserves on this engine (r5 ADVICE
+    investigation): the checkpoint's honest plan STATISTICS — not its
+    partitioning. Under AQE (our default), Dataset.checkpoint captures
+    outputPartitioning from a non-final AdaptiveSparkPlan, which reports
+    UnknownPartitioning(0) — so partitioning reuse through a checkpoint
+    never happens here with or without the strip, and the per-round
+    exchange on a checkpointed join side is inherent, not a regression
+    introduced by strip_plan_stats. Pins both facts so an engine upgrade
+    that starts preserving partitioning surfaces as a failure (and an
+    opportunity)."""
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).alias("dst"), F.col("id").alias("src")
+    )
+    ck = edges.repartition("dst").localCheckpoint(eager=True)
+    part = ck._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    assert "UnknownPartitioning" in part  # AQE: never preserved
+
+    kept = materialize(edges.repartition("dst"), reliable=False, strip=False)
+    stripped = materialize(edges.repartition("dst"), reliable=False, strip=True)
+    kept_size = int(
+        str(kept._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    stripped_size = int(
+        str(stripped._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    # strip=False keeps the honest ~row-count-sized estimate; strip=True
+    # falls back to the session default (spark.sql.defaultSizeInBytes,
+    # Long.MaxValue — "unknown, assume huge")
+    assert kept_size < 10**6 < stripped_size
+    assert kept.count() == stripped.count() == 1000
+
+
 def test_resolve_reliable_follows_checkpoint_dir(spark, tmp_path):
     sc = spark.sparkContext
     assert resolve_reliable(spark, True) is True

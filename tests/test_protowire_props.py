@@ -240,38 +240,61 @@ def test_reencode_idempotent_and_json_preserving(case):
 
 
 class TestReencodeGoldens:
-    def test_non_minimal_varint_is_normalized(self):
-        # MsgVote.proposal_id = 1 as the 2-byte varint 81 00 — legal wire,
-        # but protobuf-java re-emits it minimally, so re-encode ≠ input
+    def test_any_payload_survives_verbatim(self):
+        # protobuf-java's TxRaw.parseFrom→toTx→toByteArray NEVER parses
+        # the payload behind an Any — Any.value is an opaque bytes field
+        # that round-trips verbatim. A non-minimal varint INSIDE the
+        # payload (MsgVote.proposal_id = 1 as 81 00) must therefore
+        # survive, even though the type is registered (r5 ADVICE: an
+        # earlier revision canonicalized it, breaking byte parity).
         vote_url = b"type.googleapis.com/cosmos.gov.v1beta1.MsgVote"
         non_minimal = bytes([1 << 3 | 0, 0x81, 0x00])  # field 1 varint "1"
         msg = non_minimal + _ld(2, b"voter1")
         raw = _ld(1, _ld(1, _ld(1, vote_url) + _ld(2, msg))) + _ld(2, b"")
-        enc = protowire.reencode_tx(raw)
-        assert enc != raw
-        assert protowire.decode_tx(enc) == protowire.decode_tx(raw)
-        canonical_msg = bytes([1 << 3 | 0, 0x01]) + _ld(2, b"voter1")
-        assert (
-            enc
-            == _ld(1, _ld(1, _ld(1, vote_url) + _ld(2, canonical_msg)))
+        assert protowire.reencode_tx(raw) == raw
+        # out-of-order + explicit-default inside the payload survive too
+        msg2 = _ld(2, b"dest") + _ld(1, b"")
+        raw2 = (
+            _ld(1, _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, msg2)))
             + _ld(2, b"")
         )
+        assert protowire.reencode_tx(raw2) == raw2
 
-    def test_out_of_order_fields_are_sorted(self):
-        # MsgSend with to_address(2) BEFORE from_address(1)
-        msg = _ld(2, b"dest") + _ld(1, b"src")
-        raw = _ld(1, _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, msg))) + _ld(2, b"")
+    def test_non_minimal_varint_normalized_at_parsed_level(self):
+        # Fee.gas_limit IS parsed (AuthInfo → Fee are real message
+        # fields), so a non-minimal varint there is re-emitted minimally
+        fee = bytes([2 << 3 | 0, 0x81, 0x00])  # gas_limit=1 as 81 00
+        raw = _ld(1, b"") + _ld(2, _ld(2, fee))
         enc = protowire.reencode_tx(raw)
-        want_msg = _ld(1, b"src") + _ld(2, b"dest")
-        assert enc == _ld(1, _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, want_msg))) + _ld(2, b"")
+        want_fee = bytes([2 << 3 | 0, 0x01])
+        assert enc == _ld(1, b"") + _ld(2, _ld(2, want_fee))
 
-    def test_explicit_default_scalar_is_dropped(self):
-        # from_address explicitly present as "" — proto3 writers omit it
-        msg = _ld(1, b"") + _ld(2, b"dest")
-        raw = _ld(1, _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, msg))) + _ld(2, b"")
+    def test_out_of_order_fields_sorted_at_parsed_level(self):
+        # the Any ENVELOPE is parsed: value(2) before type_url(1) sorts
+        any_bytes = _ld(2, b"\x08\x01") + _ld(1, MSG_SEND_URL.encode())
+        raw = _ld(1, _ld(1, any_bytes)) + _ld(2, b"")
         enc = protowire.reencode_tx(raw)
-        want_msg = _ld(2, b"dest")
-        assert enc == _ld(1, _ld(1, _ld(1, MSG_SEND_URL.encode()) + _ld(2, want_msg))) + _ld(2, b"")
+        want_any = _ld(1, MSG_SEND_URL.encode()) + _ld(2, b"\x08\x01")
+        assert enc == _ld(1, _ld(1, want_any)) + _ld(2, b"")
+
+    def test_explicit_default_scalar_dropped_at_parsed_level(self):
+        # TxBody.memo explicitly present as "" — proto3 writers omit it
+        body = _ld(2, b"")
+        raw = _ld(1, body) + _ld(2, b"")
+        enc = protowire.reencode_tx(raw)
+        assert enc == _ld(1, b"") + _ld(2, b"")
+
+    def test_unknown_fields_emit_after_known(self):
+        # SignerInfo declares only public_key(1) and sequence(3) in the
+        # descriptor set — field 2 (mode_info) lands in the unknown-field
+        # section, which protobuf-java writes AFTER all known fields: an
+        # input with field 2 before field 3 must re-emit as 3 then 2,
+        # never interleaved ascending (r5 ADVICE)
+        signer = _ld(2, b"\x0a\x00") + bytes([3 << 3 | 0, 0x07])  # seq=7
+        raw = _ld(1, b"") + _ld(2, _ld(1, signer))
+        enc = protowire.reencode_tx(raw)
+        want_signer = bytes([3 << 3 | 0, 0x07]) + _ld(2, b"\x0a\x00")
+        assert enc == _ld(1, b"") + _ld(2, _ld(1, want_signer))
 
     def test_empty_tx_emits_set_message_fields(self):
         # TxRaw.toTx() always SETS body/auth_info, and set-but-empty
