@@ -317,6 +317,7 @@ def kmeans_assign(
     k: int = 8,
     rounds: int = 2,
     literal_cells_max: int = KMEANS_LITERAL_CELLS_MAX,
+    with_vec: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (vec_id, cluster,
     dist_sq): the semantic-curation primitive (cluster-balanced
@@ -387,10 +388,144 @@ def kmeans_assign(
             for c in range(k)
         ]
     src, best = assign(q, cents)
-    return src.select(
-        "vec_id",
+    cols = [
+        F.col("vec_id"),
         best["c"].alias("cluster"),
         best["dist_sq"].alias("dist_sq"),
+    ]
+    if with_vec:
+        cols.append(F.col("qv"))  # downstream per-cluster similarity work
+    return src.select(*cols)
+
+
+def semantic_dedup_drops(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with k-means, then compare embeddings ONLY within each
+    cluster and drop any vector whose cosine similarity to a lower-id
+    clustermate reaches `threshold`. Output: one row per DROPPED vector —
+    (vec_id, cluster, dup_of = lowest such clustermate, n_dups = how many
+    lower-id near-twins it has). Keep-lowest-id is the deterministic
+    survivor rule (same contract as dedup_drop_near's canonical pick).
+
+    This is the scale shape that makes semantic dedup tractable: the
+    quadratic term is PER CLUSTER, not per corpus — k grows with the
+    corpus (n/expected-cluster-size), so cluster populations stay
+    bounded and the join is an equi-join on the cluster id, never an
+    all-pairs scan. The per-cluster work is the same exact
+    quantized-integer cosine as the ANN family (bit-identical across
+    engines); the k-means stage reuses kmeans_assign unchanged.
+    """
+    a = kmeans_assign(
+        widen(df), id_col, vec_col, k=k, rounds=rounds, with_vec=True
+    ).select(
+        "vec_id",
+        "cluster",
+        "qv",
+        V.dot_int(F.col("qv"), F.col("qv")).alias("nsq"),
+    )
+    keep = a.select(
+        F.col("vec_id").alias("keep_id"),
+        "cluster",
+        F.col("qv").alias("k_qv"),
+        F.col("nsq").alias("k_nsq"),
+    )
+    pairs = a.join(keep, "cluster").filter(F.col("keep_id") < F.col("vec_id"))
+    cos = V.dot_int(F.col("qv"), F.col("k_qv")).cast("double") / F.sqrt(
+        F.col("nsq").cast("double") * F.col("k_nsq").cast("double")
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.min("keep_id").alias("dup_of"),
+            F.count(F.lit(1)).cast("int").alias("n_dups"),
+        )
+    )
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    rounds: int = 2,
+    scale: int = 1024,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) gram matrix XᵀX by
+    unrolled power iteration: v_{r+1} ∝ Σ_rows x·(xᵀv_r), starting from
+    the ones vector. Returns (d, component) — the direction quantized to
+    ±`scale`, exact int64 arithmetic end-to-end so both engines agree
+    bit-for-bit.
+
+    Each round is two narrow maps + ONE partial-aggregated shuffle of
+    dims cells (posexplode → groupBy(d): dims groups, map-side
+    combined), and the model state between rounds is a dims-length
+    vector that stays IN-PLAN as a 1-row broadcast (collect_list →
+    crossJoin broadcast — same shape as dangling-PageRank's mass
+    scalar); nothing is collected to the driver and the whole query
+    stays lazy. Normalization between rounds is integer:
+    sign(s)·(|s|·scale ÷ max|s|) with truncating division spelled
+    sign-split (abs then DIV), which floors and truncates identically.
+
+    int64 bounds: |x_i| ≤ FIXED-scale (1024 for unit floats), |v| ≤
+    scale ⇒ per-row dot ≤ dims·scale·1024, per-cell product ≤ 1024× that
+    — Σ over rows stays under 2⁶³ through ~10¹⁰ rows at dims=64;
+    larger corpora lower `scale`."""
+    zero = F.lit(0).cast("long")
+    q = df.select(V.quantized(F.col(vec_col)).alias("qv"))
+
+    def normalized(s_by_d: DataFrame) -> DataFrame:
+        """(d, s) rows → 1-row (vl: array<long>) quantized direction."""
+        m = s_by_d.agg(F.max(F.abs(F.col("s"))).alias("m"))
+        v = s_by_d.crossJoin(F.broadcast(m)).select(
+            "d",
+            F.expr(
+                f"CASE WHEN s < 0 THEN -1 ELSE 1 END"
+                f" * (abs(s) * {scale} DIV m)"
+            ).alias("v"),
+        )
+        return v.agg(
+            F.array_sort(F.collect_list(F.struct("d", "v"))).alias("dv")
+        ).select(F.transform("dv", lambda e: e["v"]).alias("vl"))
+
+    def one_round(vrow: DataFrame | None) -> DataFrame:
+        """(d, s) of Σ_rows x·(xᵀv); v = ones when vrow is None."""
+        if vrow is None:
+            r = q.withColumn(
+                "rd", F.aggregate("qv", zero, lambda a, x: a + x)
+            )
+        else:
+            r = q.crossJoin(F.broadcast(vrow)).withColumn(
+                "rd",
+                F.aggregate(
+                    F.zip_with("qv", "vl", lambda a, b: a * b),
+                    zero,
+                    lambda a, x: a + x,
+                ),
+            )
+        return (
+            r.select(F.posexplode("qv").alias("d", "x"), "rd")
+            .groupBy("d")
+            .agg(F.sum(F.col("x") * F.col("rd")).alias("s"))
+        )
+
+    vrow = None
+    for _ in range(rounds - 1):
+        vrow = normalized(one_round(vrow))
+    final = one_round(vrow)
+    m = final.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    return final.crossJoin(F.broadcast(m)).select(
+        "d",
+        F.expr(
+            f"CASE WHEN s < 0 THEN -1 ELSE 1 END"
+            f" * (abs(s) * {scale} DIV m)"
+        ).alias("component"),
     )
 
 

@@ -5565,6 +5565,310 @@ def multimodal_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-6 additions: SCD2 history, hashed-linear quality model, SemDeDup,
+# interchange-format (CSV/JSONL) source roundtrips
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_source_csv_roundtrip",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           MIN(CAST(o_orderdate AS DATE)) AS first_day,
+           MAX(CAST(o_orderdate AS DATE)) AS last_day
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path, proven by roundtrip: write orders as headered CSV
+    under the warehouse, read it back with an EXPLICIT schema, and
+    aggregate — the oracle runs on the original parquet, so any loss or
+    misparse in the CSV writer/reader surfaces as a hash mismatch.
+    Column choice is deliberate: ints, strings, and dates are the
+    CSV-lossless subset (doubles/timestamps ride parquet or JSON, not
+    CSV — text float formatting is where roundtrips die).
+
+    Scale: explicit read schema (no inference scan); CSV splits on line
+    boundaries so the read parallelizes like any text source."""
+    from .sinks import roundtrip_dataset
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    back = roundtrip_dataset(
+        spark,
+        orders,
+        "rt_orders_csv",
+        "csv",
+        "o_orderkey bigint, o_orderstatus string, o_orderdate date,"
+        " o_orderpriority string",
+        options={"header": "true"},
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderdate").alias("first_day"),
+        F.max("o_orderdate").alias("last_day"),
+    )
+
+
+@register(
+    "q_source_jsonl_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_us,
+           MAX(CAST(epoch_us(ts) AS BIGINT)) AS last_us
+    FROM events GROUP BY 1
+    """,
+)
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path, proven by roundtrip: events → JSONL under
+    the warehouse → read back with an explicit schema → aggregate, oracle
+    on the original parquet. Timestamps travel as integer epoch-µs and
+    money as decimal — the two representations that are exact in JSON
+    text (JSON timestamp strings truncate to millis under the default
+    format; doubles depend on the writer's float formatter).
+
+    Scale: JSONL is the corpus interchange format (crawl dumps, API
+    exports) — line-splittable, schema-on-read with the schema given, so
+    ingest parallelizes and never runs an inference pre-scan."""
+    from .sinks import roundtrip_dataset
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.col("value").cast(DEC_PRICE).alias("value_dec"),
+    )
+    back = roundtrip_dataset(
+        spark,
+        ev,
+        "rt_events_jsonl",
+        "json",
+        f"event_id bigint, ts_us bigint, event_type string,"
+        f" value_dec {DEC_PRICE}",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a change log: collapse
+    consecutive same-value runs per user (lag filter), then stamp each
+    surviving change with its validity interval (lead) and version
+    (row_number) — the standard warehouse history-table build that the
+    reference's CDC-adjacent users run downstream of `q_latest_by_key`.
+
+    Scale: ONE shuffle on user_id. The lag window, the filter, and the
+    lead/row_number windows share partitioning AND sort order, so
+    Catalyst plans a single exchange + sort with the second window
+    running sort-free on the filtered output. Intervals are integer
+    microseconds (unix_micros) — the engine-portable representation the
+    sessionize query already pins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_QM_WEIGHT_SQL = "('0x' || substr(md5(f), 1, 12))::BIGINT % 2001 - 1000"
+_QM_BIGRAMS_SQL = (
+    "CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),"
+    " i -> concat_ws(' ', t[i], t[i+1]))"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+@register(
+    "text_quality_model",
+    f"""
+    WITH t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    f AS (SELECT doc_id, t || {_QM_BIGRAMS_SQL} AS feats FROM t)
+    SELECT doc_id,
+           CAST(len(feats) AS INTEGER) AS n_feats,
+           CAST(COALESCE(list_sum(list_transform(feats,
+                  f -> {_QM_WEIGHT_SQL})), 0) AS BIGINT) AS score_milli,
+           COALESCE(list_sum(list_transform(feats,
+                  f -> {_QM_WEIGHT_SQL})), 0) > 0 AS keep
+    FROM f
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: features are
+    unigrams + word bigrams, each hashed to a fixed-point milli-weight
+    (md5-derived — the deterministic stand-in for trained weights, same
+    conv/'0x' idiom as the sketch family), document score = Σ weights,
+    keep = score > 0. The inference shape of the linear quality filters
+    used for corpus curation (CCNet/fastText gates): real deployments
+    swap the md5 weight for a broadcast weight-table lookup; the plan is
+    identical.
+
+    Scale: 100% row-local — tokenize, shingle, hash, and sum are all
+    higher-order functions inside one narrow projection. Zero shuffles,
+    zero Python; throughput is scan-bound at any corpus size."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def weight(tok: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 12), 16, 10).cast("long")
+            % 2001
+            - 1000
+        )
+
+    toks = TX.tokens(F.col("text"))
+    feats = F.concat(toks, TX.word_shingles(toks, 2))
+    score = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(feats).alias("n_feats"),
+        score.alias("score_milli"),
+    )
+    return out.withColumn("keep", F.col("score_milli") > 0)
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")},
+    n AS (SELECT vec_id, cluster, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+          FROM afinal),
+    p AS (
+      SELECT b.vec_id, b.cluster, a.vec_id AS keep_id,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           MIN(keep_id) AS dup_of,
+           CAST(COUNT(*) AS INTEGER) AS n_dups
+    FROM p WHERE cos_sim >= 0.4
+    GROUP BY vec_id, cluster
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means the
+    embeddings, compare cosines only WITHIN each cluster, drop any
+    vector with a lower-id clustermate at cos ≥ τ (keep-lowest survivor
+    rule). Emits the drop list with provenance (dup_of, n_dups).
+
+    Scale: the defining property is that the quadratic term is bounded
+    per cluster — the pair join is an equi-join on the cluster id, and k
+    grows with the corpus so cluster populations stay ~constant. The
+    k-means stage is `kmeans_assign` unchanged (EAGER: centroid collects
+    between Lloyd rounds); the pair stage is one shuffle on cluster.
+    τ = 0.4 fits the synthetic embedding distribution (max within-
+    cluster cosine ≈ 0.51 at sf0.01); production corpora use ~0.95+."""
+    from .operators.similarity import semantic_dedup_drops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_drops(emb, k=_IVF_CELLS, rounds=2, threshold=0.4)
+
+
+@register(
+    "sim_power_iteration",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    r1 AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS rd FROM q),
+    s1 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r1 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m1 AS (SELECT MAX(abs(s)) AS m FROM s1),
+    v1 AS (SELECT list(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                       * (abs(s) * 1024 // m) ORDER BY d) AS vl
+           FROM s1 CROSS JOIN m1),
+    r2 AS (SELECT qv, CAST(list_dot_product(qv, vl) AS BIGINT) AS rd
+           FROM q CROSS JOIN v1),
+    s2 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r2 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m2 AS (SELECT MAX(abs(s)) AS m FROM s2)
+    SELECT CAST(d AS INTEGER) AS d,
+           CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                * (abs(s) * 1024 // m) AS BIGINT) AS component
+    FROM s2 CROSS JOIN m2
+    """,
+)
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding gram matrix by 2-round
+    unrolled power iteration (operators/similarity.py:
+    power_iteration_top_component) — the spectral primitive under PCA
+    whitening, spectral clustering seeds, and embedding-drift monitors,
+    and the engine's fourth iterative algorithm next to PageRank,
+    connected components, and k-means. Unlike those, it needs NO driver
+    round-trips: the dims-length model state stays in-plan as a 1-row
+    broadcast between rounds, so the whole query is lazy. Exact int64
+    arithmetic (quantized vectors, integer normalization) makes both
+    engines bit-identical; the oracle unrolls the same two rounds."""
+    from .operators.similarity import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(emb, rounds=2)
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
@@ -5572,6 +5876,8 @@ def _family(name: str) -> str:
     if len(name) > 1 and name[0] == "q" and name[1].isdigit():
         return "tpch"
     for prefix, fam in (
+        ("q_scd2", "window"),
+        ("q_source", "scan"),
         ("q_join", "join"),
         ("q_merge", "join"),
         ("q_asof", "join"),

@@ -94,6 +94,35 @@ def ensure_bucketed_table(
     return spark.table(table)
 
 
+def roundtrip_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    fmt: str,
+    schema: str,
+    options: dict | None = None,
+) -> DataFrame:
+    """Write `df` in `fmt` (csv/json/parquet/orc) under the warehouse and
+    read it back with an EXPLICIT schema — the interchange-format source
+    path (the reference only speaks Kafka; an analytics engine must also
+    ingest the text formats corpora arrive in). Explicit read schema is
+    the scale contract: schema inference is a second full scan of the
+    dataset before the real one, never acceptable at 100 TB.
+
+    Paths resolve against spark.sql.warehouse.dir (same contract as the
+    bucketed tables), so the write works under any filesystem scheme the
+    session's Hadoop conf supports."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = f"{warehouse}/{name}"
+    writer = df.write.mode("overwrite").format(fmt)
+    reader = spark.read.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+        reader = reader.option(k, v)
+    writer.save(path)
+    return reader.load(path)
+
+
 def read_partition_pruned(
     spark: SparkSession, path: str, **partition_values: str
 ) -> DataFrame:

@@ -23,10 +23,13 @@ from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
 EAGER = {
     "dedup_connected_components",
     "q_bucketed_join_agg",  # warehouse writes on call
+    "q_source_csv_roundtrip",  # warehouse writes on call
+    "q_source_jsonl_roundtrip",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
     "sample_cluster_balanced",  # same (built on kmeans_assign)
+    "dedup_semantic",  # same (built on kmeans_assign)
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
@@ -54,6 +57,7 @@ BNLJ_OK = {
     "q22_idle_balances",  # scalar avg subquery broadcast
     "q_subquery_scalar",
     "q_histogram_equiheight",  # 1-row cut-point table
+    "sim_power_iteration",  # 1-row model-state broadcasts between rounds
     "text_vocab_coverage",  # bounded vocab, joined non-equi-free
     "q_data_profile",
     "text_pack_sequences",  # offset table
