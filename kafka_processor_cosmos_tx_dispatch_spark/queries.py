@@ -5661,6 +5661,44 @@ def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_source_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path, proven by roundtrip: lineitem columns → ORC under
+    the warehouse → read back → aggregate, oracle on the original
+    parquet. Unlike the CSV/JSONL paths, ORC is a binary columnar format
+    — doubles travel bit-exact with no text-formatting caveats, and the
+    reader gets the same predicate-pushdown/column-pruning treatment as
+    parquet, so it's the second first-class columnar lake format."""
+    from .sinks import roundtrip_dataset
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_extendedprice", "l_quantity",
+    )
+    back = roundtrip_dataset(
+        spark,
+        li,
+        "rt_lineitem_orc",
+        "orc",
+        "l_orderkey bigint, l_returnflag string, l_linestatus string,"
+        " l_extendedprice double, l_quantity double",
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_extendedprice")).alias("total_price"),
+        _dsum(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+@register(
     "q_scd2_history",
     """
     WITH ordered AS (

@@ -25,6 +25,7 @@ EAGER = {
     "q_bucketed_join_agg",  # warehouse writes on call
     "q_source_csv_roundtrip",  # warehouse writes on call
     "q_source_jsonl_roundtrip",  # warehouse writes on call
+    "q_source_orc_roundtrip",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
