@@ -129,6 +129,81 @@ class TestSimilarity:
         bank = similarity.kmeans_assign(sub, k=8, rounds=2, literal_cells_max=0)
         assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bank.collect()))
 
+    def test_power_iteration_matches_numpy_trajectory(self, emb):
+        """The quantized direction after r rounds must align (cos >
+        0.999) with float numpy running the SAME r power-iteration
+        rounds from the same ones start — pins the SEMANTIC claim (it
+        really computes v ← XᵀXv), which the cross-engine oracle alone
+        can't (both engines could agree on a wrong formula). Alignment
+        with the true eigenvector is NOT asserted: the synthetic
+        embeddings have a near-flat spectrum (λ₁/λ₂ ≈ 1.02), so any
+        fixed round count is far from converged on this data — the
+        operator contract is the iterate, convergence is the caller's
+        spectral-gap-dependent dial."""
+        import numpy as np
+
+        sub = emb.filter(F.col("vec_id") < 200)
+        rounds = 3
+        out = similarity.power_iteration_top_component(
+            sub, rounds=rounds
+        ).collect()
+        v = np.array(
+            [r["component"] for r in sorted(out, key=lambda r: r["d"])],
+            dtype=float,
+        )
+        x = np.array(
+            [
+                np.floor(np.asarray(r["embedding"], dtype=float) * 1024.0)
+                for r in sub.select("embedding").collect()
+            ]
+        )
+        ref = np.ones(x.shape[1])
+        for _ in range(rounds):
+            ref = x.T @ (x @ ref)
+            ref = ref / np.max(np.abs(ref))
+        cos = abs(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref))
+        assert cos > 0.999
+        assert int(np.max(np.abs(v))) == 1024  # quantized to ±scale
+
+    def test_semantic_dedup_matches_bruteforce(self, emb):
+        """Every emitted drop must be reproducible by brute force from
+        the operator's own cluster assignment: n_dups = the exact count
+        of lower-id clustermates at cos ≥ τ, dup_of = the lowest such id,
+        and no qualifying vector may be missing from the drop list."""
+        import numpy as np
+
+        sub = emb.filter(F.col("vec_id") < 200)
+        tau = 0.35
+        drops = {
+            r["vec_id"]: (r["dup_of"], r["n_dups"])
+            for r in similarity.semantic_dedup_drops(
+                sub, k=8, rounds=2, threshold=tau
+            ).collect()
+        }
+        assign = similarity.kmeans_assign(
+            sub, k=8, rounds=2, with_vec=True
+        ).collect()
+        by_cluster: dict[int, list] = {}
+        for r in assign:
+            by_cluster.setdefault(r["cluster"], []).append(
+                (r["vec_id"], np.asarray(r["qv"], dtype=float))
+            )
+        expect = {}
+        for members in by_cluster.values():
+            members.sort()
+            for i, (vid, v) in enumerate(members):
+                near = [
+                    kid
+                    for kid, kv in members[:i]
+                    if float(v @ kv)
+                    / float(np.sqrt((v @ v) * (kv @ kv)))
+                    >= tau
+                ]
+                if near:
+                    expect[vid] = (min(near), len(near))
+        assert drops == expect
+        assert expect  # fixture must actually exercise the drop path
+
     def test_kmeans_bank_tier_plan_is_k_independent(self, emb):
         """At curation-scale k the plan must NOT carry the centroid bank
         as literals: the bank rides a broadcast join, so plan size is
