@@ -56,6 +56,8 @@ PYTHON_OK = {
 # few-row) aggregate, which is the intended plan for scalar joins.
 BNLJ_OK = {
     "q22_idle_balances",  # scalar avg subquery broadcast
+    "q11_important_value",  # 1-row global-total broadcast threshold
+    "q20_potential_promotion",  # 1-row (count, sum) broadcast threshold
     "q_subquery_scalar",
     "q_histogram_equiheight",  # 1-row cut-point table
     "sim_power_iteration",  # 1-row model-state broadcasts between rounds
