@@ -52,6 +52,14 @@ HEADLINE = [
     # round-5 breadth: the dangling-mass PageRank variant exercises the
     # deep-iteration checkpoint shell (operators/iterative.py) per round
     "graph_pagerank_dangling",
+    # round-6 breadth: semantic curation + the completed TPC-H battery's
+    # heaviest new shapes
+    "dedup_semantic",
+    "sim_power_iteration",
+    "text_quality_model",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_waiting_supplier",
 ]
 
 

@@ -398,6 +398,56 @@ def kmeans_assign(
     return src.select(*cols)
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that carry the gradient signal (random negatives
+    are trivially separable). Same exact quantized-integer cosine and
+    bounded-query-broadcast shape as brute_force_topk; the label
+    inequality rides the join condition, so the corpus side streams
+    once. For unbounded query sets, swap the broadcast for the IVF cell
+    join (ivf_topk) and apply the same label filter post-join."""
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        qv = V.quantized(F.col(vec_col))
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(label_col).alias(f"{side}_label"),
+            qv.alias(f"{side}_qv"),
+        )
+        return out.withColumn(
+            f"{side}_nsq", V.dot_int(F.col(f"{side}_qv"), F.col(f"{side}_qv"))
+        )
+
+    q = prep(queries, "query")
+    c = prep(widen(corpus), "neighbor")
+    joined = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    )
+    sim = V.dot_int(F.col("query_qv"), F.col("neighbor_qv")).cast(
+        "double"
+    ) / F.sqrt(
+        F.col("query_nsq").cast("double") * F.col("neighbor_nsq").cast("double")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        sim.alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def semantic_dedup_drops(
     df: DataFrame,
     id_col: str = "vec_id",

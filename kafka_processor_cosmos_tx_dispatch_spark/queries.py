@@ -5907,6 +5907,45 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_component(emb, rounds=2)
 
 
+@register(
+    "sample_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    n AS (SELECT vec_id, label, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+          FROM q),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(b.label AS INTEGER) AS neighbor_label,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM n a JOIN n b ON a.label <> b.label
+      WHERE a.vec_id < 10)
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negative_topk):
+    per query, the 3 most-similar DIFFERENT-label vectors — the
+    contrastive-training negatives that actually carry gradient, next to
+    `sample_balanced_pairs`' positives. Bounded query set broadcasts;
+    label inequality rides the join; exact quantized-integer cosine so
+    the ranking hash-compares."""
+    from .operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion: the 9 query shapes missing from the classic battery,
 # adapted to the reduced driver schema (no partsupp / commitdate — each

@@ -260,6 +260,30 @@ def main() -> None:
         lambda: run(kmeans_assign(vecs, k=256, rounds=2)),
     )
 
+    # semantic dedup at curation-scale k: the per-cluster pair join must
+    # stay bounded (~(n/k)² per cluster), so runtime should track n²/k —
+    # k=256 over the probe corpus keeps expected cluster size ~n/256
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        power_iteration_top_component,
+        semantic_dedup_drops,
+    )
+
+    probe(
+        "semantic_dedup_k256",
+        args.vecs,
+        lambda: run(
+            semantic_dedup_drops(vecs, k=256, rounds=1, threshold=0.9)
+        ),
+    )
+
+    # power iteration: 3 rounds, each one dims-cell aggregation pass —
+    # runtime should be ~3 linear scans regardless of dims' tiny agg
+    probe(
+        "power_iteration_r3",
+        args.vecs,
+        lambda: run(power_iteration_top_component(vecs, rounds=3)),
+    )
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
