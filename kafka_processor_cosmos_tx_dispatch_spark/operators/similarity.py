@@ -262,11 +262,17 @@ def _kmeans_best(qv, centroids: list[list[int]]):
     return EX.bind(qv, best)
 
 
-KMEANS_LITERAL_CELLS_MAX = 8192
-"""Above k×dims literal cells, the assignment switches from the compiled
-literal bank to the broadcast data bank: literal trees grow O(k·dims) and
-blow up analysis/codegen at curation-scale k (r5 verdict #2), while the
-data bank keeps the plan O(1) in k."""
+KMEANS_LITERAL_CELLS_MAX = 0
+"""k×dims threshold above which assignment uses the broadcast data bank
+instead of compiled literals. Default 0 = bank ALWAYS: measured at sf0.1
+(2k vecs, k=8, dims=64 → 512 cells) the literal tier spends more in
+per-round expression analysis + codegen than the whole bank-tier run
+(4.8 s vs 2.3 s for 2 Lloyd rounds; 1.6 s vs 0.8 s for one assignment),
+and the gap only widens with k since literal trees grow O(k·dims)
+(r5 verdict #2) while the bank plan is O(1) in k with a codegen shape
+reused across rounds. The literal tier remains for callers that want a
+join-free plan (pass a large `literal_cells_max`) and for the
+tier-parity pin in tests/test_llm_ops.py."""
 
 
 def _centroid_bank_df(spark, cents: list[list[int]]) -> DataFrame:
@@ -343,13 +349,14 @@ def kmeans_assign(
 
     Two assignment tiers, identical integer semantics (pinned by
     tests/test_llm_ops.py tier-parity):
-    - k×dims ≤ literal_cells_max: centroids compiled into the plan as
-      literals (zero join, smallest per-row constant factor) — right for
-      routing-scale k.
-    - above it: the bank rides a broadcast 1-row crossJoin as DATA and
-      the per-row argmin is a nested HOF (_kmeans_best_bank) — the plan
-      stays O(1) in k, so curation-scale k (hundreds..thousands of
-      clusters) cannot blow up analysis or codegen.
+    - DEFAULT (bank): the centroid bank rides a broadcast 1-row
+      crossJoin as DATA and the per-row argmin is a nested HOF
+      (_kmeans_best_bank) — the plan is O(1) in k, the codegen shape is
+      reused across rounds, and it measures faster than the literal
+      tier even at k=8 (see KMEANS_LITERAL_CELLS_MAX).
+    - k×dims ≤ literal_cells_max (opt-in): centroids compiled into the
+      plan as literals — a join-free plan for callers that need one,
+      paying O(k·dims) expression analysis/codegen per round.
     """
     dims = _dims(df, vec_col)
     q = df.select(

@@ -125,7 +125,7 @@ class TestSimilarity:
         squared-L2, same lowest-id tiebreak — on every row, for both the
         in-loop updates and the final labels."""
         sub = emb.filter(F.col("vec_id") < 300)
-        lit = similarity.kmeans_assign(sub, k=8, rounds=2)
+        lit = similarity.kmeans_assign(sub, k=8, rounds=2, literal_cells_max=10**9)
         bank = similarity.kmeans_assign(sub, k=8, rounds=2, literal_cells_max=0)
         assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bank.collect()))
 

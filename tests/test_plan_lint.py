@@ -123,6 +123,9 @@ EAGER_BNLJ_OK = {
     "text_tfidf_topterms",  # 1-row corpus-size aggregate
     "text_token_rarity",  # 1-row corpus-size aggregate
     "streaming_incremental_merge",  # 1-row snapshot watermark aggregate
+    "sim_kmeans_clusters",  # 1-row centroid-bank broadcast (bank tier)
+    "sample_cluster_balanced",  # same (built on kmeans_assign)
+    "dedup_semantic",  # same (built on kmeans_assign)
 }
 
 
