@@ -5946,6 +5946,83 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH cs AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
+                       ORDER BY n DESC, s) AS rn
+        FROM cs) WHERE rn <= 4),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS w
+      FROM topk a JOIN topk b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2),
+    edges AS (SELECT s1, s2 FROM pairs WHERE w >= 8),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+              SELECT s1 AS node FROM edges
+              UNION ALL SELECT s2 FROM edges) GROUP BY 1),
+    keyed AS (
+      SELECT e.s1, e.s2, d1.d * 100000000 + e.s1 AS k1,
+             d2.d * 100000000 + e.s2 AS k2
+      FROM edges e JOIN deg d1 ON d1.node = e.s1
+                   JOIN deg d2 ON d2.node = e.s2),
+    o AS (SELECT CASE WHEN k1 < k2 THEN s1 ELSE s2 END AS src,
+                 CASE WHEN k1 < k2 THEN s2 ELSE s1 END AS dst,
+                 CASE WHEN k1 < k2 THEN k2 ELSE k1 END AS dst_key
+          FROM keyed),
+    tri AS (
+      SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+      FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst_key < w2.dst_key
+      JOIN o e3 ON e3.src = w1.dst AND e3.dst = w2.dst)
+    SELECT node, COUNT(*) AS n_triangles FROM (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_count) over
+    the supplier co-purchase graph — the third classic distributed-graph
+    algorithm next to PageRank and connected components, and the one
+    whose naive form dies on hubs. Two scale guards, both deterministic:
+    the bipartite customer→supplier projection is DEGREE-CAPPED (top-4
+    suppliers per customer by line count, rank-tiebroken — ≤6 pairs per
+    customer, so the projection can't go quadratic in a customer's
+    degree) and thresholded (≥8 co-purchases), and the triangle join
+    uses DEGREE ORIENTATION so wedge fan-out is bounded by O(√|E|) per
+    node instead of raw hub degree. All equi-joins, all integers."""
+    from .operators.graph import triangle_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+    topk = cs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 4
+    )
+    a = topk.select("c", F.col("s").alias("s1"))
+    b = topk.select("c", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 8)
+        .select("s1", "s2")
+    )
+    return triangle_count(edges)
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion: the 9 query shapes missing from the classic battery,
 # adapted to the reduced driver schema (no partsupp / commitdate — each

@@ -390,3 +390,17 @@ def test_hash_split_is_stable_and_partitioned(spark):
     b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
     assert a == b and len(a) == 500
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (every node in C(3,2)=3 triangles, 4 total) plus a disjoint
+    path (no triangles) — exact per-node counts, path nodes absent."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(k4 + path, "s1 long, s2 long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
