@@ -67,6 +67,34 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration(spark, sf_dir: str) -> dict:
+    """Fixed machine-state probe, reported alongside the query timings so
+    cross-round deltas are attributable: the same code on a slower disk /
+    busier box inflates every query uniformly (r5→r6 showed a ~+25%
+    across-the-board swing on identical untouched queries). Two numbers:
+    a parquet scan+agg (IO+decode bound) and a pure-compute spark.range
+    reduction (CPU bound). Compare THESE across rounds before reading
+    anything into per-query deltas."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    scan = li.agg(
+        F.count(F.lit(1)), F.sum("l_extendedprice"), F.min("l_shipdate")
+    )
+    cpu = spark.range(50_000_000).agg(
+        F.sum(F.col("id") * 3 % 7), F.count(F.lit(1))
+    )
+    out = {}
+    for name, df in (("calibration_scan_sec", scan), ("calibration_cpu_sec", cpu)):
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_query(df)
+            dt = min(dt, time.perf_counter() - t0)
+        out[name] = round(dt, 3)
+    return out
+
+
 def dispatch_throughput(spark, n: int = 2_000_000) -> dict:
     """Synthetic dispatch throughput — the reference's native workload
     shape (record → N JsonPath rules → multicast route) on generated
@@ -273,6 +301,7 @@ def main() -> None:
         "queries": timings,
         "queries_stats": stats,
         "sf": sf_num,
+        **calibration(spark, sf_dir),
         **dispatch_throughput(spark),
         **streaming_throughput(spark),
         **streaming_decode_throughput(spark),
