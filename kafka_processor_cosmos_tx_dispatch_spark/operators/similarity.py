@@ -405,6 +405,151 @@ def kmeans_assign(
     return src.select(*cols)
 
 
+PQ_M, PQ_K = 4, 16  # subspaces × codes: 64-dim vector → 4 bytes of code
+
+
+def pq_codebook(dims: int, m: int = PQ_M, k: int = PQ_K) -> list[list[int]]:
+    """Per-subspace codebooks from the shared LCG: entry cid = sub·K + code
+    is a (dims/m)-dim integer centroid. Data-free like ivf_centroids (a
+    production PQ trains per-subspace k-means; the INDEX SHAPE — encode
+    once, ADC-score against codes — is what this implements), so both
+    engines can rebuild it from the formula alone."""
+    return ivf_centroids(m * k, dims // m)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into `m`
+    subvectors, snap each to its nearest codebook entry (exact integer
+    L2, lowest-code tiebreak) → (vec_id, code_0..code_{m-1}). The
+    compressed corpus representation: m small ints instead of dims
+    floats (64×4B → 4B here) — what makes billion-scale ANN fit in
+    memory. Encoding is in-row against literal codebooks (narrow stage,
+    no join, no shuffle)."""
+    dims = _dims(df, vec_col)
+    sub_d = dims // m
+    cents = pq_codebook(dims, m, k)
+    from ..functions import exprs as EX
+
+    def subspace_dist(s, cv: list[int]):
+        """Exact integer L2 of a bound subvector vs one literal centroid."""
+        return (
+            V.dot_int(s, s)
+            - F.lit(2).cast("long")
+            * V.dot_int(s, F.array(*[F.lit(x).cast("long") for x in cv]))
+            + F.lit(sum(x * x for x in cv)).cast("long")
+        )
+
+    def code_fn(mi: int):
+        # closure factory: HOF lambdas must be single-parameter — pyspark
+        # binds EVERY parameter (defaults included) to lambda variables
+        def fn(s):
+            return F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            subspace_dist(s, cents[mi * k + ki]).alias("dist"),
+                            F.lit(ki).alias("code"),
+                        )
+                        for ki in range(k)
+                    ]
+                )
+            )["code"]
+
+        return fn
+
+    def codes(v):
+        return [
+            EX.bind(F.slice(v, mi * sub_d + 1, sub_d), code_fn(mi)).alias(
+                f"code_{mi}"
+            )
+            for mi in range(m)
+        ]
+
+    q = df.select(
+        F.col(id_col).alias("vec_id"), V.quantized(F.col(vec_col)).alias("qv")
+    )
+    return q.select("vec_id", *codes(F.col("qv")))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    k_out: int = 5,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC): the corpus is its codes
+    only; each query scores a corpus row as Σ_sub L2(query_subvector,
+    codebook[code_sub]) — exact distance to the RECONSTRUCTION, the
+    standard PQ search. Per query the m×k subspace distances form a
+    lookup table evaluated in-row (literal codebooks again), and the
+    per-corpus-row score is m array-index lookups + adds — no float
+    math, no per-row dot against the raw corpus vector.
+
+    Scale: the corpus side carries 4 small ints per row instead of the
+    embedding (the memory/bandwidth win PQ exists for); the bounded
+    query set broadcasts (same contract as brute_force_topk); compose
+    with the IVF cell join for unbounded query sets."""
+    dims = _dims(corpus, vec_col)
+    sub_d = dims // m
+    cents = pq_codebook(dims, m, k)
+    enc = pq_encode(widen(corpus), id_col, vec_col, m, k).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.quantized(F.col(vec_col)).alias("q_qv"),
+    )
+    joined = enc.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    from ..functions import exprs as EX
+
+    def dist_of(s, cv: list[int]):
+        return (
+            V.dot_int(s, s)
+            - F.lit(2).cast("long")
+            * V.dot_int(s, F.array(*[F.lit(x).cast("long") for x in cv]))
+            + F.lit(sum(x * x for x in cv)).cast("long")
+        )
+
+    def table_fn(mi: int):
+        def fn(s):  # single-parameter HOF lambda (see pq_encode)
+            return F.array(*[dist_of(s, cents[mi * k + ki]) for ki in range(k)])
+
+        return fn
+
+    def adc(v):
+        terms = []
+        for mi in range(m):
+            table = EX.bind(F.slice(v, mi * sub_d + 1, sub_d), table_fn(mi))
+            terms.append(
+                F.element_at(table, F.col(f"code_{mi}").cast("int") + 1)
+            )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    scored = joined.select(
+        "query_id", "neighbor_id", adc(F.col("q_qv")).alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_out
+    )
+
+
 def hard_negative_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -5947,6 +5947,67 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_pq",
+    """
+    WITH cent AS (
+      SELECT i // 16 AS cid, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, 64 * 16 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m, qv[m * 16 + 1 : m * 16 + 16] AS sv
+      FROM q CROSS JOIN unnest(generate_series(0, 3)) AS t(m)),
+    dists AS (
+      SELECT s.vec_id, s.m, c.cid,
+             CAST(list_dot_product(s.sv, s.sv) AS BIGINT)
+               - 2 * CAST(list_dot_product(s.sv, c.cv) AS BIGINT)
+               + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) AS dist
+      FROM sub s JOIN cent c ON c.cid // 16 = s.m),
+    enc AS (
+      SELECT vec_id, m, cid % 16 AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist ASC, cid ASC) AS rn
+        FROM dists) WHERE rn = 1),
+    scored AS (
+      SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+             SUM(CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT)
+                 - 2 * CAST(list_dot_product(qs.sv, c.cv) AS BIGINT)
+                 + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)) AS adc_dist
+      FROM sub qs
+      JOIN enc e ON qs.m = e.m AND qs.vec_id <> e.vec_id
+      JOIN cent c ON c.cid = e.m * 16 + e.code
+      WHERE qs.vec_id < 10
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_encode/
+    pq_topk): the corpus is compressed to 4 subspace codes per vector
+    (the billion-scale memory trick — 4 ints instead of 64 floats) and
+    queries rank by asymmetric distance to the reconstruction (ADC), the
+    fourth ANN path next to brute force, SRP-LSH, and IVF. Encoding and
+    the per-query ADC lookup tables are in-row against the data-free LCG
+    codebooks (exact integer L2, lowest-code ties), so the oracle
+    rebuilds the identical index relationally."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=5)
+
+
+@register(
     "graph_triangle_count",
     """
     WITH cs AS (

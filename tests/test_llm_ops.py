@@ -404,3 +404,38 @@ def test_triangle_count_known_graph(spark):
     edges = spark.createDataFrame(k4 + path, "s1 long, s2 long")
     out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark, sf_dir):
+    """PQ's adc_dist must equal the exact integer L2 between the query
+    vector and the RECONSTRUCTION of the neighbor from its own codes —
+    recomputed independently in numpy from pq_encode's output and the
+    codebook formula. Pins that encode and ADC share one codebook and
+    that the table lookup indexes the right subspace."""
+    import numpy as np
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sub = emb.filter(F.col("vec_id") < 60)
+    out = pq_topk(sub.filter(F.col("vec_id") < 5), sub, k_out=3).collect()
+    codes = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(4)]
+        for r in pq_encode(sub).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=float) * 1024.0)
+        for r in sub.collect()
+    }
+    book = np.array(pq_codebook(64), dtype=float)  # (64, 16) entries
+    assert out
+    for r in out:
+        recon = np.concatenate(
+            [book[m * 16 + codes[r["neighbor_id"]][m]] for m in range(4)]
+        )
+        expect = int(((vecs[r["query_id"]] - recon) ** 2).sum())
+        assert r["adc_dist"] == expect, (r, expect)

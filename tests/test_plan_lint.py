@@ -70,6 +70,7 @@ BNLJ_OK = {
     "q_join_bloom_prefilter",  # 1-row bloom word-array broadcast into the scan
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sample_hard_negatives",  # same bounded-query broadcast shape
+    "sim_topk_pq",  # same bounded-query broadcast, ADC-scored codes
     "sim_embedding_near_dup",  # bounded block-pair KEY table broadcast
     "q_sketch_merge_hll",  # 1-row merged-sketch estimate
     "q_join_cross",  # deliberate cross join of two bounded dims
