@@ -5751,6 +5751,25 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_scd2_history", _ORACLE["q_scd2_history"])
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 maintenance
+    (streaming/incremental.py:incremental_scd2): micro-batches append to
+    a bucket-partitioned change log and rebuild ONLY the touched
+    buckets' history via dynamic partition overwrite. SCD2's
+    run-collapsing is order-sensitive, so unlike the decimal MERGE view
+    this is maintained by key-scoped recompute — the order-invariant
+    formulation — and the finished stream must equal the one-shot batch
+    build exactly (same oracle as q_scd2_history; micro-batch
+    split-invariance pinned in tests/test_streaming.py)."""
+    import tempfile
+
+    from .streaming.incremental import incremental_scd2
+
+    ev = _events_stream(spark, sf_dir)
+    return incremental_scd2(ev, tempfile.mkdtemp(prefix="scd2_"))
+
+
 _QM_WEIGHT_SQL = "('0x' || substr(md5(f), 1, 12))::BIGINT % 2001 - 1000"
 _QM_BIGRAMS_SQL = (
     "CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),"

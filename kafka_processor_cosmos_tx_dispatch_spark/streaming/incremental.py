@@ -101,3 +101,91 @@ def incremental_decimal_merge(
         F.col("pn").alias("n_events"),
         F.col("ptv").cast("double").alias("total_value"),
     )
+
+
+def incremental_scd2(
+    stream: DataFrame,
+    state_dir: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Streaming SCD Type-2 maintenance by BUCKET-SCOPED RECOMPUTE: each
+    micro-batch appends its raw change events to a bucket-partitioned
+    log (bucket = user_id % `buckets`), then rebuilds the SCD2 history
+    for ONLY the touched buckets from their complete logs, replacing
+    exactly those partitions via dynamic partition overwrite
+    (`partitionOverwriteMode=dynamic` — untouched buckets' files are
+    never rewritten).
+
+    Why recompute instead of merge: SCD2's collapse-consecutive-runs
+    rule is NOT associative — a late row landing between two existing
+    changes can resurrect a previously-collapsed duplicate — so
+    interval-merging per batch is order-sensitive. Recomputing a bucket
+    from its full log is order-INVARIANT: any micro-batch split of the
+    input yields identical final history (pinned by
+    tests/test_streaming.py), because a bucket's last rebuild sees its
+    complete log. Per-batch cost is O(touched buckets' history), not
+    O(corpus): the same bound every key-scoped lakehouse backfill has.
+    The only driver-side materialization is the ≤`buckets` touched
+    bucket ids. Returns the final history (q_scd2_history's columns)."""
+    from pyspark.sql import Window as W
+
+    log_dir = os.path.join(state_dir, "log")
+    hist_dir = os.path.join(state_dir, "hist")
+    wrote = {"any": False}
+
+    def rebuild(bdf: DataFrame, _bid: int) -> None:
+        spark = bdf.sparkSession
+        b = bdf.select("user_id", "event_type", "ts", "event_id").withColumn(
+            "pb", (F.col("user_id") % buckets).cast("int")
+        )
+        b.write.mode("append").partitionBy("pb").parquet(log_dir)
+        touched = [r["pb"] for r in b.select("pb").distinct().collect()]
+        if not touched:
+            return
+        log = spark.read.parquet(log_dir).filter(F.col("pb").isin(touched))
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        chg = (
+            log.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            )
+            .select("user_id", "event_type", "ts", "event_id", "pb")
+        )
+        hist = chg.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+            F.row_number().over(w).alias("version"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            "pb",
+        )
+        (
+            hist.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pb")
+            .parquet(hist_dir)
+        )
+        wrote["any"] = True
+
+    q = (
+        stream.writeStream.foreachBatch(rebuild)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_scd2: stream did not finish within 300s; "
+            "history is partial"
+        )
+    spark = stream.sparkSession
+    if not wrote["any"]:
+        return spark.createDataFrame(
+            [],
+            "user_id long, event_type string, valid_from_us long, "
+            "valid_to_us long, version int, is_current boolean",
+        )
+    return spark.read.parquet(hist_dir).drop("pb")

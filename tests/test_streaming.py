@@ -370,3 +370,72 @@ class TestIncrementalMerge:
         }
         assert got == expect
         assert got[10] == (3, 11.67)  # spans all three batches
+
+
+class TestIncrementalScd2:
+    def test_multi_batch_split_matches_batch_scd2(self, spark, tmp_path):
+        """SCD2's run-collapsing is order-sensitive: batch 3 delivers a
+        LATE row that lands between two already-processed changes and
+        must resurrect a previously-collapsed duplicate (user 10: A@1,
+        A@5 collapsed to one run until B@3 arrives between them). The
+        bucket-scoped recompute must converge to the one-shot batch
+        SCD2 regardless of the micro-batch split."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            incremental_scd2,
+        )
+
+        src = str(tmp_path / "scd2_src")
+        os.makedirs(src)
+        batches = [
+            [(1, 1, 10, "A", 0.0, 0), (2, 2, 11, "X", 0.0, 0)],
+            [(3, 5, 10, "A", 0.0, 0), (4, 6, 11, "X", 0.0, 0)],
+            [(5, 3, 10, "B", 0.0, 0), (6, 7, 12, "Z", 0.0, 0)],  # late row
+        ]
+        for i, batch in enumerate(batches):
+            _mk_events(spark, batch).write.parquet(f"{src}/f{i}.parquet")
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src + "/*")
+        )
+        got = sorted(
+            map(
+                tuple,
+                incremental_scd2(stream, str(tmp_path / "scd2_state"))
+                .collect(),
+            )
+        )
+        batch_df = spark.read.parquet(src + "/*")
+        from pyspark.sql import Window as W
+
+        ww = W.partitionBy("user_id").orderBy("ts", "event_id")
+        chg = (
+            batch_df.withColumn("prev_type", F.lag("event_type").over(ww))
+            .filter(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type"))
+            )
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+        expect = sorted(
+            map(
+                tuple,
+                chg.select(
+                    "user_id",
+                    "event_type",
+                    F.unix_micros("ts").alias("valid_from_us"),
+                    F.unix_micros(F.lead("ts").over(ww)).alias("valid_to_us"),
+                    F.row_number().over(ww).alias("version"),
+                    F.lead("ts").over(ww).isNull().alias("is_current"),
+                ).collect(),
+            )
+        )
+        assert got == expect
+        # the late row really did split user 10's collapsed A-run:
+        u10 = sorted((r for r in got if r[0] == 10), key=lambda t: t[4])
+        assert [t[1] for t in u10] == ["A", "B", "A"]
