@@ -5966,6 +5966,53 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_drift_chi2",
+    """
+    WITH b AS (
+      SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM events GROUP BY 1)
+    SELECT bucket, n_ref, n_cur,
+           CAST((n_ref - n_cur) * (n_ref - n_cur) * 1000
+                // (n_ref + n_cur) AS BIGINT) AS chi2_milli
+    FROM b
+    """,
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: chi-square contribution per value
+    bucket between two interleaved snapshots (event_id parity stands in
+    for crawl A/B — production compares reference vs current windows).
+    The monitoring gate a curation pipeline runs before accepting a new
+    crawl: a bucket whose contribution spikes is where the distribution
+    moved. Contributions are fixed-point integers ((Δ²·1000) DIV total
+    — no float sums to diverge on, and the global score is then an
+    exact integer sum downstream). One scan, one hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.floor(F.col("value") / 25.0).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    return b.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "CAST((n_ref - n_cur) * (n_ref - n_cur) * 1000"
+            " DIV (n_ref + n_cur) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+@register(
     "sim_topk_pq",
     """
     WITH cent AS (
