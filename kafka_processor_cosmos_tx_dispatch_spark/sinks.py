@@ -123,6 +123,80 @@ def roundtrip_dataset(
     return reader.load(path)
 
 
+def zorder_value(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Morton (Z-order) key over `cols`: each column min-max-normalized
+    to `bits` bits, then bit-interleaved — one JVM integer expression,
+    no UDF. Columns must arrive with their global mins/maxs (a 1-row
+    aggregate upstream)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    span = (1 << bits) - 1
+    quantized = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        rng = F.when(hi - lo == 0, F.lit(1)).otherwise((hi - lo))
+        quantized.append(
+            F.least(
+                F.lit(span).cast("long"),
+                F.floor((c - lo) * span / rng).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+                ).cast("long")
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order-clustered parquet layout: range-partition + sort the data
+    by the Morton key of `cols`, so every file covers a small, BALANCED
+    bounding box in all clustered dimensions at once — a range predicate
+    on ANY of them prunes most files via footer min/max stats. (A
+    single-column sort gives perfect pruning on that column and none on
+    the others; Z-order is the multi-dimension data-skipping layout
+    Delta/Iceberg OPTIMIZE ZORDER implements.) The global min/max per
+    column is a 1-row broadcast aggregate; the write is one range
+    shuffle. Returns the re-read frame."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    with_z = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        zorder_value(
+            [F.col(c).cast("double") for c in cols],
+            [F.col(f"__min_{c}").cast("double") for c in cols],
+            [F.col(f"__max_{c}").cast("double") for c in cols],
+            bits,
+        ),
+    )
+    (
+        with_z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
 def read_partition_pruned(
     spark: SparkSession, path: str, **partition_values: str
 ) -> DataFrame:
