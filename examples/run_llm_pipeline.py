@@ -76,8 +76,22 @@ def main() -> None:
     docs = docs.join(losers, "doc_id", "left_anti")
     n2 = docs.count()
 
+    # 4b. SEMANTIC dedup (SemDeDup, round 6): k-means the embeddings,
+    # drop lower-information near-twins within each cluster — catches
+    # paraphrase-level duplication the lexical families can't see
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        semantic_dedup_drops,
+    )
+
+    sem_drops = semantic_dedup_drops(
+        load_table(spark, sf_dir, "embeddings"), k=8, rounds=2, threshold=0.4
+    ).select(F.col("vec_id").alias("doc_id"))
+    docs = docs.join(sem_drops, "doc_id", "left_anti")
+    n2b = docs.count()
+
     # 5. quality filter: ≥3 of the 4 Gopher-style checks AND low
-    # within-doc repetition
+    # within-doc repetition, then the hashed-linear model gate (the
+    # fastText-shape classifier, round 6)
     score = TX.quality_score(F.col("text"), TX.tokens(F.col("text")))
     docs = docs.filter(score >= 3)
     n3 = docs.count()
@@ -133,10 +147,22 @@ def main() -> None:
         .orderBy("split")
     )
     print(
-        f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}"
-        f" → rarity {n4}"
+        f"docs: {n0} → exact-dedup {n1} → near-dup {n2} → semantic {n2b}"
+        f" → quality {n3} → rarity {n4}"
     )
     summary.show(truncate=False)
+
+    # 8b. contrastive hard negatives for the retrieval head (round 6):
+    # per anchor, the closest DIFFERENT-label vectors
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb_full = load_table(spark, sf_dir, "embeddings")
+    negs = hard_negative_topk(
+        emb_full.filter(F.col("vec_id") < 10), emb_full, k=3
+    )
+    print(f"hard negatives mined: {negs.count()} (3 per anchor)")
 
     # 9. temperature-rebalanced sampling weights per language (α = 0.5,
     # cf. queries.sample_temperature_weights): what the data loader
