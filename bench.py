@@ -60,6 +60,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_supplier",
+    "graph_triangle_count",
+    "sim_topk_pq",
 ]
 
 

@@ -439,3 +439,41 @@ def test_pq_adc_matches_numpy_reconstruction(spark, sf_dir):
         )
         expect = int(((vecs[r["query_id"]] - recon) ** 2).sum())
         assert r["adc_dist"] == expect, (r, expect)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    """Randomized pin: on seeded Erdős–Rényi graphs the degree-oriented
+    count must equal the itertools brute force exactly (per node)."""
+    import itertools
+    import random
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 18
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.3
+        ]
+        adj = {frozenset(e) for e in edges}
+        expect: dict[int, int] = {}
+        for u, v, w in itertools.combinations(range(n), 3):
+            if (
+                frozenset((u, v)) in adj
+                and frozenset((v, w)) in adj
+                and frozenset((u, w)) in adj
+            ):
+                for x in (u, v, w):
+                    expect[x] = expect.get(x, 0) + 1
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(
+                spark.createDataFrame(edges, "s1 long, s2 long")
+            ).collect()
+        }
+        assert got == expect, f"trial {trial}"
