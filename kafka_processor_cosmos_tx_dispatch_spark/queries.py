@@ -5966,6 +5966,52 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_running_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — a frame no
+    engine supports directly (distinct isn't frame-incremental), solved
+    by the first-seen decomposition: flag each (user, type)'s first
+    occurrence with one window, then a plain running SUM of flags in a
+    second. Two window passes over the SAME user_id partitioning —
+    one exchange, two sorts (the first sorts by (type, ts), the second
+    by ts). The pattern behind every 'unique items to date' product
+    metric at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
+
+
+@register(
     "q_drift_chi2",
     """
     WITH b AS (
