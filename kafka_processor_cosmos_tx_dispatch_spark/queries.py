@@ -6058,6 +6058,22 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_drift_monitor", _ORACLE["q_drift_chi2"])
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gate maintained WHILE data lands
+    (streaming/incremental.py:incremental_drift_counts): per-bucket
+    snapshot counts merge per micro-batch — integer addition is
+    associative, so any split reproduces the one-shot histogram exactly
+    — and the fixed-point chi-square reads out at the end. Same oracle
+    as the batch gate."""
+    import tempfile
+
+    from .streaming.incremental import incremental_drift_counts
+
+    ev = _events_stream(spark, sf_dir)
+    return incremental_drift_counts(ev, tempfile.mkdtemp(prefix="drift_"))
+
+
 @register(
     "sim_topk_pq",
     """

@@ -189,3 +189,87 @@ def incremental_scd2(
             "valid_to_us long, version int, is_current boolean",
         )
     return spark.read.parquet(hist_dir).drop("pb")
+
+
+def incremental_drift_counts(
+    stream: DataFrame,
+    state_dir: str,
+    bucket_width: float = 25.0,
+) -> DataFrame:
+    """Streaming distribution-drift monitoring: maintain per-bucket
+    (n_ref, n_cur) counts across micro-batches (ref/cur = event_id
+    parity, standing in for reference-vs-candidate windows). COUNTS ARE
+    MERGEABLE — integer addition is associative — so unlike SCD2 this
+    state merges per batch with no recompute, and any micro-batch split
+    reproduces the one-shot batch histogram exactly. Returns the final
+    buckets with the same fixed-point chi-square contribution the batch
+    gate (queries.q_drift_chi2) computes; the monitoring loop a curation
+    pipeline runs WHILE a crawl lands, not after."""
+    latest: dict = {"path": None, "v": 0}
+
+    def merge_batch(bdf: DataFrame, _bid: int) -> None:
+        agg = bdf.groupBy(
+            F.floor(F.col("value") / bucket_width).alias("bucket")
+        ).agg(
+            F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("a_ref"),
+            F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("a_cur"),
+        )
+        if latest["path"] is not None:
+            prev = bdf.sparkSession.read.parquet(latest["path"])
+            merged = prev.join(agg, "bucket", "full_outer").select(
+                "bucket",
+                (
+                    F.coalesce(F.col("p_ref"), F.lit(0))
+                    + F.coalesce(F.col("a_ref"), F.lit(0))
+                ).alias("p_ref"),
+                (
+                    F.coalesce(F.col("p_cur"), F.lit(0))
+                    + F.coalesce(F.col("a_cur"), F.lit(0))
+                ).alias("p_cur"),
+            )
+        else:
+            merged = agg.select(
+                "bucket",
+                F.col("a_ref").alias("p_ref"),
+                F.col("a_cur").alias("p_cur"),
+            )
+        v = latest["v"] + 1
+        path = os.path.join(state_dir, f"v{v}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, v=v)
+        if prev_path is not None:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_drift_counts: stream did not finish within 300s"
+        )
+    spark = stream.sparkSession
+    if latest["path"] is None:
+        return spark.createDataFrame(
+            [], "bucket long, n_ref long, n_cur long, chi2_milli long"
+        )
+    st = spark.read.parquet(latest["path"])
+    return st.select(
+        "bucket",
+        F.col("p_ref").alias("n_ref"),
+        F.col("p_cur").alias("n_cur"),
+        F.expr(
+            "CAST((p_ref - p_cur) * (p_ref - p_cur) * 1000"
+            " DIV (p_ref + p_cur) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
