@@ -6705,6 +6705,334 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-6 widening: SQL-surface constructs (LATERAL, FILTER-clause aggs,
+# rank distributions), content checksums, label propagation, cogrouped
+# custom merge, partition-pruned source layout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_filter_where",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE)
+             AS open_total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_filter_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (conditional aggregation without a
+    self-join or CASE pyramid). Spark compiles FILTER (WHERE ...) to the
+    same partial-aggregate pipeline as a plain agg, so it stays one
+    map-side-combinable hash aggregate — the idiom replaces the
+    anti-pattern of N filtered scans unioned together.
+
+    Scale: single scan of orders, one shuffle on the group key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_filter"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE)
+                 AS open_total
+        FROM v_orders_filter GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_subquery_lateral",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-2 orders by price).
+    Spark 3.2+ parses JOIN LATERAL and decorrelates it into a
+    rank-filtered window over the join — no per-row re-execution of the
+    inner query (that driver-loop shape is the thing LATERAL exists to
+    avoid in a distributed plan). Unique (o_totalprice, o_orderkey)
+    tiebreak keeps the LIMIT deterministic in both engines.
+
+    Scale: decorrelates to one equi-join + one window partitioned by
+    c_custkey; both shuffle on the customer key and AQE handles skew."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_cust_lat"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_lat"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_cust_lat c
+        JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM v_orders_lat o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "q_window_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist (peers/n) per market segment. The order key carries
+    c_custkey as a unique tiebreak so every row's rank — and therefore
+    both quotients — is identical across engines; each value is a single
+    IEEE division, so the doubles match bit-for-bit.
+
+    Scale: one shuffle on c_mktsegment; low-cardinality partitions are
+    the known hazard for global-order windows, but segment cardinality
+    here bounds each partition to ~1/5 of customers and the frame is
+    unbounded (no per-row frame re-scan)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    """
+    SELECT l_returnflag,
+           SUM(CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey,
+                 l_linenumber, l_returnflag, l_linestatus)), 1, 12))
+               AS BIGINT)) AS cksum,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint: per returnflag, the sum of
+    a 48-bit md5 prefix of each row's canonical '|'-joined key string,
+    plus the row count. This is the migration-audit primitive for
+    verifying a 100 TB copy (engine A vs engine B) without sorting or
+    moving the data — the checksum is commutative, so it needs only one
+    scan and a map-side-combinable agg on each side. 48 bits × ~10^9
+    rows per group stays far under int64; only exactly-representable
+    columns (ints, strings) enter the canonical string, because float
+    formatting is engine-specific.
+
+    Scale: one scan, one tiny shuffle (3 groups); partial sums combine
+    map-side so the exchange carries bytes, not rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|", "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    prefix48 = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(prefix48).alias("cksum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def _lp_round(k: int, prev: str) -> str:
+    """One unrolled min-label-propagation round as a DuckDB CTE: each
+    node takes the min of its own label and its neighbors' labels."""
+    return f"""
+    l{k} AS (
+      SELECT p.node,
+             LEAST(p.lab, COALESCE(MIN(p2.lab), p.lab)) AS lab
+      FROM {prev} p
+      LEFT JOIN edges e ON e.src = p.node
+      LEFT JOIN {prev} p2 ON p2.node = e.dst
+      GROUP BY p.node, p.lab)"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT o.o_custkey AS a, 10000000 + l.l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM base
+              UNION ALL SELECT b, a FROM base),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {_lp_round(1, "l0")},
+    {_lp_round(2, "l1")},
+    {_lp_round(3, "l2")}
+    SELECT node, lab FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation (3 synchronous Pregel rounds) over the
+    undirected customer–supplier purchase graph: every node starts
+    labelled with its own id and each round adopts the minimum label in
+    its closed neighborhood. After convergence labels identify connected
+    components; the fixed-round form here pins the *message-passing
+    operator itself* (join-shuffle-min per round) against the oracle's
+    identical unrolled rounds, complementing run-to-convergence CC
+    (operators/dedup.py) which is checked only at its fixed point.
+
+    Scale: each round is edges⋈labels (both partitioned by node key) +
+    a min-agg — the same shape Spark reuses across rounds; deep
+    iteration would wrap rounds in operators/iterative.py exactly like
+    pagerank (3 lazy rounds don't need checkpointing)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(3):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+        )
+    return labels
+
+
+@register(
+    "q_cogroup_reconcile",
+    """
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           COALESCE(l.cents, 0) AS line_cents,
+           COALESCE(l.n, 0) AS n_lines
+    FROM orders o
+    FULL JOIN (SELECT l_orderkey,
+                      SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS cents,
+                      COUNT(*) AS n
+               FROM lineitem GROUP BY 1) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped custom merge (df.groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas): orders and their lineitems arrive as two aligned
+    pandas frames per orderkey and a Python reconciliation emits header
+    total vs summed line revenue — the escape hatch for per-key merge
+    logic SQL can't express (here it CAN, which is what makes the oracle
+    possible; the query pins the cogroup plumbing: key alignment,
+    empty-side frames, Arrow batch shapes). Money moves as integer cents
+    (round(x*100) is the identical IEEE op in pandas and both engines).
+
+    Scale: cogroup shuffles both sides by the key once — same cost as
+    the equivalent join — and each task sees one Arrow batch per group;
+    group size is bounded (≤7 lines/order) so no batch blowup."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        cents = (
+            (ldf["l_extendedprice"] * 100).round().astype("int64").sum()
+            if len(ldf)
+            else 0
+        )
+        total = (
+            int(round(float(odf["o_totalprice"].iloc[0]) * 100))
+            if len(odf)
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "total_cents": pd.array([total], dtype="Int64"),
+                "line_cents": [int(cents)],
+                "n_lines": [len(ldf)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey bigint, total_cents bigint, line_cents bigint,"
+            " n_lines bigint",
+        )
+    )
+
+
+@register(
+    "q_source_partition_prune",
+    """
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: events are written
+    under the warehouse partitioned by event_type, read back, and
+    filtered to one partition value — the directory-level skip that
+    makes a 100 TB corpus queryable by its routing dimension without
+    scanning it (the batch analogue of the reference's topic fan-out:
+    one directory per route). tests/test_scale_plans.py asserts the
+    pruned scan reads a single partition directory.
+
+    Scale: pruning happens at file listing, before any I/O; the
+    partition column must be low-cardinality (event_type: 5 values) or
+    the small-files explosion outweighs the skip."""
+    ev = load_table(spark, sf_dir, "events")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = f"{warehouse}/pp_events_{sf_dir.strip('/').split('/')[-1]}"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("total"),
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
@@ -6722,6 +7050,8 @@ def _family(name: str) -> str:
         ("q_stats", "window"),
         ("q_subquery", "subquery"),
         ("q_recursive", "subquery"),
+        ("q_agg", "agg"),
+        ("q_cogroup", "join"),
         ("q_rollup", "agg"),
         ("q_cube", "agg"),
         ("q_grouping", "agg"),

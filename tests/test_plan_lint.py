@@ -26,6 +26,7 @@ EAGER = {
     "q_source_csv_roundtrip",  # warehouse writes on call
     "q_source_jsonl_roundtrip",  # warehouse writes on call
     "q_source_orc_roundtrip",  # warehouse writes on call
+    "q_source_partition_prune",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
@@ -50,6 +51,7 @@ PYTHON_OK = {
     "sim_embedding_near_dup",  # block-tiled dgemm under mapInPandas
     "dedup_hybrid_verify",
     "dedup_verify_editdist",
+    "q_cogroup_reconcile",  # cogrouped applyInPandas (the point of the query)
 }
 
 # Bounded-side nested-loop joins: the broadcast side is a 1-row (or
