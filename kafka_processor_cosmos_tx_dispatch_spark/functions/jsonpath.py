@@ -530,6 +530,44 @@ def jsonpath_match_pandas_udf(path: str):
     return _match
 
 
+def jsonpath_match_many_pandas_udf(paths: list[str]):
+    """One Arrow-batched pass for a whole tier-3 rule bank: the JSON
+    text is json.loads'd ONCE per record and every predicate evaluates
+    against the same parsed object, returning array<boolean> in rule
+    order. With N Python-tier rules the per-rule UDF costs N parses per
+    record (the parse dominates evaluation on real transactions);
+    fusing them makes the Python matching cost parse + N cheap walks,
+    and collapses N UDF columns into one Arrow transfer. Per-rule error
+    semantics are unchanged: an evaluation error yields False for THAT
+    rule only; unparseable JSON yields all-False (reference parity,
+    TopologyProducer.kt:216-223)."""
+    import json
+
+    steps_list = [parse(p) for p in paths]
+    n = len(steps_list)
+
+    @F.pandas_udf(T.ArrayType(T.BooleanType()))
+    def _match_many(s: pd.Series) -> pd.Series:
+        def row(txt):
+            if txt is None:
+                return [False] * n
+            try:
+                obj = json.loads(txt)
+            except Exception:
+                return [False] * n
+            out = []
+            for steps in steps_list:
+                try:
+                    out.append(bool(evaluate(obj, steps)))
+                except Exception:
+                    out.append(False)
+            return out
+
+        return s.map(row)
+
+    return _match_many
+
+
 # --------------------------------------------------------------------------
 # Tier 1: native Column compiler over a typed struct column
 # --------------------------------------------------------------------------

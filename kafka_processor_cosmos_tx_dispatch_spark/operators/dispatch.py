@@ -63,6 +63,27 @@ def rule_predicate(
     (TopologyProducer.kt:221-223), so one bad rule must not take down
     the topology.
     """
+    compiled = _predicate_jvm(rule, json_col, struct_col, struct_type)
+    if compiled is not None:
+        return compiled
+    if json_col is None:
+        raise ValueError(
+            f"rule {rule.name!r} needs a json_col or a typed struct_col"
+        )
+    return jp.jsonpath_match_pandas_udf(rule.predicate)(json_col)
+
+
+def _predicate_jvm(
+    rule: DispatchRule,
+    json_col: Column | None,
+    struct_col: Column | None,
+    struct_type: T.DataType | None,
+) -> Column | None:
+    """Tiers 1-2 only (plus the never-match compile for unparseable
+    predicates); None means the rule needs the tier-3 Python evaluator —
+    the caller decides whether to fall back per-rule
+    (rule_predicate) or batch every tier-3 rule into one fused UDF
+    (with_matches)."""
     try:
         jp.parse(rule.predicate)
     except jp.JsonPathError as e:
@@ -82,8 +103,11 @@ def rule_predicate(
         compiled = jp.compile_json_string_predicate(json_col, rule.predicate)
         if compiled is not None:
             return compiled
-        return jp.jsonpath_match_pandas_udf(rule.predicate)(json_col)
-    raise ValueError(f"rule {rule.name!r} needs a json_col or a typed struct_col")
+    if json_col is None and (struct_col is None or struct_type is None):
+        raise ValueError(
+            f"rule {rule.name!r} needs a json_col or a typed struct_col"
+        )
+    return None
 
 
 def with_matches(
@@ -106,7 +130,25 @@ def with_matches(
     sc = F.col(struct_col) if struct_col else None
     st = df.schema[struct_col].dataType if struct_col else None
 
-    preds = [rule_predicate(r, jc, sc, st) for r in rules]
+    preds: list[Column | None] = [
+        _predicate_jvm(r, jc, sc, st) for r in rules
+    ]
+    py_idx = [i for i, p in enumerate(preds) if p is None]
+    if py_idx:
+        if jc is None:
+            raise ValueError(
+                f"rule {rules[py_idx[0]].name!r} needs a json_col or a "
+                "typed struct_col"
+            )
+        # Every tier-3 rule rides ONE fused UDF (one json.loads per
+        # record for the whole bank, one Arrow column back); Catalyst's
+        # UDF extraction dedups the repeated expression, so element_at
+        # references below stay a single Python evaluation.
+        many = jp.jsonpath_match_many_pandas_udf(
+            [rules[i].predicate for i in py_idx]
+        )(jc)
+        for pos, i in enumerate(py_idx):
+            preds[i] = F.element_at(many, pos + 1)
     tagged = F.array(
         *[F.when(p, F.lit(i)).otherwise(F.lit(None)) for i, p in enumerate(preds)]
     )

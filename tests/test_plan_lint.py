@@ -52,6 +52,7 @@ PYTHON_OK = {
     "dedup_hybrid_verify",
     "dedup_verify_editdist",
     "q_cogroup_reconcile",  # cogrouped applyInPandas (the point of the query)
+    "sim_topk_pq",  # numpy einsum PQ encode/tables under mapInPandas
 }
 
 # Bounded-side nested-loop joins: the broadcast side is a 1-row (or
