@@ -235,13 +235,32 @@ def streaming_decode_throughput(
         .option("rows_per_batch", rows_per_batch)
         .load()
     )
-    routed = dsp.dispatch(
-        decode_tx_records(stream),
-        rules,
-        json_col="tx_json",
-        error_col="error",
-        error_topic="errors",
+    def pipeline(src):
+        return dsp.dispatch(
+            decode_tx_records(src),
+            rules,
+            json_col="tx_json",
+            error_col="error",
+            error_topic="errors",
+        )
+
+    # Warm-up pass: one small bounded batch run of the SAME pipeline so
+    # the Python worker pool (datasource + decode + fused-match UDF
+    # workers, 32 each) exists before measurement. Cold pools measured
+    # 30-66k rows/s vs ~158k warm for identical code — the steady-state
+    # number this function claims to report is the warm one; batch-0
+    # exclusion alone doesn't cover pool spin-up bleeding into batches
+    # 1-3.
+    warm = (
+        spark.read.format("cosmos_tx_gen")
+        .option("n", 256_000)
+        .option("partitions", int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .load()
     )
+    for _ in range(2):
+        pipeline(warm).write.format("noop").mode("overwrite").save()
+
+    routed = pipeline(stream)
     query = routed.writeStream.format("noop").start()
     query.processAllAvailable()
     query.stop()

@@ -7033,6 +7033,139 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_jaccard_neighbors",
+    """
+    WITH cs AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
+                       ORDER BY n DESC, s) AS rn
+        FROM cs) WHERE rn <= 4),
+    deg AS (SELECT s, COUNT(*) AS d FROM topk GROUP BY 1),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+      FROM topk a JOIN topk b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT p.s1, p.s2, p.common,
+           CAST(p.common AS DOUBLE)
+             / CAST(d1.d + d2.d - p.common AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN deg d1 ON d1.s = p.s1
+    JOIN deg d2 ON d2.s = p.s2
+    WHERE p.common >= 3
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by common-neighbor Jaccard over the bipartite
+    customer→supplier purchase graph: suppliers sharing ≥3 top-tier
+    customers score |common|/|union| — the link-prediction / entity-
+    resolution primitive on graphs (who is substitutable for whom). Hot
+    customers are capped to their top-4 suppliers by purchase count
+    (unique (n, s) tiebreak) BEFORE pairing — the same per-node degree
+    cap as graph_triangle_count, which bounds the per-customer pair
+    blowup at C(4,2)=6 instead of C(deg,2).
+
+    The jaccard double is one IEEE division of two exact ints —
+    bit-identical across engines.
+
+    Scale: pairing is an equi-join on the customer key (never all-pairs);
+    degree joins are on the supplier key. Every shuffle is keyed;
+    skew is pre-capped."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+    topk = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("c", "s")
+    )
+    deg = topk.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = topk.alias("a"), topk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 3)
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_source_schema_evolution",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(o_orderpriority) AS n_with_priority,
+           MIN(o_orderpriority) AS min_priority
+    FROM unioned GROUP BY 1
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across dataset generations: generation A was
+    written before the `o_orderpriority` column existed, generation B
+    carries it; one mergeSchema read unions both directories with NULL
+    fill for the missing column — the standard drift pattern of any
+    long-lived 100 TB corpus (new fields appear; old files never get
+    rewritten). The oracle reproduces the union + NULL-fill relationally
+    on the original table.
+
+    Scale: mergeSchema reconciles FOOTERS (per-file metadata), not data;
+    the read itself stays a normal parallel parquet scan with pruning
+    intact. The caveat that keeps this pattern honest at 100 TB:
+    reconciliation cost grows with file COUNT, so wide-evolution corpora
+    pair it with a table-format manifest (or a user-supplied schema) —
+    exactly what the explicit-schema roundtrip queries pin."""
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    tag = sf_dir.strip("/").split("/")[-1]
+    base = f"{warehouse}/schema_evo_{tag}"
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{base}/gen=a")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{base}/gen=b")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=a", f"{base}/gen=b"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

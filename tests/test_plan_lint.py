@@ -27,6 +27,7 @@ EAGER = {
     "q_source_jsonl_roundtrip",  # warehouse writes on call
     "q_source_orc_roundtrip",  # warehouse writes on call
     "q_source_partition_prune",  # warehouse writes on call
+    "q_source_schema_evolution",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds

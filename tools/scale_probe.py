@@ -118,6 +118,52 @@ def main() -> None:
         lambda: run(dsp.dispatch(ev.withColumn("rec", rec), EVENT_RULES, struct_col="rec")),
     )
 
+    # full reference pipeline at generator scale: Arrow-batched txgen →
+    # Python decode tier → fused tier-3 JsonPath dispatch (one
+    # json.loads per record for the whole rule bank). This is the
+    # engine's slowest honest path (decode cannot run JVM-side in this
+    # container); the probe pins its rows/sec so a regression in any of
+    # the three chained Python stages is measured, not guessed.
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.decode import (
+        decode_tx_records,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.rules import DispatchRule
+    from kafka_processor_cosmos_tx_dispatch_spark.sources import txgen as txg
+
+    txg.register(spark)
+    tx_rules = [
+        DispatchRule(
+            "by-type",
+            "topic-1",
+            f"$.body.messages[?(@.@type == '{txg.MSG_SEND_URL}')]",
+        ),
+        DispatchRule(
+            "by-from",
+            "topic-2",
+            f"$..messages[?(@.fromAddress == '{txg.OKP4_ADDR}')]",
+        ),
+    ]
+    n_tx = args.events // 2
+    tx_src = (
+        spark.read.format("cosmos_tx_gen")
+        .option("n", n_tx)
+        .option("partitions", 32)
+        .load()
+    )
+    probe(
+        "decode_dispatch_python_tier",
+        n_tx,
+        lambda: run(
+            dsp.dispatch(
+                decode_tx_records(tx_src),
+                tx_rules,
+                json_col="tx_json",
+                error_col="error",
+                error_topic="errors",
+            )
+        ),
+    )
+
     # tumbling window agg (batch analog of the streaming window)
     probe(
         "window_agg",
