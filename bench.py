@@ -62,6 +62,10 @@ HEADLINE = [
     "q21_waiting_supplier",
     "graph_triangle_count",
     "sim_topk_pq",
+    # late-round-6 breadth: full-scan checksum + capped pair-join graph
+    # similarity — the two heaviest new shapes of the widening batch
+    "q_table_checksum",
+    "graph_jaccard_neighbors",
 ]
 
 

@@ -6822,9 +6822,10 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_checksum",
     """
     SELECT l_returnflag,
-           SUM(CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey,
-                 l_linenumber, l_returnflag, l_linestatus)), 1, 12))
-               AS BIGINT)) AS cksum,
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                 l_orderkey, l_linenumber, l_returnflag, l_linestatus)),
+                 1, 12)) AS BIGINT) AS DECIMAL(38, 0)))
+             AS DECIMAL(38, 0)) AS cksum,
            COUNT(*) AS n
     FROM lineitem GROUP BY 1
     """,
@@ -6835,10 +6836,16 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the row count. This is the migration-audit primitive for
     verifying a 100 TB copy (engine A vs engine B) without sorting or
     moving the data — the checksum is commutative, so it needs only one
-    scan and a map-side-combinable agg on each side. 48 bits × ~10^9
-    rows per group stays far under int64; only exactly-representable
-    columns (ints, strings) enter the canonical string, because float
-    formatting is engine-specific.
+    scan and a map-side-combinable agg on each side. Only exactly-
+    representable columns (ints, strings) enter the canonical string,
+    because float formatting is engine-specific.
+
+    The accumulator is DECIMAL(38,0), NOT int64: 48-bit prefixes
+    overflow a long at ~32k rows per group — the first bench run at
+    sf0.1 (200k rows/group) crashed under ANSI mode exactly there,
+    while sf0.01 passed at 5.6e18 of int64's 9.2e18 ceiling. Decimal
+    partials are still map-side combinable; capacity is 10^38 ≈ 2^48 ×
+    10^23 rows per group.
 
     Scale: one scan, one tiny shuffle (3 groups); partial sums combine
     map-side so the exchange carries bytes, not rows."""
@@ -6850,7 +6857,10 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return li.groupBy("l_returnflag").agg(
-        F.sum(prefix48).alias("cksum"), F.count(F.lit(1)).alias("n")
+        F.sum(prefix48.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("cksum"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
