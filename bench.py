@@ -319,7 +319,7 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    result = {
+    detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -333,42 +333,107 @@ def main() -> None:
     }
     prev = _load_previous_round()
     if prev is not None:
-        prev_total, prev_queries, prev_stats, prev_round = prev
+        prev_data, prev_round = prev
+        prev_queries = dict(prev_data.get("queries") or {})
+        prev_stats = dict(prev_data.get("queries_stats") or {})
         # deltas on medians when the prior round recorded them (r6+),
         # else on mins (r5 and earlier recorded min only); medians make
         # cross-round deltas attributable instead of min-noise
         if prev_stats:
             cur_cmp = {n: s["median"] for n, s in stats.items()}
             prev_cmp = {n: s.get("median") for n, s in prev_stats.items()}
-            result["delta_basis"] = "median"
+            detail["delta_basis"] = "median"
         else:
             cur_cmp = dict(timings)
             prev_cmp = dict(prev_queries)
-            result["delta_basis"] = "min"
+            detail["delta_basis"] = "min"
+        # machine-state normalization (r6 verdict #3): if the prior round
+        # recorded the calibration probes, the ratio of this box-state to
+        # that box-state scales the raw delta — a uniform +20% with a
+        # +20% calibration ratio is load, not code
+        ratios = []
+        for k in ("calibration_scan_sec", "calibration_cpu_sec"):
+            pv, cv = prev_data.get(k), detail.get(k)
+            if pv and cv:
+                ratios.append(cv / pv)
+        cal_ratio = (
+            round((ratios[0] * ratios[-1]) ** 0.5, 4) if ratios else None
+        )
         # compare totals over the SHARED query set only, so widening the
         # headline list doesn't read as a regression
         shared = [n for n in cur_cmp if prev_cmp.get(n)]
         prev_shared = sum(prev_cmp[n] for n in shared)
         if prev_shared:
             cur_shared = sum(cur_cmp[n] for n in shared)
-            result["delta_vs_prev_pct"] = round(
+            detail["delta_vs_prev_pct"] = round(
                 100.0 * (cur_shared - prev_shared) / prev_shared, 1
             )
-            result["delta_shared_queries"] = len(shared)
-        result["prev_round"] = prev_round
-        result["delta_queries_pct"] = {
+            detail["delta_shared_queries"] = len(shared)
+            if cal_ratio:
+                detail["calibration_ratio_vs_prev"] = cal_ratio
+                detail["delta_vs_prev_pct_normalized"] = round(
+                    100.0 * (cur_shared / cal_ratio - prev_shared)
+                    / prev_shared,
+                    1,
+                )
+        detail["prev_round"] = prev_round
+        detail["delta_queries_pct"] = {
             name: round(100.0 * (t - prev_cmp[name]) / prev_cmp[name], 1)
             for name, t in cur_cmp.items()
             if prev_cmp.get(name)
         }
-    print(json.dumps(result))
+        if cal_ratio:
+            detail["delta_queries_pct_normalized"] = {
+                name: round(
+                    100.0
+                    * (t / cal_ratio - prev_cmp[name])
+                    / prev_cmp[name],
+                    1,
+                )
+                for name, t in cur_cmp.items()
+                if prev_cmp.get(name)
+            }
+    detail_path = _write_detail(detail, sf_num)
+
+    # The driver captures only a ~2000-char stdout TAIL: r6's enriched
+    # one-line JSON overflowed it and the round's bench went unparsed
+    # (r6 verdict #2). The final stdout line is therefore a COMPACT
+    # summary — per-query detail lives in the detail file above.
+    compact_keys = (
+        "metric value unit sf n_queries delta_basis delta_vs_prev_pct "
+        "delta_vs_prev_pct_normalized calibration_ratio_vs_prev "
+        "delta_shared_queries prev_round calibration_scan_sec "
+        "calibration_cpu_sec dispatch_rows_per_sec "
+        "streaming_dispatch_rows_per_sec streaming_decode_rows_per_sec "
+        "streaming_decode_steady_rows"
+    ).split()
+    compact = {k: detail[k] for k in compact_keys if k in detail}
+    compact["n_queries"] = len(timings)
+    compact["detail_file"] = os.path.basename(detail_path)
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line {len(line)} chars"
+    print(line)
     spark.stop()
 
 
-def _load_previous_round() -> tuple[float, dict, dict, str] | None:
-    """Newest BENCH_r*.json beside this file — the prior round's floor,
-    so regressions (negative = faster, positive = slower) are visible in
-    the round-over-round record."""
+def _write_detail(detail: dict, sf_num: float | None) -> str:
+    """Full per-query stats to BENCH_DETAIL_r{N}.json (N = the round
+    being built = newest driver BENCH_r*.json + 1) for driver-scale runs,
+    BENCH_DETAIL_local.json for ad-hoc small-sf runs so they never
+    clobber the round record the next _load_previous_round reads."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    if sf_num == 0.1:
+        latest = _round_files()
+        n = (latest[-1][0] + 1) if latest else 1
+        path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+    else:
+        path = os.path.join(here, "BENCH_DETAIL_local.json")
+    with open(path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    return path
+
+
+def _round_files() -> list[tuple[int, str]]:
     import glob
     import re
 
@@ -378,22 +443,31 @@ def _load_previous_round() -> tuple[float, dict, dict, str] | None:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
-    n, path = max(rounds)
-    try:
-        with open(path) as fh:
-            data = json.load(fh)
-        if "parsed" in data:  # the driver wraps the JSON line we print
-            data = data["parsed"] or {}
-        return (
-            float(data.get("value") or 0.0),
-            dict(data.get("queries") or {}),
-            dict(data.get("queries_stats") or {}),
-            f"r{n:02d}",
-        )
-    except (OSError, ValueError):
-        return None
+    return sorted(rounds)
+
+
+def _load_previous_round() -> tuple[dict, str] | None:
+    """Newest USABLE prior-round bench record, so regressions (negative
+    = faster, positive = slower) are visible in the round-over-round
+    record. Per round N, prefers the repo-committed BENCH_DETAIL_rNN.json
+    (full per-query stats; written since r7) over the driver's
+    BENCH_rNN.json stdout capture; rounds whose capture is unparseable
+    (r6's overflowed tail → ``parsed: null``) are SKIPPED rather than
+    returned as an empty dict that would silence every delta."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for n, path in reversed(_round_files()):
+        detail_path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+        for candidate in (detail_path, path):
+            try:
+                with open(candidate) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if "parsed" in data:  # driver wrap of the stdout line
+                data = data["parsed"] or {}
+            if data.get("queries") or data.get("queries_stats"):
+                return dict(data), f"r{n:02d}"
+    return None
 
 
 if __name__ == "__main__":

@@ -1880,7 +1880,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped_cents",
     """
     SELECT event_type,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -6105,9 +6106,10 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dists) WHERE rn = 1),
     scored AS (
       SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
-             SUM(CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT)
+             CAST(SUM(CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT)
                  - 2 * CAST(list_dot_product(qs.sv, c.cv) AS BIGINT)
-                 + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)) AS adc_dist
+                 + CAST(list_dot_product(c.cv, c.cv) AS BIGINT))
+               AS BIGINT) AS adc_dist
       FROM sub qs
       JOIN enc e ON qs.m = e.m AND qs.vec_id <> e.vec_id
       JOIN cent c ON c.cid = e.m * 16 + e.code
@@ -6822,10 +6824,10 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_checksum",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+           CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
                  l_orderkey, l_linenumber, l_returnflag, l_linestatus)),
                  1, 12)) AS BIGINT) AS DECIMAL(38, 0)))
-             AS DECIMAL(38, 0)) AS cksum,
+             AS DECIMAL(38, 0)) AS VARCHAR) AS cksum,
            COUNT(*) AS n
     FROM lineitem GROUP BY 1
     """,
@@ -6845,7 +6847,11 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 (200k rows/group) crashed under ANSI mode exactly there,
     while sf0.01 passed at 5.6e18 of int64's 9.2e18 ceiling. Decimal
     partials are still map-side combinable; capacity is 10^38 ≈ 2^48 ×
-    10^23 rows per group.
+    10^23 rows per group. The OUTPUT column is the checksum rendered as
+    a decimal string: DuckDB surfaces the same accumulator as HUGEINT/
+    DECIMAL physical types whose value hash differs from Spark's
+    Decimal128 under type-sensitive comparison, while the digit string
+    is identical on both engines (r6 verdict #1).
 
     Scale: one scan, one tiny shuffle (3 groups); partial sums combine
     map-side so the exchange carries bytes, not rows."""
@@ -6859,6 +6865,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(prefix48.cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("cksum"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -6950,8 +6957,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(l.n, 0) AS n_lines
     FROM orders o
     FULL JOIN (SELECT l_orderkey,
-                      SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                        AS cents,
+                      CAST(SUM(CAST(round(l_extendedprice * 100)
+                          AS BIGINT)) AS BIGINT) AS cents,
                       COUNT(*) AS n
                FROM lineitem GROUP BY 1) l
       ON o.o_orderkey = l.l_orderkey
@@ -6960,46 +6967,82 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped custom merge (df.groupBy(k).cogroup(other.groupBy(k))
     .applyInPandas): orders and their lineitems arrive as two aligned
-    pandas frames per orderkey and a Python reconciliation emits header
-    total vs summed line revenue — the escape hatch for per-key merge
-    logic SQL can't express (here it CAN, which is what makes the oracle
-    possible; the query pins the cogroup plumbing: key alignment,
-    empty-side frames, Arrow batch shapes). Money moves as integer cents
-    (round(x*100) is the identical IEEE op in pandas and both engines).
+    pandas frames and a Python reconciliation emits header total vs
+    summed line revenue — the escape hatch for per-key merge logic SQL
+    can't express (here it CAN, which is what makes the oracle possible;
+    the query pins the cogroup plumbing: key alignment, empty-side
+    frames, Arrow batch shapes). Money moves as integer cents (pandas/
+    Python round is half-even while DuckDB round() is
+    half-away-from-zero, but 2-decimal prices times 100 can never land
+    on a .5 tie, so the engines agree on every input this data can
+    produce).
 
-    Scale: cogroup shuffles both sides by the key once — same cost as
-    the equivalent join — and each task sees one Arrow batch per group;
-    group size is bounded (≤7 lines/order) so no batch blowup."""
+    The cogroup key is a COARSE bucket (orderkey % 64), not the raw
+    orderkey: applyInPandas invokes Python once per group, so keying on
+    orderkey means one interpreter call per order — O(keys) constant
+    overhead that measured ~60 s at sf0.01 (15k calls) and scales with
+    the key count, the classic cogroup anti-pattern. Bucketing fixes
+    the call count at 64 and does the per-order merge VECTORIZED inside
+    each call (pandas groupby + outer merge) — same shuffle (both sides
+    hash-partition once), same semantics, per-call work is data-
+    proportional. At 100 TB you'd size the bucket count to cores, not
+    rows.
+
+    Scale: cogroup shuffles both sides by the bucket once — same cost
+    as the equivalent join; per-bucket frames are ~1/64 of each side,
+    bounded by bucket count not key count."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+        "o_orderkey", "o_totalprice", (F.col("o_orderkey") % 64).alias("b")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
+        "l_orderkey", "l_extendedprice", (F.col("l_orderkey") % 64).alias("b")
     )
 
-    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        cents = (
-            (ldf["l_extendedprice"] * 100).round().astype("int64").sum()
-            if len(ldf)
-            else 0
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(ldf):
+            lagg = (
+                ldf.assign(
+                    cents=(ldf["l_extendedprice"] * 100)
+                    .round()
+                    .astype("int64")
+                )
+                .groupby("l_orderkey", as_index=False)
+                .agg(cents=("cents", "sum"), n=("cents", "size"))
+            )
+        else:
+            lagg = pd.DataFrame(
+                {
+                    "l_orderkey": pd.array([], dtype="int64"),
+                    "cents": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        oh = odf[["o_orderkey", "o_totalprice"]].copy()
+        oh["total_cents"] = (
+            (oh["o_totalprice"] * 100).round().astype("Int64")
+            if len(oh)
+            else pd.array([], dtype="Int64")
         )
-        total = (
-            int(round(float(odf["o_totalprice"].iloc[0]) * 100))
-            if len(odf)
-            else None
+        m = oh.merge(
+            lagg, left_on="o_orderkey", right_on="l_orderkey", how="outer"
+        )
+        key = m["o_orderkey"].where(
+            m["o_orderkey"].notna(), m["l_orderkey"]
         )
         return pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "total_cents": pd.array([total], dtype="Int64"),
-                "line_cents": [int(cents)],
-                "n_lines": [len(ldf)],
+                "o_orderkey": key.astype("int64"),
+                "total_cents": m["total_cents"].astype("Int64"),
+                "line_cents": m["cents"].fillna(0).astype("int64"),
+                "n_lines": m["n"].fillna(0).astype("int64"),
             }
         )
 
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        orders.groupBy("b")
+        .cogroup(li.groupBy("b"))
         .applyInPandas(
             reconcile,
             "o_orderkey bigint, total_cents bigint, line_cents bigint,"
@@ -7241,9 +7284,13 @@ def _interleaved() -> list[str]:
 def _driver_history() -> tuple[set[str], set[str]]:
     """Scan the repo-root ``CORRECTNESS_r*.json`` driver reports.
 
-    Returns ``(proved, errored)``: names that have at least one green
-    driver result (rows matched, no error), and names whose only driver
+    Returns ``(proved, errored)``: names that have at least one FULLY
+    green driver result (rows matched, value hash matched when the
+    driver recorded one, no error), and names whose only driver
     appearances were errors/mismatches (highest re-proof priority).
+    A rows-match-but-hash-fail row is NOT proof — r6's two oracle-typing
+    reds would otherwise sink into the proved bucket and never be
+    re-sampled after the oracle fix (r6 verdict #2).
     Missing/unreadable reports are ignored — fresh checkouts fall back to
     the plain family interleave.
     """
@@ -7265,7 +7312,8 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, res in report.items():
             if not isinstance(res, dict):
                 continue
-            if res.get("rows_match") and res.get("err") is None:
+            hash_ok = res.get("hash_match", res.get("rows_match"))
+            if res.get("rows_match") and hash_ok and res.get("err") is None:
                 proved.add(name)
             else:
                 seen_bad.add(name)

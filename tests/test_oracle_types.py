@@ -1,0 +1,97 @@
+"""Oracle output-type gate (r6 verdict #1c).
+
+The round driver's value hash is type-sensitive: DuckDB silently widens
+integer aggregates (``SUM(BIGINT)`` -> HUGEINT/INT128, decimal sums ->
+DECIMAL(38,x)) so an oracle whose outer aggregate is not explicitly cast
+produces values that are EQUAL to Spark's but hash differently — r6's
+only two driver-red rows (`q_udaf_grouped_cents`, `sim_topk_pq`) were
+exactly this. This test plans (DESCRIBE — no execution) every registered
+oracle against the sf0.001 tables and asserts every output column's
+DuckDB type is in the allowlist of types whose Python surfacing matches
+Spark's. Any new oracle that leaks a HUGEINT/DECIMAL output fails CI
+immediately instead of going driver-red the round it is sampled.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Types whose duckdb-python surfacing is value-identical to PySpark's
+# collect() for equal data. Notably ABSENT: HUGEINT, UHUGEINT,
+# DECIMAL(*,*) — the driver-red classes.
+SAFE = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP_NS",
+    "BLOB",
+    "BOOLEAN",
+}
+
+
+def _base_type(t: str) -> str:
+    """VARCHAR[] -> VARCHAR, BIGINT[] -> BIGINT; scalars unchanged."""
+    return re.sub(r"(\[\])+$", "", t.strip())
+
+
+@pytest.fixture(scope="module")
+def oracle_descriptions():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, sql in entry.oracle_sql().items():
+        out[name] = con.execute(f"DESCRIBE {sql}").fetchall()
+    con.close()
+    return out
+
+
+def test_every_oracle_registered_output_type_is_hash_safe(
+    oracle_descriptions,
+):
+    offenders = []
+    for name, desc in oracle_descriptions.items():
+        for col, typ, *_ in desc:
+            if _base_type(typ) not in SAFE:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracles declaring DuckDB-widened / driver-hash-unsafe output "
+        "types (wrap the outer aggregate in CAST(... AS BIGINT) or emit "
+        f"a string): {offenders}"
+    )
+
+
+def test_oracle_and_query_surfaces_align():
+    """Every oracle name must have a queries() entry (dangling oracles
+    are dead weight; queries without oracles are allowed — they get the
+    weaker rows-only driver check by design)."""
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
