@@ -196,7 +196,7 @@ def streaming_throughput(spark, n_batches: int = 12, rows_per_batch: int = 2_000
 
 
 def streaming_decode_throughput(
-    spark, n: int = 2_400_000, rows_per_batch: int = 200_000
+    spark, n: int = 7_200_000, rows_per_batch: int = 600_000
 ) -> dict:
     """Steady-state throughput of the FULL reference pipeline — txgen
     bounded stream (protobuf TxRaw wire bytes) → decode_tx_records
@@ -205,13 +205,16 @@ def streaming_decode_throughput(
     (no spark-protobuf in this container). n/rows_per_batch give
     ceil(n/rows_per_batch) micro-batches; rates exclude batch 0.
 
-    Batch sizing: 200k rows/micro-batch. At the earlier 50k, trigger
-    fixed costs (offset log, planning, 32-task scheduling, Python worker
-    round-trips at ~1.5k rows/task) dominated the measurement — it
-    reported the micro-batch machinery, not the decode tier (50.9k
-    rows/s vs 165k at 200k-row batches with identical code). A real
-    ingest pipeline at this volume runs fat micro-batches; both knobs
-    stay explicit here so either regime can be measured."""
+    Batch sizing: 600k rows/micro-batch. The trigger fixed cost
+    (offset log, per-batch re-planning, 32-task scheduling, Python
+    worker round-trips) measures ~0.9 s/batch on this box regardless of
+    batch size — at 50k rows/batch it dominated (50.9k rows/s), at 200k
+    it was still ~45% of each batch (163k rows/s), at 600k it amortizes
+    to ~25% (335k rows/s) with identical per-row code (r7, after fusing
+    tier-3 matching into the decode UDF). A real ingest pipeline at
+    this volume runs fat micro-batches (maxOffsetsPerTrigger sized to
+    seconds of compute, not milliseconds); both knobs stay explicit
+    here so either regime can be measured."""
     from kafka_processor_cosmos_tx_dispatch_spark.operators import dispatch as dsp
     from kafka_processor_cosmos_tx_dispatch_spark.operators.decode import (
         decode_tx_records,
@@ -239,13 +242,20 @@ def streaming_decode_throughput(
         .option("rows_per_batch", rows_per_batch)
         .load()
     )
+    # Fused tier: the Python-tier JsonPath predicates evaluate inside
+    # the decode UDF on the just-decoded dict (decode_tx_records
+    # match_paths), so the tx_json text is parsed exactly once and never
+    # re-crosses Arrow to a second matcher worker pool.
+    t3_paths = dsp.python_tier_paths(rules, json_col="tx_json")
+
     def pipeline(src):
         return dsp.dispatch(
-            decode_tx_records(src),
+            decode_tx_records(src, match_paths=t3_paths or None),
             rules,
             json_col="tx_json",
             error_col="error",
             error_topic="errors",
+            tier3_col="__tier3" if t3_paths else None,
         )
 
     # Warm-up pass: one small bounded batch run of the SAME pipeline so

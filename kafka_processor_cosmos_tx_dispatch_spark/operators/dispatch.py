@@ -110,6 +110,25 @@ def _predicate_jvm(
     return None
 
 
+def python_tier_paths(
+    rules: list[DispatchRule],
+    json_col: str = "tx_json",
+    struct_type: T.StructType | None = None,
+) -> list[str]:
+    """Predicates (in rule order) that `with_matches` would route to the
+    Python tier given the same views — the contract for precomputing a
+    `tier3_col` upstream (e.g. fused into the decode UDF, where the
+    parsed object already exists and the per-record json.loads can be
+    skipped)."""
+    jc = F.col(json_col)
+    sc = F.col("__s") if struct_type is not None else None
+    return [
+        r.predicate
+        for r in rules
+        if _predicate_jvm(r, jc, sc, struct_type) is None
+    ]
+
+
 def with_matches(
     df: DataFrame,
     rules: list[DispatchRule],
@@ -117,6 +136,7 @@ def with_matches(
     struct_col: str | None = None,
     error_col: str | None = None,
     out_col: str = "matches",
+    tier3_col: str | None = None,
 ) -> DataFrame:
     """Add ``matches: array<int>`` — indices of matching rules in rule order.
 
@@ -125,6 +145,13 @@ def with_matches(
     are evaluated once per record against one shared JSON/struct view —
     the reference's evaluate-once/route-by-tag shape; Catalyst's
     subexpression elimination keeps it single-pass.
+
+    ``tier3_col``: name of an existing ``array<boolean>`` column holding
+    the PRECOMPUTED Python-tier results, one per `python_tier_paths()`
+    entry in rule order (produced upstream, e.g. by
+    ``decode_tx_records(match_paths=...)`` where the decoded object is
+    already in hand). When set, no matcher UDF is planned and the column
+    is consumed (dropped from the output).
     """
     jc = F.col(json_col) if json_col else None
     sc = F.col(struct_col) if struct_col else None
@@ -134,21 +161,33 @@ def with_matches(
         _predicate_jvm(r, jc, sc, st) for r in rules
     ]
     py_idx = [i for i, p in enumerate(preds) if p is None]
-    if py_idx:
+    if py_idx and tier3_col is not None:
+        for pos, i in enumerate(py_idx):
+            # coalesce: a null element (malformed precomputed array)
+            # must read as non-match, never null-propagate into `tagged`
+            preds[i] = F.coalesce(
+                F.element_at(F.col(tier3_col), pos + 1), F.lit(False)
+            )
+    elif py_idx:
         if jc is None:
             raise ValueError(
                 f"rule {rules[py_idx[0]].name!r} needs a json_col or a "
                 "typed struct_col"
             )
         # Every tier-3 rule rides ONE fused UDF (one json.loads per
-        # record for the whole bank, one Arrow column back); Catalyst's
-        # UDF extraction dedups the repeated expression, so element_at
-        # references below stay a single Python evaluation.
+        # record for the whole bank, one Arrow column back). The fused
+        # array is MATERIALIZED as its own column rather than inlined
+        # into each element_at: inlining leaves m copies of the same
+        # PythonUDF expression and relies on Catalyst's UDF extraction
+        # to dedup them — guaranteed single evaluation beats
+        # optimizer-version-dependent behavior.
         many = jp.jsonpath_match_many_pandas_udf(
             [rules[i].predicate for i in py_idx]
         )(jc)
+        tier3_col = f"__tier3_{out_col}"
+        df = df.withColumn(tier3_col, many)
         for pos, i in enumerate(py_idx):
-            preds[i] = F.element_at(many, pos + 1)
+            preds[i] = F.element_at(F.col(tier3_col), pos + 1)
     tagged = F.array(
         *[F.when(p, F.lit(i)).otherwise(F.lit(None)) for i, p in enumerate(preds)]
     )
@@ -166,7 +205,12 @@ def with_matches(
         matched = F.when(
             F.col(error_col).isNotNull(), F.array(F.lit(ERROR))
         ).otherwise(matched)
-    return df.withColumn(out_col, matched.cast(T.ArrayType(T.IntegerType())))
+    out = df.withColumn(out_col, matched.cast(T.ArrayType(T.IntegerType())))
+    if tier3_col is not None:
+        out = out.drop(tier3_col)  # consumed plumbing (no-op if absent)
+    elif py_idx:
+        out = out.drop(f"__tier3_{out_col}")
+    return out
 
 
 def topic_map(
@@ -192,14 +236,18 @@ def dispatch(
     error_col: str | None = None,
     dlq_topic: str = DEFAULT_DLQ_TOPIC,
     error_topic: str | None = None,
+    tier3_col: str | None = None,
 ) -> DataFrame:
     """Full routing: one output row per (record, destination).
 
     Adds ``rule_idx`` (int; -1 error, -2 unfiltered), ``rule_name`` (null
     for sentinels) and ``topic``. Records that fail decode are DROPPED when
     no error topic is configured (TopologyProducer.kt:124-131).
+    ``tier3_col``: see `with_matches` — precomputed Python-tier results.
     """
-    out = with_matches(df, rules, json_col, struct_col, error_col)
+    out = with_matches(
+        df, rules, json_col, struct_col, error_col, tier3_col=tier3_col
+    )
     # explode_outer, deliberately: `matches` is never empty (the UNFILTERED
     # sentinel guarantees ≥1 element) so outer vs inner explode is
     # semantically identical — but the non-outer Generate makes Catalyst

@@ -301,3 +301,53 @@ def test_streaming_decode_dispatch(spark, tmp_path):
         (3, "dlq"),
         (4, "error"),
     ]
+
+
+def test_fused_decode_match_parity(spark):
+    """decode_tx_records(match_paths=...) + dispatch(tier3_col=...)
+    must route EXACTLY like the unfused decode → matcher-UDF pipeline —
+    the fusion only moves the Python-tier evaluation onto the decoded
+    dict before serialization (skipping the per-record json.loads and
+    the tx_json Arrow round-trip), never changes semantics. Covers:
+    multicast, DLQ fallback, never-matching definite path, decode
+    failure routed to the error topic, and the no-Python-tier rule bank
+    (match_paths=None degenerate case)."""
+    df = spark.createDataFrame(
+        [(1, TX1), (2, TX2), (3, TX3), (4, TX_ERR)], "tx_id int, value binary"
+    )
+
+    def routes(routed):
+        return sorted((r["tx_id"], r["topic"]) for r in routed.collect())
+
+    unfused = dsp.dispatch(
+        decode_tx_records(df),
+        RULES,
+        json_col="tx_json",
+        error_col="error",
+        error_topic="error",
+    )
+    paths = dsp.python_tier_paths(RULES, json_col="tx_json")
+    assert paths, "fixture bank should exercise the Python tier"
+    fused = dsp.dispatch(
+        decode_tx_records(df, match_paths=paths),
+        RULES,
+        json_col="tx_json",
+        error_col="error",
+        error_topic="error",
+        tier3_col="__tier3",
+    )
+    assert routes(fused) == routes(unfused)
+    assert "__tier3" not in fused.columns  # plumbing consumed
+
+    # single-JVM-tier bank (definite path -> tier 2): no python paths,
+    # plain decode, no tier3 column anywhere
+    jvm_only = [RULES[2]]  # "never": $.nop
+    assert dsp.python_tier_paths(jvm_only, json_col="tx_json") == []
+    out = dsp.dispatch(
+        decode_tx_records(df),
+        jvm_only,
+        json_col="tx_json",
+        error_col="error",
+        error_topic="error",
+    )
+    assert routes(out) == [(1, "dlq"), (2, "dlq"), (3, "dlq"), (4, "error")]

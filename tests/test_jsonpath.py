@@ -375,3 +375,49 @@ class TestExtendedConstructs:
             warnings.simplefilter("ignore")
             out = dsp.dispatch(df, rules, json_col="tx_json")
         assert [(r["tx_id"], r["topic"]) for r in out.collect()] == [(1, "t2")]
+
+
+class TestCompiledPredicateFuzz:
+    """The closure-compiled tier-3 (jp.compile_predicate — the decode/
+    dispatch hot path since r7) must agree with the tree-walking
+    interpreter (jp.evaluate / jp.match, the semantic oracle) on every
+    record × predicate pair, including documents OUTSIDE the
+    protobuf-JSON domain (explicit nulls, mixed types)."""
+
+    def test_fuzz_agreement_vs_interpreter(self):
+        import random
+
+        rng = random.Random(20260814)
+        gen = TestTierConsistencyFuzz()
+        battery = TestTierConsistencyFuzz.PREDICATES + [
+            "$.a[?(@.v > 3 && @.v <= 5)]",
+            "$.a[?(@.v == 9 || @.s == 'x')]",
+            "$.a[?(!(@.v == 9))]",
+            "$..messages[*].amount[0]",
+            "$.body.messages[-1:]",
+            "$.body[?(@.memo =~ /m[0-2]/i)]",
+        ]
+        preds = [jp.compile_predicate(p) for p in battery]
+        docs = [gen._random_tx(rng) for _ in range(200)]  # WITH nulls
+        docs += [
+            {"a": [{"v": 4, "s": "x"}, {"v": 9}]},
+            {"a": []},
+            {"a": [{"v": "9"}]},  # type mismatch in cmp
+            {},
+            {"body": {"messages": "not-a-list"}},
+            {"body": [1, 2, {"messages": [{"fromAddress": "addr1"}]}]},
+        ]
+        for d in docs:
+            txt = json.dumps(d)
+            for path, pred in zip(battery, preds):
+                assert pred(d) == jp.match(txt, path), (path, d)
+
+    def test_compile_errors_still_raise(self):
+        import pytest as _pytest
+
+        with _pytest.raises(jp.JsonPathError):
+            jp.compile_predicate("$.a[")
+
+    def test_bad_regex_never_matches(self):
+        pred = jp.compile_predicate("$.a[?(@.s =~ /[/)]")
+        assert pred({"a": [{"s": "x"}]}) is False
