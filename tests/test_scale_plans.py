@@ -322,3 +322,62 @@ def test_zorder_layout_balances_file_extents(spark, sf_dir, tmp_path):
     # single-column sort: value extent tiny but user extent ~full range
     # in the MEAN — i.e. zero skipping power on the second dimension
     assert sum(u / urange for _, u in sex) / len(sex) > 0.9
+
+
+def test_zorder_prunes_rowgroups_on_nonleading_column(spark, sf_dir, tmp_path):
+    """Files/row-groups ACTUALLY skipped on read-back (r6 verdict #6):
+    a range predicate over the NON-LEADING clustered column (user_id)
+    against the z-ordered layout must leave most row groups behind —
+    measured by the parquet scan's numOutputRows metric, which counts
+    rows surviving footer min/max row-group pruning of the pushed
+    predicate (each written file here holds one row group, so skipped
+    rows == skipped files). The value-sorted comparison layout must
+    show ZERO skipping on the same predicate (user_id extents ~full
+    range per file) — pinning that the win comes from the Morton
+    clustering, not from the predicate being selective."""
+    from kafka_processor_cosmos_tx_dispatch_spark.sinks import zorder_layout
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value", "user_id"
+    )
+    total = ev.count()
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_layout(ev, ["value", "user_id"], zpath, n_files=16)
+    (
+        ev.repartitionByRange(16, "value")
+        .sortWithinPartitions("value")
+        .write.parquet(spath)
+    )
+
+    g = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo, hi = g[0], g[1]
+    a = lo + (hi - lo) // 3
+    b = a + (hi - lo) // 20  # a ~5%-of-range band
+
+    def scan_metrics(path):
+        q = spark.read.parquet(path).filter(
+            (F.col("user_id") >= a) & (F.col("user_id") <= b)
+        )
+        q.collect()  # execute THIS queryExecution so its metrics fill
+        out = {}
+
+        def walk(node):
+            if "Scan" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    out[kv._1()] = kv._2().value()
+            ch = node.children().iterator()
+            while ch.hasNext():
+                walk(ch.next())
+
+        walk(q._jdf.queryExecution().executedPlan())
+        return out
+
+    z = scan_metrics(zpath)
+    s = scan_metrics(spath)
+    assert z["numFiles"] == 16 and s["numFiles"] == 16
+    # value-sorted: every row group intersects the user_id band -> no skip
+    assert s["numOutputRows"] == total
+    # z-order: most row groups' user_id boxes miss the band entirely
+    assert z["numOutputRows"] < total * 0.6, z
