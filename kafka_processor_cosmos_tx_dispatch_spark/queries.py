@@ -7343,10 +7343,25 @@ def queries() -> dict[str, QueryFn]:
         return {n: _QUERIES[n] for n in base}
     flagship = [n for n in ("dispatch_route",) if n in _QUERIES]
     rest = [n for n in base if n not in flagship]
+    # builder-flagged re-proof names: oracles fixed since their last
+    # (or never-had) driver check; front of the never-proved bucket so
+    # the fix lands inside this round's sample budget (r7: the two
+    # latent HUGEINT/DECIMAL oracle repairs, r6 verdict #1)
+    priority = [
+        n
+        for n in ("q_table_checksum", "q_cogroup_reconcile")
+        if n in _QUERIES and n not in proved
+    ]
+    never = [
+        n
+        for n in rest
+        if n not in errored and n not in proved and n not in priority
+    ]
     ordered = (
         flagship
         + [n for n in rest if n in errored]
-        + [n for n in rest if n not in errored and n not in proved]
+        + priority
+        + never
         + [n for n in rest if n in proved]
     )
     return {n: _QUERIES[n] for n in ordered}
