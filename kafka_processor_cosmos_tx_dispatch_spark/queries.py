@@ -7219,6 +7219,206 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordered BPE merge table over space-separated symbol streams (word
+# chars + </w> terminator). Applying a merge == one global left-to-right
+# single-pass replace of "a b" -> "ab" — Spark replace() and DuckDB
+# replace() share that exact semantics, so both engines agree on every
+# input; it also equals canonical BPE application except when the SAME
+# pair repeats immediately adjacent (a b a b), which no merge below can
+# produce on word text. Derived offline from the corpus vocabulary.
+_BPE_MERGES = [
+    ("e r", "er"),
+    ("er </w>", "er</w>"),
+    ("t h", "th"),
+    ("th e", "the"),
+    ("the </w>", "the</w>"),
+    ("o r", "or"),
+    ("a n", "an"),
+    ("i n", "in"),
+    ("s c", "sc"),
+    ("sc an", "scan"),
+    ("j o", "jo"),
+    ("jo in", "join"),
+]
+
+
+def _bpe_oracle_replace_chain(expr: str) -> str:
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return expr
+
+
+@register(
+    "text_bpe_encode",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    vocab AS (SELECT DISTINCT w FROM words),
+    enc AS (
+      SELECT w,
+             {_bpe_oracle_replace_chain(
+                 "array_to_string(string_split(w, ''), ' ') || ' </w>'"
+             )} AS e
+      FROM vocab),
+    vn AS (
+      SELECT w, CAST(len(string_split(e, ' ')) AS BIGINT) AS n_sub
+      FROM enc)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+    FROM words JOIN vn USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization — APPLYING a trained merge table (the encode
+    half of byte-pair encoding; training the table is a driver-side
+    loop over pair counts, the applying is what runs over 100 TB).
+    Per-doc output: word count and post-merge subword count (the
+    compression the tokenizer achieves).
+
+    The scale pattern is DICTIONARY ENCODING: the expensive per-token
+    transform (char split + chained merge replaces) runs on the
+    DISTINCT vocabulary only — thousands of rows — then broadcast-joins
+    back onto the exploded corpus; per-corpus cost is one explode + one
+    broadcast hash join, independent of how elaborate the tokenizer
+    is. This is exactly how a production pipeline tokenizes a repeated
+    vocabulary (and why tokenizer microbenchmarks on unique-string
+    corpora mislead). Merge application = ordered single-pass global
+    replaces over the space-separated symbol stream; both engines share
+    replace() semantics (see _BPE_MERGES).
+
+    Scale: explode is narrow; vocab distinct is a small shuffle; the
+    join back is broadcast. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.select("w").distinct()
+    enc = F.concat(
+        F.array_join(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+            " ",
+        ),
+        F.lit(" </w>"),
+    )
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(a), F.lit(b))
+    vn = vocab.select(
+        "w", F.size(F.split(enc, " ")).cast("long").alias("n_sub")
+    )
+    return (
+        words.join(F.broadcast(vn), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
+@register(
+    "sim_scalar_quantize_int8",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx
+      FROM embeddings),
+    coded AS (
+      SELECT vec_id, mn, mx, v,
+             CASE WHEN mx = mn
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x ->
+                    CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+                         AS BIGINT))
+             END AS c
+      FROM base)
+    SELECT vec_id, mn, mx,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           CAST(list_sum(c) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(c, (x, i) -> i * x))
+                AS BIGINT) AS code_wsum,
+           CAST(list_sum(list_transform(v, (x, i) ->
+                 CAST(floor(
+                   (x - (mn + c[i] * (mx - mn) / 255.0))
+                   * (x - (mn + c[i] * (mx - mn) / 255.0))
+                   * 1e12 + 0.5) AS BIGINT)))
+                AS BIGINT) AS err_fp
+    FROM coded
+    """,
+)
+def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x storage/bandwidth cut before ANN indexing (per-vector min/max
+    affine scale to [0,255] codes) plus the reconstruction-error audit
+    that decides whether int8 is acceptable for a given corpus.
+
+    Cross-engine exactness: codes come from floor(z + 0.5) on
+    identically-computed IEEE doubles (no engine-specific rounding
+    mode); the error sum is per-element FIXED-POINT (floor(e^2 * 1e12))
+    summed as int64, so element order cannot perturb a float
+    accumulation. code_wsum is the 1-based index-weighted sum — an
+    order-sensitive checksum of the full code vector without shipping
+    it. Everything is built-in HOFs (transform/aggregate): JVM-side,
+    whole-stage codegen, zero Python.
+
+    Scale: row-local (no shuffle at all); at 100 TB this runs at scan
+    speed and writes 1/4 the bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        dv.alias("v"),
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+
+    def code(x):
+        return F.floor((x - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    coded = base.withColumn(
+        "c",
+        F.when(
+            mx == mn,
+            F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+        ).otherwise(F.transform(F.col("v"), code)),
+    )
+
+    def sum_long(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    recon_err_fp = F.transform(
+        F.col("v"),
+        lambda x, i: F.floor(
+            (x - (mn + F.element_at(F.col("c"), i + 1) * (mx - mn) / 255.0))
+            * (x - (mn + F.element_at(F.col("c"), i + 1) * (mx - mn) / 255.0))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return coded.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.size("v").alias("n_dims"),
+        sum_long(F.col("c")).alias("code_sum"),
+        sum_long(
+            F.transform(F.col("c"), lambda x, i: (i + 1) * x)
+        ).alias("code_wsum"),
+        sum_long(recon_err_fp).alias("err_fp"),
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
