@@ -6075,10 +6075,10 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_drift_counts(ev, tempfile.mkdtemp(prefix="drift_"))
 
 
-@register(
-    "sim_topk_pq",
-    """
-    WITH cent AS (
+# PQ index construction + ADC scoring as relational CTEs — shared by
+# the pure-PQ top-k oracle and the coarse->fine rerank oracle below.
+_PQ_CTES = """
+    cent AS (
       SELECT i // 16 AS cid, list(
                ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
                ORDER BY i) AS cv
@@ -6114,7 +6114,13 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN enc e ON qs.m = e.m AND qs.vec_id <> e.vec_id
       JOIN cent c ON c.cid = e.m * 16 + e.code
       WHERE qs.vec_id < 10
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "sim_topk_pq",
+    f"""
+    WITH {_PQ_CTES}
     SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY adc_dist ASC, neighbor_id) AS rn
@@ -7416,6 +7422,160 @@ def sim_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("c"), lambda x, i: (i + 1) * x)
         ).alias("code_wsum"),
         sum_long(recon_err_fp).alias("err_fp"),
+    )
+
+
+@register(
+    "sim_topk_rerank",
+    f"""
+    WITH {_PQ_CTES},
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist ASC, neighbor_id) AS rn
+            FROM scored)
+      WHERE rn <= 20),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_dot_product(qq.qv, qq.qv) AS BIGINT)
+               - 2 * CAST(list_dot_product(qq.qv, qn.qv) AS BIGINT)
+               + CAST(list_dot_product(qn.qv, qn.qv) AS BIGINT)
+               AS exact_dist
+      FROM cand c
+      JOIN q qq ON qq.vec_id = c.query_id
+      JOIN q qn ON qn.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, exact_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY exact_dist ASC, neighbor_id) AS rn
+          FROM exact)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine retrieval — the canonical two-stage ANN serving
+    pattern: PQ/ADC generates 20 candidates per query from the
+    compressed index (operators/similarity.py:pq_topk, 4 ints per
+    corpus row), then ONLY those 10x20 pairs are reranked by exact
+    fixed-point L2 against the full vectors. The quantization error
+    that reorders PQ's tail ranks is repaired where it matters (the
+    head) at the cost of touching 20 full vectors per query instead of
+    the whole corpus — the recall/cost dial every production vector
+    store (FAISS refine, ScaNN reorder) exposes.
+
+    Scale: stage 1 streams the coded corpus against broadcast ADC
+    tables; stage 2 is a candidate-set (O(queries x 20)) broadcast join
+    back to the full vectors — corpus bandwidth stays PQ-compressed, the
+    exact reads are point lookups. Distances are integer (x1024
+    fixed-point, same convention as the PQ index), so ranks are
+    deterministic cross-engine."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=20).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1024.0)).cast("long"),
+        ).alias("qv"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qq, qn = F.col("q.qv"), F.col("n.qv")
+    exact = (
+        cand.join(F.broadcast(qv.alias("q")), F.col("query_id") == F.col("q.vec_id"))
+        .join(qv.alias("n"), F.col("neighbor_id") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(qq, qq) - 2 * dot(qq, qn) + dot(qn, qn)).alias("exact_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    """
+    WITH docs_arr AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    bg AS (
+      SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS b
+      FROM docs_arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    bc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(bc.c * 1000000 // uc.c) AS BIGINT) AS lm_fp
+    FROM bg JOIN bc USING (b) JOIN uc ON uc.w = bg.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (the KenLM-style fluency
+    gate of CCNet/RefinedWeb pipelines, self-trained on the corpus):
+    per document, the summed conditional bigram probability mass
+    P(w2|w1) = count(w1 w2)/count(w1), estimated from corpus counts.
+    Low mass ⇒ improbable word sequences ⇒ quality-filter candidate.
+
+    Cross-engine exactness: probabilities ride as INTEGER fixed-point
+    (count*1e6 DIV count — exact integer division in both engines) and
+    sum as int64, replacing the log-domain float accumulation whose
+    ordering neither engine pins. The monotone ranking a filter
+    thresholds on is unchanged.
+
+    Scale: the model is VOCAB-BOUNDED (unigram + bigram count tables ≤
+    |V|² rows regardless of corpus size), built by one map-side-
+    combinable agg each, then broadcast back onto the exploded corpus —
+    per-doc scoring never shuffles the corpus itself. Bigrams come from
+    an index-aware HOF over the split array (no self-join, no
+    posexplode alignment shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split("text", " ").alias("a"))
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                " concat(element_at(a, i), ' ', element_at(a, i + 1)) AS b,"
+                " element_at(a, i + 1) AS w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '')"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.b")
+    uc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    return (
+        bg.join(F.broadcast(bc), "b")
+        .join(F.broadcast(uc), F.col("w1") == F.col("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("bc * 1000000 DIV uc")).alias("lm_fp"),
+        )
     )
 
 

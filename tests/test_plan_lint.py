@@ -54,6 +54,7 @@ PYTHON_OK = {
     "dedup_verify_editdist",
     "q_cogroup_reconcile",  # cogrouped applyInPandas (the point of the query)
     "sim_topk_pq",  # numpy einsum PQ encode/tables under mapInPandas
+    "sim_topk_rerank",  # stage 1 IS sim_topk_pq (same encode); rerank is JVM
 }
 
 # Bounded-side nested-loop joins: the broadcast side is a 1-row (or
@@ -75,6 +76,7 @@ BNLJ_OK = {
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sample_hard_negatives",  # same bounded-query broadcast shape
     "sim_topk_pq",  # same bounded-query broadcast, ADC-scored codes
+    "sim_topk_rerank",  # same stage-1 plan + candidate-set broadcast rerank
     "sim_embedding_near_dup",  # bounded block-pair KEY table broadcast
     "q_sketch_merge_hll",  # 1-row merged-sketch estimate
     "q_join_cross",  # deliberate cross join of two bounded dims
