@@ -45,7 +45,9 @@ def asof_join(
     `direction="backward"` (default) matches the greatest right `ts_col`
     <= left's; `direction="forward"` the smallest right `ts_col` >=
     left's — the same union + window plan with the sort reversed, still
-    one shuffle.
+    one shuffle. `direction="nearest"` the minimum |gap| on either side
+    (ties toward the earlier row) — two frames over one sort, still one
+    shuffle (_asof_nearest).
 
     `right_value_cols` are carried from the matched right row, renamed
     `asof_<name>`. `tiebreak_col` (a right column) resolves equal-ts
@@ -55,8 +57,10 @@ def asof_join(
     nearest-overall-then-filter, so it's a post-predicate on the matched
     struct, not a different join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if right_value_cols is None:
         right_value_cols = [
             c for c in right.columns if c not in keys and c != ts_col
@@ -75,13 +79,15 @@ def asof_join(
             for c, a in zip(right_value_cols, carried)
         ]
         # right row's own ts rides along ONLY when a tolerance predicate
-        # needs it — the field costs window-state bytes per row otherwise
+        # or the nearest-direction distance compare needs it — the field
+        # costs window-state bytes per row otherwise
         + (
             [T.StructField("__asof_ts", right.schema[ts_col].dataType)]
-            if tolerance_us is not None
+            if tolerance_us is not None or direction == "nearest"
             else []
         )
     )
+    need_ts = tolerance_us is not None or direction == "nearest"
     l_tagged = left.select(
         *left_cols,
         F.lit(1).alias("__side"),
@@ -105,13 +111,15 @@ def asof_join(
         tie.alias("__tie"),
         F.struct(
             *[F.col(c).alias(a) for c, a in zip(right_value_cols, carried)],
-            *(
-                [F.col(ts_col).alias("__asof_ts")]
-                if tolerance_us is not None
-                else []
-            ),
+            *([F.col(ts_col).alias("__asof_ts")] if need_ts else []),
         ).alias("__asof"),
     ).select(*l_tagged.columns)  # align column order for union
+
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, l_tagged, r_tagged, keys, ts_col, left_cols,
+            carried, tolerance_us,
+        )
 
     # backward scans time ascending (last-seen right = greatest ts <= l);
     # forward scans descending (last-seen right = smallest ts >= l). At
@@ -139,6 +147,72 @@ def asof_join(
             if direction == "backward"
             else us(F.col("__asof.__asof_ts")) - us(F.col(ts_col))
         )
+        matched = matched.withColumn(
+            "__asof", F.when(gap <= F.lit(tolerance_us), F.col("__asof"))
+        )
+    return matched.select(
+        *left_cols,
+        *[F.col(f"__asof.{a}").alias(a) for a in carried],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    l_tagged: DataFrame,
+    r_tagged: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    left_cols: list[str],
+    carried: list[str],
+    tolerance_us: int | None,
+) -> DataFrame:
+    """direction="nearest": min |right.ts - left.ts|, ties toward the
+    BACKWARD (earlier) row — stated semantics, since pandas leaves the
+    tie unspecified. Still ONE shuffle and ONE sort: both candidate
+    arms are window frames over the SAME (keys, ts ASC) ordering —
+    backward = last non-null over unbounded-preceding..current, forward
+    = first non-null over current..unbounded-following — so Spark
+    reuses a single Exchange+Sort for both (the second frame adds a
+    Window node, not a shuffle). Equal-ts right rows sort before the
+    left row and are only visible to the backward arm; that is exactly
+    right, because a 0-distance match can never lose the nearest
+    compare, and the backward tiebreak already resolves duplicates."""
+    ts_is_ts = isinstance(right.schema[ts_col].dataType, T.TimestampType)
+
+    def us(c):
+        return F.unix_micros(c) if ts_is_ts else c.cast("long")
+
+    order = [F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc()]
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        *left_cols,
+        F.col("__side"),
+        F.last("__asof", ignorenulls=True).over(w_b).alias("__b"),
+        F.first("__asof", ignorenulls=True).over(w_f).alias("__f"),
+    )
+    matched = filled.filter(F.col("__side") == 1)
+    lts = us(F.col(ts_col))
+    dt_b = lts - us(F.col("__b.__asof_ts"))
+    dt_f = us(F.col("__f.__asof_ts")) - lts
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(dt_b <= dt_f, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    matched = matched.withColumn("__asof", chosen)
+    if tolerance_us is not None:
+        gap = F.abs(lts - us(F.col("__asof.__asof_ts")))
         matched = matched.withColumn(
             "__asof", F.when(gap <= F.lit(tolerance_us), F.col("__asof"))
         )

@@ -1143,6 +1143,90 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_nearest",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, value AS click_value, ts
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT p.purchase_id, p.user_id, p.ts AS pts,
+             c.click_id AS b_id, c.click_value AS b_val, c.ts AS b_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (
+      SELECT p.purchase_id,
+             c.click_id AS f_id, c.click_value AS f_val, c.ts AS f_ts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts),
+    j AS (SELECT b.*, f.f_id, f.f_val, f.f_ts
+          FROM b JOIN f USING (purchase_id)),
+    ch AS (
+      SELECT purchase_id, user_id, pts,
+             CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL AND
+                       epoch_us(pts) - epoch_us(b_ts)
+                         > epoch_us(f_ts) - epoch_us(pts))
+                  THEN f_id ELSE b_id END AS click_id,
+             CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL AND
+                       epoch_us(pts) - epoch_us(b_ts)
+                         > epoch_us(f_ts) - epoch_us(pts))
+                  THEN f_val ELSE b_val END AS click_value,
+             CASE WHEN b_ts IS NULL OR (f_ts IS NOT NULL AND
+                       epoch_us(pts) - epoch_us(b_ts)
+                         > epoch_us(f_ts) - epoch_us(pts))
+                  THEN f_ts ELSE b_ts END AS cts
+      FROM j)
+    SELECT purchase_id, user_id, click_id, click_value,
+           epoch_us(cts) - epoch_us(pts) AS gap_us
+    FROM ch
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest', ties
+    toward the earlier row): each purchase matched to the user's click
+    with the smallest |time gap| on either side — the sensor-alignment
+    shape (match the closest reading, not the last one). STILL one
+    shuffle and one sort: both candidate arms are frames over the same
+    (user, ts ASC) window — backward = last non-null preceding, forward
+    = first non-null following — so the second arm adds a Window node,
+    not an Exchange (operators/asof.py:_asof_nearest). The oracle takes
+    both DuckDB ASOF directions and re-derives the distance compare
+    relationally. gap_us is SIGNED (negative = matched click precedes
+    the purchase)."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        ts_col="ts",
+        right_value_cols=["click_id", "click_value", "click_ts"],
+        tiebreak_col="click_id",
+        direction="nearest",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_value").alias("click_value"),
+        (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@register(
     "q_join_right_outer",
     """
     SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers,

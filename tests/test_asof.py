@@ -209,3 +209,103 @@ def test_asof_forward_matches_naive_reference(spark):
 
     want = {i: expect(k, m) for k, m, i in left}
     assert got == want
+
+
+def test_asof_nearest_matches_naive_reference(spark):
+    """direction='nearest' vs a naive per-row reference: min |gap|, tie
+    toward the earlier (backward) row, left-outer nulls, and the stated
+    equal-ts behavior (0-distance rows come through the backward arm
+    with the usual tiebreak)."""
+    import random
+
+    rng = random.Random(4242)
+    left = [(rng.randrange(4), rng.randrange(100), i) for i in range(120)]
+    right = [(rng.randrange(4), rng.randrange(100), 1000 + i) for i in range(80)]
+
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in left], "k int, ts timestamp, left_id int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(m), i) for k, m, i in right], "k int, ts timestamp, rid int"
+    )
+    out = asof_join(
+        ldf,
+        rdf,
+        keys=["k"],
+        ts_col="ts",
+        right_value_cols=["rid"],
+        tiebreak_col="rid",
+        direction="nearest",
+    )
+    got = {r["left_id"]: r["asof_rid"] for r in out.collect()}
+
+    def expect(k, m):
+        back = [(rm, rid) for rk, rm, rid in right if rk == k and rm <= m]
+        fwd = [(rm, rid) for rk, rm, rid in right if rk == k and rm > m]
+        b = max(back) if back else None  # latest ts, then max rid
+        f = min(fwd) if fwd else None  # earliest ts; min-rid tiebreak:
+        if f is not None:
+            # first-in-window semantics: among equal future ts the arm
+            # sees the row sorted first (ts asc, tie asc) -> min rid
+            fm = min(rm for rm, _ in fwd)
+            f = (fm, min(rid for rm, rid in fwd if rm == fm))
+        if b is None and f is None:
+            return None
+        if b is None:
+            return f[1]
+        if f is None:
+            return b[1]
+        return b[1] if (m - b[0]) <= (f[0] - m) else f[1]
+
+    want = {i: expect(k, m) for k, m, i in left}
+    assert got == want
+
+
+def test_asof_nearest_single_shuffle_plan(spark):
+    """nearest must ALSO be one exchange: the forward arm is a second
+    window frame over the same partitioning+sort, never a join or a
+    second shuffle."""
+    left = spark.range(10).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") % 3).alias("k"),
+        F.timestamp_micros(F.col("id") * 2_000_000).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    out = asof_join(
+        left, right, keys=["k"], ts_col="ts", right_value_cols=["rid"],
+        direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_nearest_tolerance(spark):
+    out = asof_join(
+        spark.createDataFrame(
+            [(1, _t(10), 100), (1, _t(40), 101)],
+            "k int, ts timestamp, left_id int",
+        ),
+        spark.createDataFrame(
+            [(1, _t(8), 7, "a"), (1, _t(13), 8, "b")],
+            "k int, ts timestamp, rid int, val string",
+        ),
+        keys=["k"],
+        ts_col="ts",
+        right_value_cols=["rid", "val"],
+        direction="nearest",
+        tolerance_us=5 * 60 * 1_000_000,
+    )
+    got = {r["left_id"]: r["asof_rid"] for r in out.collect()}
+    # left@10: back gap 2 <= fwd gap 3 -> rid 7; left@40: nearest is 13
+    # (27 min away) but tolerance is 5 min -> null
+    assert got == {100: 7, 101: None}
