@@ -26,18 +26,43 @@ STATE_DEC = "decimal(22,2)"  # re-cast after every merge: keeps the type
 # fixed-point instead of growing 22,2 → 23,2 → … toward the 38 cap
 
 
-def incremental_decimal_merge(
-    stream: DataFrame,
-    state_dir: str,
-    key: str = "user_id",
-    value_col: str = "value",
-) -> DataFrame:
-    """Run `stream` to completion (availableNow), maintaining per-`key`
-    (count, decimal-sum of `value_col`) state across micro-batches.
-    Returns the final state: (key, n_events, total_value: double)."""
-    latest: dict = {"path": None, "v": 0}
+def _scan_state(state_dir: str) -> tuple[int | None, str | None]:
+    """Newest COMMITTED state version on disk: (batch_id, path). A
+    version counts only with its _SUCCESS marker — a crash mid-write
+    leaves no marker and the partial dir is ignored (and later
+    overwritten by the replay of the same batch id)."""
+    import glob
+    import re
 
-    def merge_batch(bdf: DataFrame, _bid: int) -> None:
+    best: tuple[int | None, str | None] = (None, None)
+    for p in glob.glob(os.path.join(state_dir, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(p))
+        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+            bid = int(m.group(1))
+            if best[0] is None or bid > best[0]:
+                best = (bid, p)
+    return best
+
+
+def make_decimal_merge_batch(
+    state_dir: str, key: str, value_col: str, latest: dict
+):
+    """The foreachBatch body, exposed for direct testing (replay
+    simulation needs to call it with a repeated batch id).
+
+    EXACTLY-ONCE: state versions are named by BATCH ID (`v{bid}`) and
+    `latest` tracks the newest applied one — foreachBatch is
+    at-least-once (a failure between the state write and the
+    checkpoint commit redelivers the same batch id on restart), so a
+    merge body that blindly re-applies double-counts. Replays
+    (bid <= applied) are skipped: the ledger makes the at-least-once
+    delivery exactly-once in the state. On a fresh call the ledger
+    recovers from disk (_scan_state), so restart-replays are caught
+    across processes, not just within one run."""
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: already folded into state
         agg = bdf.groupBy(key).agg(
             F.count(F.lit(1)).alias("an"),
             F.sum(F.col(value_col).cast("decimal(12,2)"))
@@ -63,19 +88,36 @@ def incremental_decimal_merge(
             merged = agg.select(
                 key, F.col("an").alias("pn"), F.col("atv").alias("ptv")
             )
-        v = latest["v"] + 1
-        path = os.path.join(state_dir, f"v{v}")
+        path = os.path.join(state_dir, f"v{bid}")
         merged.write.mode("overwrite").parquet(path)
         prev_path = latest["path"]
-        latest.update(path=path, v=v)
-        if prev_path is not None:
-            # v{n} is fully committed — prune v{n-1} so state is bounded
-            # at one version, not O(batches) copies. Local-fs removal
-            # here; a cluster deployment points state at a table format
-            # whose commit protocol handles retention instead.
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            # v{bid} is fully committed — prune the prior version so
+            # state is bounded at one copy, not O(batches). Local-fs
+            # removal here; a cluster deployment points state at a
+            # table format whose commit protocol handles retention.
             import shutil
 
             shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_decimal_merge(
+    stream: DataFrame,
+    state_dir: str,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Run `stream` to completion (availableNow), maintaining per-`key`
+    (count, decimal-sum of `value_col`) state across micro-batches.
+    Returns the final state: (key, n_events, total_value: double).
+    Replay-idempotent via the batch-id state ledger
+    (make_decimal_merge_batch)."""
+    bid, path = _scan_state(state_dir)
+    latest: dict = {"path": path, "bid": bid}
+    merge_batch = make_decimal_merge_batch(state_dir, key, value_col, latest)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -371,6 +371,45 @@ class TestIncrementalMerge:
         assert got == expect
         assert got[10] == (3, 11.67)  # spans all three batches
 
+    def test_replayed_batch_is_not_double_counted(self, spark, tmp_path):
+        """foreachBatch is AT-LEAST-ONCE: a crash between the state
+        write and the checkpoint commit redelivers the same batch id on
+        restart. The batch-id state ledger must make the merge
+        exactly-once — applying batch 0 twice (same id), then batch 1,
+        then a stale replay of batch 0 again, must equal each batch
+        applied once. Also covers ledger recovery from disk (a FRESH
+        merge closure over the same state dir still rejects the
+        replay), i.e. the cross-restart case."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+            make_decimal_merge_batch,
+        )
+
+        state = str(tmp_path / "replay_state")
+        os.makedirs(state)
+        b0 = _mk_events(spark, [(1, 1, 10, "a", 1.17, 0), (2, 1, 11, "b", 2.03, 0)])
+        b1 = _mk_events(spark, [(3, 2, 10, "a", 0.49, 0)])
+
+        latest = {"path": None, "bid": None}
+        merge = make_decimal_merge_batch(state, "user_id", "value", latest)
+        merge(b0, 0)
+        merge(b0, 0)  # in-run redelivery
+        merge(b1, 1)
+        merge(b0, 0)  # stale replay after progress
+
+        # cross-restart: a fresh closure recovers the ledger from disk
+        bid, path = _scan_state(state)
+        assert bid == 1
+        latest2 = {"path": path, "bid": bid}
+        merge2 = make_decimal_merge_batch(state, "user_id", "value", latest2)
+        merge2(b1, 1)  # restart redelivery of the last batch
+
+        got = {
+            r["user_id"]: (r["pn"], float(r["ptv"]))
+            for r in spark.read.parquet(latest2["path"]).collect()
+        }
+        assert got == {10: (2, 1.66), 11: (1, 2.03)}
+
 
 class TestIncrementalScd2:
     def test_multi_batch_split_matches_batch_scd2(self, spark, tmp_path):
