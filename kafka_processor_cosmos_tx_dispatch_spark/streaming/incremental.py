@@ -145,35 +145,12 @@ def incremental_decimal_merge(
     )
 
 
-def incremental_scd2(
-    stream: DataFrame,
-    state_dir: str,
-    buckets: int = 16,
-) -> DataFrame:
-    """Streaming SCD Type-2 maintenance by BUCKET-SCOPED RECOMPUTE: each
-    micro-batch appends its raw change events to a bucket-partitioned
-    log (bucket = user_id % `buckets`), then rebuilds the SCD2 history
-    for ONLY the touched buckets from their complete logs, replacing
-    exactly those partitions via dynamic partition overwrite
-    (`partitionOverwriteMode=dynamic` — untouched buckets' files are
-    never rewritten).
-
-    Why recompute instead of merge: SCD2's collapse-consecutive-runs
-    rule is NOT associative — a late row landing between two existing
-    changes can resurrect a previously-collapsed duplicate — so
-    interval-merging per batch is order-sensitive. Recomputing a bucket
-    from its full log is order-INVARIANT: any micro-batch split of the
-    input yields identical final history (pinned by
-    tests/test_streaming.py), because a bucket's last rebuild sees its
-    complete log. Per-batch cost is O(touched buckets' history), not
-    O(corpus): the same bound every key-scoped lakehouse backfill has.
-    The only driver-side materialization is the ≤`buckets` touched
-    bucket ids. Returns the final history (q_scd2_history's columns)."""
+def make_scd2_rebuild(
+    log_dir: str, hist_dir: str, buckets: int, wrote: dict
+):
+    """The foreachBatch body of incremental_scd2, exposed for direct
+    testing (replay simulation calls it twice with the same batch)."""
     from pyspark.sql import Window as W
-
-    log_dir = os.path.join(state_dir, "log")
-    hist_dir = os.path.join(state_dir, "hist")
-    wrote = {"any": False}
 
     def rebuild(bdf: DataFrame, _bid: int) -> None:
         spark = bdf.sparkSession
@@ -210,6 +187,46 @@ def incremental_scd2(
             .parquet(hist_dir)
         )
         wrote["any"] = True
+
+    return rebuild
+
+
+def incremental_scd2(
+    stream: DataFrame,
+    state_dir: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Streaming SCD Type-2 maintenance by BUCKET-SCOPED RECOMPUTE: each
+    micro-batch appends its raw change events to a bucket-partitioned
+    log (bucket = user_id % `buckets`), then rebuilds the SCD2 history
+    for ONLY the touched buckets from their complete logs, replacing
+    exactly those partitions via dynamic partition overwrite
+    (`partitionOverwriteMode=dynamic` — untouched buckets' files are
+    never rewritten).
+
+    Why recompute instead of merge: SCD2's collapse-consecutive-runs
+    rule is NOT associative — a late row landing between two existing
+    changes can resurrect a previously-collapsed duplicate — so
+    interval-merging per batch is order-sensitive. Recomputing a bucket
+    from its full log is order-INVARIANT: any micro-batch split of the
+    input yields identical final history (pinned by
+    tests/test_streaming.py), because a bucket's last rebuild sees its
+    complete log. Per-batch cost is O(touched buckets' history), not
+    O(corpus): the same bound every key-scoped lakehouse backfill has.
+    The only driver-side materialization is the ≤`buckets` touched
+    bucket ids. Returns the final history (q_scd2_history's columns).
+
+    Replay (foreachBatch at-least-once): a redelivered batch appends
+    duplicate rows to the log, and the rebuild ABSORBS them — an exact
+    duplicate (same user, ts, event_id, type) sorts adjacent to its
+    original under (ts, event_id) and the change filter
+    (prev_type != type) drops it, so the recomputed history is
+    identical. No batch-id ledger needed here, unlike the decimal
+    merge, whose + is not idempotent."""
+    log_dir = os.path.join(state_dir, "log")
+    hist_dir = os.path.join(state_dir, "hist")
+    wrote = {"any": False}
+    rebuild = make_scd2_rebuild(log_dir, hist_dir, buckets, wrote)
 
     q = (
         stream.writeStream.foreachBatch(rebuild)

@@ -478,3 +478,46 @@ class TestIncrementalScd2:
         # the late row really did split user 10's collapsed A-run:
         u10 = sorted((r for r in got if r[0] == 10), key=lambda t: t[4])
         assert [t[1] for t in u10] == ["A", "B", "A"]
+
+
+class TestScd2Replay:
+    def test_replayed_batch_absorbed_by_change_filter(self, spark, tmp_path):
+        """SCD2's replay story differs from the decimal merge: a
+        redelivered batch APPENDS duplicate rows to the log, and the
+        rebuild absorbs them — an exact duplicate sorts adjacent to its
+        original under (ts, event_id) and the prev_type != type change
+        filter drops it, so history, versions, and validity intervals
+        are identical to the no-replay run. This pins that argument."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_scd2_rebuild,
+        )
+
+        def run(root):
+            wrote = {"any": False}
+            rebuild = make_scd2_rebuild(
+                f"{root}/log", f"{root}/hist", 4, wrote
+            )
+            b0 = _mk_events(
+                spark, [(1, 1, 10, "a", 0.0, 0), (2, 2, 10, "b", 0.0, 0)]
+            )
+            b1 = _mk_events(
+                spark, [(3, 3, 10, "a", 0.0, 0), (4, 1, 11, "c", 0.0, 0)]
+            )
+            rebuild(b0, 0)
+            if root.endswith("replayed"):
+                rebuild(b0, 0)  # redelivery: duplicate log append
+            rebuild(b1, 1)
+            if root.endswith("replayed"):
+                rebuild(b1, 1)
+            return sorted(
+                (
+                    r["user_id"], r["event_type"], r["valid_from_us"],
+                    r["valid_to_us"], r["version"], r["is_current"],
+                )
+                for r in spark.read.parquet(f"{root}/hist").drop("pb").collect()
+            )
+
+        clean = run(str(tmp_path / "clean"))
+        replayed = run(str(tmp_path / "replayed"))
+        assert replayed == clean
+        assert len(clean) == 4  # a,b,a for user 10 + c for user 11
