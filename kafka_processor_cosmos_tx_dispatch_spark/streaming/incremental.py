@@ -250,23 +250,14 @@ def incremental_scd2(
     return spark.read.parquet(hist_dir).drop("pb")
 
 
-def incremental_drift_counts(
-    stream: DataFrame,
-    state_dir: str,
-    bucket_width: float = 25.0,
-) -> DataFrame:
-    """Streaming distribution-drift monitoring: maintain per-bucket
-    (n_ref, n_cur) counts across micro-batches (ref/cur = event_id
-    parity, standing in for reference-vs-candidate windows). COUNTS ARE
-    MERGEABLE — integer addition is associative — so unlike SCD2 this
-    state merges per batch with no recompute, and any micro-batch split
-    reproduces the one-shot batch histogram exactly. Returns the final
-    buckets with the same fixed-point chi-square contribution the batch
-    gate (queries.q_drift_chi2) computes; the monitoring loop a curation
-    pipeline runs WHILE a crawl lands, not after."""
-    latest: dict = {"path": None, "v": 0}
+def make_drift_merge_batch(state_dir: str, bucket_width: float, latest: dict):
+    """foreachBatch body of incremental_drift_counts: batch-id-ledgered
+    count merge (see make_decimal_merge_batch for the exactly-once
+    contract this implements)."""
 
-    def merge_batch(bdf: DataFrame, _bid: int) -> None:
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: already folded into state
         agg = bdf.groupBy(
             F.floor(F.col("value") / bucket_width).alias("bucket")
         ).agg(
@@ -296,15 +287,40 @@ def incremental_drift_counts(
                 F.col("a_ref").alias("p_ref"),
                 F.col("a_cur").alias("p_cur"),
             )
-        v = latest["v"] + 1
-        path = os.path.join(state_dir, f"v{v}")
+        path = os.path.join(state_dir, f"v{bid}")
         merged.write.mode("overwrite").parquet(path)
         prev_path = latest["path"]
-        latest.update(path=path, v=v)
-        if prev_path is not None:
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
             import shutil
 
             shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_drift_counts(
+    stream: DataFrame,
+    state_dir: str,
+    bucket_width: float = 25.0,
+) -> DataFrame:
+    """Streaming distribution-drift monitoring: maintain per-bucket
+    (n_ref, n_cur) counts across micro-batches (ref/cur = event_id
+    parity, standing in for reference-vs-candidate windows). COUNTS ARE
+    MERGEABLE — integer addition is associative — so unlike SCD2 this
+    state merges per batch with no recompute, and any micro-batch split
+    reproduces the one-shot batch histogram exactly. Returns the final
+    buckets with the same fixed-point chi-square contribution the batch
+    gate (queries.q_drift_chi2) computes; the monitoring loop a curation
+    pipeline runs WHILE a crawl lands, not after.
+
+    Replay-idempotent the same way the decimal merge is: count addition
+    is associative but NOT idempotent, so state versions are named by
+    batch id and the ledger (make_drift_merge_batch, recovered from
+    disk on restart) skips redelivered batches."""
+    bid, path = _scan_state(state_dir)
+    latest: dict = {"path": path, "bid": bid}
+    merge_batch = make_drift_merge_batch(state_dir, bucket_width, latest)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

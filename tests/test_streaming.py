@@ -521,3 +521,23 @@ class TestScd2Replay:
         replayed = run(str(tmp_path / "replayed"))
         assert replayed == clean
         assert len(clean) == 4  # a,b,a for user 10 + c for user 11
+
+
+class TestDriftReplay:
+    def test_replayed_batch_skipped_by_ledger(self, spark, tmp_path):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_drift_merge_batch,
+        )
+
+        state = str(tmp_path / "drift_state")
+        os.makedirs(state)
+        b0 = _mk_events(spark, [(2, 1, 10, "a", 10.0, 0), (3, 1, 11, "b", 30.0, 0)])
+        latest = {"path": None, "bid": None}
+        merge = make_drift_merge_batch(state, 25.0, latest)
+        merge(b0, 0)
+        merge(b0, 0)  # redelivery must not double the counts
+        got = {
+            r["bucket"]: (r["p_ref"], r["p_cur"])
+            for r in spark.read.parquet(latest["path"]).collect()
+        }
+        assert got == {0: (1, 0), 1: (0, 1)}
