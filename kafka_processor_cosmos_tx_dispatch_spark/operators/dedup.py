@@ -317,8 +317,8 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.n_shingles").alias("n_b"),
+            F.col("a.n_shingles").cast("long").alias("n_a"),
+            F.col("b.n_shingles").cast("long").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

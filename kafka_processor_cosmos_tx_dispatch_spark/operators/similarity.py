@@ -188,7 +188,7 @@ def ivf_topk(
         return out.select(
             f"{side}_id",
             f"{side}_qv",
-            _ivf_assign(F.col(f"{side}_qv"), cents).alias("cell"),
+            _ivf_assign(F.col(f"{side}_qv"), cents).cast("long").alias("cell"),
             V.dot_int(F.col(f"{side}_qv"), F.col(f"{side}_qv")).alias(f"{side}_nsq"),
         )
 
@@ -207,7 +207,7 @@ def ivf_topk(
                 V.dot_int(F.col("query_qv"), F.col("query_qv")).alias("query_nsq"),
             )
             .select(
-                "query_id", "query_qv", F.col("__probe.c").alias("cell"), "query_nsq"
+                "query_id", "query_qv", F.col("__probe.c").cast("long").alias("cell"), "query_nsq"
             )
         )
     c = prep(widen(corpus), "neighbor")

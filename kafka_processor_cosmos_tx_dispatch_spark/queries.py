@@ -4244,7 +4244,7 @@ def q_scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def body(toks: F.Column) -> F.Column:
-        lens = F.transform(toks, lambda x: F.length(x))
+        lens = F.transform(toks, lambda x: F.length(x).cast("long"))
         zero = F.lit(0).cast("long")
         add = lambda a, x: a + x  # noqa: E731
         return F.struct(

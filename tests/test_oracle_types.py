@@ -86,6 +86,67 @@ def test_every_oracle_registered_output_type_is_hash_safe(
     )
 
 
+# DuckDB physical type -> the Spark type(s) whose driver-side value
+# surfacing matches it. Anything outside this map (or a mismatch) is a
+# latent hash failure of the r6 class.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+    "BLOB": {"binary"},
+    "BOOLEAN": {"boolean"},
+}
+
+
+def test_spark_schema_matches_oracle_types(oracle_descriptions):
+    """End-to-end type-pairing gate: for every oracle-paired query, the
+    Spark plan's output schema must pair with the DuckDB oracle's
+    DESCRIBE types column-for-column (by name). The r6 driver reds were
+    value-EQUAL results hashed differently because of type drift; the
+    allowlist test above catches DuckDB-side widening, this one catches
+    a Spark-side int vs the oracle's BIGINT (or any other pairing
+    slip) before a driver round does. Runs at sf0.001 so the ~18 eager
+    queries (warehouse writes, iterative collects) stay cheap."""
+    import __spark_entry__ as entry
+    from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+    mismatches = []
+    for name, desc in oracle_descriptions.items():
+        try:
+            df = qs[name](spark, SF_DIR)
+        except Exception as e:  # pragma: no cover - surfaced as failure
+            mismatches.append(f"{name}: query build failed: {e}")
+            continue
+        spark_types = {f.name: f.dataType.simpleString() for f in df.schema}
+        for col, typ, *_ in desc:
+            base = _base_type(typ)
+            depth = (len(typ) - len(base)) // 2  # [] nesting
+            st = spark_types.get(col)
+            if st is None:
+                mismatches.append(f"{name}.{col}: missing in Spark schema")
+                continue
+            for _ in range(depth):
+                if not st.startswith("array<") or not st.endswith(">"):
+                    break
+                st = st[6:-1]
+            ok = st in _DUCK_TO_SPARK.get(base, set())
+            if not ok:
+                mismatches.append(
+                    f"{name}.{col}: oracle {typ} vs spark "
+                    f"{spark_types[col]}"
+                )
+    assert not mismatches, mismatches
+
+
 def test_oracle_and_query_surfaces_align():
     """Every oracle name must have a queries() entry (dangling oracles
     are dead weight; queries without oracles are allowed — they get the
