@@ -163,6 +163,24 @@ def main() -> None:
             )
         ),
     )
+    # fused variant (the production shape since r7): tier-3 predicates
+    # evaluate inside the decode UDF on the decoded dict — no re-parse,
+    # no second Arrow hop for the tx_json text
+    t3 = dsp.python_tier_paths(tx_rules, json_col="tx_json")
+    probe(
+        "decode_dispatch_fused",
+        n_tx,
+        lambda: run(
+            dsp.dispatch(
+                decode_tx_records(tx_src, match_paths=t3 or None),
+                tx_rules,
+                json_col="tx_json",
+                error_col="error",
+                error_topic="errors",
+                tier3_col="__tier3" if t3 else None,
+            )
+        ),
+    )
 
     # tumbling window agg (batch analog of the streaming window)
     probe(
