@@ -1714,6 +1714,98 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_upsert_delete",
+    """
+    WITH src AS (
+      SELECT o_custkey + CASE WHEN o_custkey % 10 = 0 THEN 1000000 ELSE 0 END
+               AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+    tgt AS (SELECT c_custkey AS key, c_name AS name,
+                   CAST(c_acctbal AS DOUBLE) AS bal
+            FROM customer),
+    m AS (
+      SELECT COALESCE(t.key, s.key) AS key, t.name, t.bal, s.spend,
+             s.n_orders,
+             t.key IS NOT NULL AS in_t, s.key IS NOT NULL AS in_s
+      FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
+    SELECT key,
+           CASE WHEN NOT in_t THEN 'NEW' ELSE name END AS name,
+           CASE WHEN NOT in_s THEN bal
+                WHEN NOT in_t THEN spend
+                ELSE bal + spend END AS new_bal,
+           CASE WHEN NOT in_s THEN 'keep'
+                WHEN NOT in_t THEN 'insert'
+                ELSE 'update' END AS action
+    FROM m
+    WHERE NOT (in_t AND in_s AND n_orders >= 3 AND bal < 0)
+    """,
+)
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with a conditional DELETE branch — the full 4-branch MERGE
+    surface (WHEN MATCHED AND <cond> THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED THEN INSERT / NOT MATCHED BY SOURCE →
+    keep), as Delta/Iceberg compile it: the SAME full-outer row algebra
+    as q_merge_upsert with the delete branch becoming a FILTER on the
+    merged rows (a deleted row is simply not re-emitted into the new
+    table version). Deletes here: matched customers with >=3 open
+    orders and a negative balance — the purge-on-condition shape of GDPR
+    /retention merges.
+
+    Scale: identical to q_merge_upsert (one key-shuffle full-outer
+    join); the delete filter is free (no extra pass) because it rides
+    the merge projection. Table formats add file pruning on top; the
+    row algebra is this."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    src = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 10 == 0, 1000000).otherwise(0)
+            ).alias("key"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("key")
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn("__s", F.lit(True))
+    )
+    tgt = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(True).alias("__t"),
+    )
+    m = tgt.join(src, "key", "full_outer")
+    in_t, in_s = F.col("__t").isNotNull(), F.col("__s").isNotNull()
+    kept = m.filter(
+        ~(
+            in_t
+            & in_s
+            & (F.col("n_orders") >= 3)
+            & (F.col("bal") < 0)
+        )
+    )
+    return kept.select(
+        "key",
+        F.when(~in_t, F.lit("NEW")).otherwise(F.col("name")).alias("name"),
+        F.when(~in_s, F.col("bal"))
+        .when(~in_t, F.col("spend"))
+        .otherwise(F.col("bal") + F.col("spend"))
+        .alias("new_bal"),
+        F.when(~in_s, F.lit("keep"))
+        .when(~in_t, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+@register(
     "q_window_topk_per_group",
     """
     SELECT p_brand, p_partkey, p_retailprice, rn FROM (
