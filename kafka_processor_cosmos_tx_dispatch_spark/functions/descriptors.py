@@ -31,6 +31,7 @@ import struct
 from dataclasses import dataclass
 from typing import Any, Callable
 
+from . import protowire as _pw
 from .protowire import (
     DecodeError,
     encode_ld,
@@ -235,11 +236,9 @@ class TypeRegistry:
                 if fd.type_name == _ANY_FQN:
 
                     def conv(v, _sa=strict_any):
-                        from . import protowire
-
                         if not isinstance(v, bytes):
                             raise DecodeError("expected length-delimited message")
-                        return protowire._decode_any(v, _sa)
+                        return _pw._decode_any(v, _sa)
 
                 else:
 
@@ -418,9 +417,7 @@ class TypeRegistry:
             if fd.type_name == _ANY_FQN:
                 # route through protowire so ONE unknown-type policy
                 # (opaque vs strict) governs every nesting level
-                from . import protowire
-
-                return protowire._decode_any(v, strict_any)
+                return _pw._decode_any(v, strict_any)
             return self.decode(fd.type_name, v, strict_any)
         if t == _T_STRING:
             return _utf8(v)
