@@ -33,12 +33,17 @@ def main() -> None:
     rules = load_rules(rules_path)
     spark = get_spark(app_name="dispatch-demo")
     df = spark.createDataFrame(demo_records(), "tx_id int, value binary")
+    # Production shape: Python-tier predicates fuse into the decode UDF
+    # (one JSON parse per record, no second Arrow hop); JVM-tier rules
+    # still compile to native Columns downstream.
+    t3 = dsp.python_tier_paths(rules, json_col="tx_json")
     routed = dsp.dispatch(
-        decode_tx_records(df),
+        decode_tx_records(df, match_paths=t3 or None),
         rules,
         json_col="tx_json",
         error_col="error",
         error_topic="error",
+        tier3_col="__tier3" if t3 else None,
     )
     valued = dsp.value_for_topic(
         routed, rules, payload_col="value", raw_col="value", json_col="tx_json"
