@@ -66,6 +66,11 @@ HEADLINE = [
     # similarity — the two heaviest new shapes of the widening batch
     "q_table_checksum",
     "graph_jaccard_neighbors",
+    # round-7 breadth: two-stage retrieval (PQ candidates + exact
+    # rerank), corpus-model text scoring, and the nearest as-of
+    "sim_topk_rerank",
+    "text_bigram_lm_score",
+    "q_asof_join_nearest",
 ]
 
 
