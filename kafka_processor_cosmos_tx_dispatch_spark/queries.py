@@ -7401,13 +7401,19 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Ordered BPE merge table over space-separated symbol streams (word
-# chars + </w> terminator). Applying a merge == one global left-to-right
-# single-pass replace of "a b" -> "ab" — Spark replace() and DuckDB
-# replace() share that exact semantics, so both engines agree on every
-# input; it also equals canonical BPE application except when the SAME
-# pair repeats immediately adjacent (a b a b), which no merge below can
-# produce on word text. Derived offline from the corpus vocabulary.
+# Ordered BPE merge table (word chars + </w> terminator). Symbols are
+# DELIMITER-WRAPPED in the replace stream ("|o|t|h|e|r|</w>|") so a
+# merge is one global replace of "|a|b|" -> "|ab|": the closing "|"
+# after each symbol makes cross-boundary prefix matches impossible
+# ("|th|e|" cannot match inside "|th|er</w>|" — an undelimited "th e"
+# WOULD, which tests/test_llm_ops.py pins as the bug this form fixes).
+# Spark replace() and DuckDB replace() share single-pass left-to-right
+# semantics, so both engines agree on every input; vs canonical BPE the
+# ONLY residual divergence is the same pair repeating immediately
+# adjacent (a b a b — the replace's consumed trailing delimiter hides
+# the second occurrence for that pass), pinned by the same test.
+# Precondition: "|" never appears in a token. Derived offline from the
+# corpus vocabulary.
 _BPE_MERGES = [
     ("e r", "er"),
     ("er </w>", "er</w>"),
@@ -7426,7 +7432,9 @@ _BPE_MERGES = [
 
 def _bpe_oracle_replace_chain(expr: str) -> str:
     for a, b in _BPE_MERGES:
-        expr = f"replace({expr}, '{a}', '{b}')"
+        pa = "|" + a.replace(" ", "|") + "|"
+        pb = f"|{b}|"
+        expr = f"replace({expr}, '{pa}', '{pb}')"
     return expr
 
 
@@ -7442,11 +7450,12 @@ def _bpe_oracle_replace_chain(expr: str) -> str:
     enc AS (
       SELECT w,
              {_bpe_oracle_replace_chain(
-                 "array_to_string(string_split(w, ''), ' ') || ' </w>'"
+                 "'|' || array_to_string(string_split(w, ''), '|')"
+                 " || '|</w>|'"
              )} AS e
       FROM vocab),
     vn AS (
-      SELECT w, CAST(len(string_split(e, ' ')) AS BIGINT) AS n_sub
+      SELECT w, CAST(len(string_split(e, '|')) - 2 AS BIGINT) AS n_sub
       FROM enc)
     SELECT doc_id,
            COUNT(*) AS n_words,
@@ -7470,8 +7479,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is. This is exactly how a production pipeline tokenizes a repeated
     vocabulary (and why tokenizer microbenchmarks on unique-string
     corpora mislead). Merge application = ordered single-pass global
-    replaces over the space-separated symbol stream; both engines share
-    replace() semantics (see _BPE_MERGES).
+    replaces over the DELIMITER-WRAPPED symbol stream ("|t|h|e|</w>|");
+    the wrapping makes cross-boundary prefix matches impossible and the
+    form equal to canonical BPE except on immediately-adjacent repeats
+    of one pair — both engines share replace() semantics and the
+    equivalence envelope is pinned in tests/test_llm_ops.py (see
+    _BPE_MERGES).
 
     Scale: explode is narrow; vocab distinct is a small shuffle; the
     join back is broadcast. No Python anywhere."""
@@ -7481,16 +7494,19 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     vocab = words.select("w").distinct()
     enc = F.concat(
+        F.lit("|"),
         F.array_join(
             F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
-            " ",
+            "|",
         ),
-        F.lit(" </w>"),
+        F.lit("|</w>|"),
     )
     for a, b in _BPE_MERGES:
-        enc = F.replace(enc, F.lit(a), F.lit(b))
+        pa = "|" + a.replace(" ", "|") + "|"
+        enc = F.replace(enc, F.lit(pa), F.lit(f"|{b}|"))
     vn = vocab.select(
-        "w", F.size(F.split(enc, " ")).cast("long").alias("n_sub")
+        "w",
+        (F.size(F.split(enc, r"\|")) - 2).cast("long").alias("n_sub"),
     )
     return (
         words.join(F.broadcast(vn), "w")

@@ -477,3 +477,63 @@ def test_triangle_count_matches_bruteforce_random(spark):
             ).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_bpe_chained_replace_equals_canonical_application():
+    """text_bpe_encode's equivalence envelope, pinned: applying the
+    ordered merge table via single-pass global replaces over the
+    DELIMITER-WRAPPED symbol stream equals canonical BPE application
+    (left-to-right, non-overlapping, one merge fully applied before
+    the next) for the corpus vocabulary AND adversarial shared-prefix
+    words like 'other' — where an UNdelimited space-separated stream
+    diverges ('th e' matches inside 'th er</w>'; the first shipped
+    formulation had exactly that bug, caught by this test). The one
+    residual divergence is an immediately-adjacent repeat of the same
+    pair (demonstrated below on 'erer') — fine for a deterministic
+    tokenizer, documented in the query docstring."""
+    import duckdb
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import _BPE_MERGES
+
+    def canonical(word):
+        syms = list(word) + ["</w>"]
+        for a, b in _BPE_MERGES:
+            pa = a.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + len(pa) <= len(syms) and syms[i : i + len(pa)] == pa:
+                    out.append(b)
+                    i += len(pa)
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def chained(word):
+        s = "|" + "|".join(list(word)) + "|</w>|"
+        for a, b in _BPE_MERGES:
+            s = s.replace("|" + a.replace(" ", "|") + "|", f"|{b}|")
+        return s.split("|")[1:-1]
+
+    con = duckdb.connect()
+    vocab = {
+        w
+        for (w,) in con.execute(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+        if w
+    }
+    con.close()
+    vocab |= {"there", "other", "scanner", "joiner"}
+    for w in sorted(vocab):
+        assert canonical(w) == chained(w), w
+    # the documented residual divergence: the same pair occurring at
+    # immediately adjacent positions ("erer" -> (e,r)(e,r),
+    # "ananas" -> (a,n)(a,n)) merges only the first occurrence per
+    # pass in the chained form
+    assert canonical("erer") == ["er", "er</w>"]
+    assert chained("erer") == ["er", "e", "r", "</w>"]
+    assert canonical("ananas") == ["an", "an", "a", "s", "</w>"]
+    assert chained("ananas") == ["an", "a", "n", "a", "s", "</w>"]
