@@ -7181,8 +7181,6 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         if len(ldf):
             lagg = (
                 ldf.assign(
