@@ -2888,6 +2888,72 @@ def dedup_drop_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_drop_best",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+)
+def dedup_drop_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup APPLY with the PRODUCTION survivor policy: per
+    duplicate cluster keep the BEST member — here longest (n_chars
+    DESC, doc_id tiebreak), the usual rule since the longest near-dup
+    retains the most content — instead of dedup_drop_near's arbitrary
+    min-id canonical. One extra broadcast-sized max_by aggregate over
+    the component assignment picks each cluster's survivor; everything
+    else (candidates → components → one anti-join) is identical, so the
+    policy upgrade costs one map-side-combinable agg, nothing
+    quadratic.
+
+    Scale: the agg runs over component MEMBERS (O(duplicates), not
+    O(corpus)); max_by(struct) needs no per-cluster sort."""
+    from .operators.dedup import connected_components_twolevel, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    members = comp.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    survivors = members.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "component", (-F.col("best.neg_id")).alias("survivor_id")
+    )
+    losers = (
+        comp.join(survivors, "component")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "dedup_hybrid_verify",
     f"""
     WITH {_minhash_sig_sql()},
