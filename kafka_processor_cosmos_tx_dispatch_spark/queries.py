@@ -4849,6 +4849,77 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text, {_D_TOKS} AS t, md5({_D_NORM}) AS fp
+      FROM documents),
+    dd AS (
+      SELECT doc_id, text, t FROM (
+        SELECT doc_id, text, t,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dr
+        FROM base) WHERE dr = 1),
+    q AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+        (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) >= 0.6
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(text) - (len(t) - 1) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(t,
+                       x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) > 0.0
+                THEN 1 ELSE 0 END) AS quality
+      FROM dd),
+    kept AS (SELECT doc_id, n FROM q WHERE quality >= 3),
+    c AS (SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM kept)
+    SELECT doc_id, n AS n_tokens,
+           CAST((cum - n) // 512 AS INTEGER) AS bin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY (cum - n) // 512
+                                   ORDER BY doc_id) AS INTEGER) AS bin_pos
+    FROM c
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition — the three core stages of a
+    training-data pipeline CHAINED as one lazy plan: exact dedup (keep
+    min-id per normalized-md5 fingerprint) → Gopher-style quality gate
+    (score >= 3 of 4 checks) → sequence packing of the survivors
+    (distributed prefix-sum binning, budget 512). Each stage is an
+    already-proven operator (drop_exact_duplicates / quality_score /
+    pack_sequences); this query pins that they COMPOSE — schemas line
+    up, no stage forces materialization, and Catalyst plans the whole
+    chain as one job with the dedup semi-join, the row-local quality
+    projection, and the pack windows sharing scans.
+
+    Scale: dedup is one fingerprint-partitioned agg+semi-join; quality
+    is row-local; packing is the range-bucketed scan — no stage
+    introduces anything super-linear, so the composed pipeline is
+    exactly as scalable as its weakest stage (the global prefix-sum's
+    tiny offset table)."""
+    from .functions import text as TX
+    from .operators.dedup import drop_exact_duplicates
+    from .operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = drop_exact_duplicates(docs)
+    toks = TX.tokens(F.col("text"))
+    scored = deduped.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.quality_score(F.col("text"), toks).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 3).select("doc_id", "n_tokens")
+    return pack_sequences(kept, "n_tokens", budget=512, range_size=64)
+
+
+@register(
     "sample_stratified",
     """
     SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
