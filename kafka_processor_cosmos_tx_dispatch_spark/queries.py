@@ -6533,6 +6533,81 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _kcore_round(r: int, k: int) -> str:
+    """One unrolled peel: degrees on e{r-1}, keep deg>=k, restrict."""
+    return f"""
+    d{r} AS (SELECT node, COUNT(*) AS d FROM (
+               SELECT s1 AS node FROM e{r - 1}
+               UNION ALL SELECT s2 FROM e{r - 1}) GROUP BY 1),
+    k{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r} AS (SELECT e.s1, e.s2 FROM e{r - 1} e
+             JOIN k{r} a ON e.s1 = a.node
+             JOIN k{r} b ON e.s2 = b.node)"""
+
+
+@register(
+    "graph_k_core",
+    f"""
+    WITH cs AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
+                       ORDER BY n DESC, s) AS rn
+        FROM cs) WHERE rn <= 4),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS w
+      FROM topk a JOIN topk b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2),
+    e0 AS (SELECT s1, s2 FROM pairs WHERE w >= 8),
+    {_kcore_round(1, 2)},
+    {_kcore_round(2, 2)},
+    {_kcore_round(3, 2)}
+    SELECT node, COUNT(*) AS degree FROM (
+      SELECT s1 AS node FROM e3
+      UNION ALL SELECT s2 FROM e3)
+    GROUP BY node
+    """,
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (3 synchronous peel rounds, k=2) over the
+    degree-capped supplier co-purchase graph — the fourth classic graph
+    primitive here (after PageRank / CC / triangles / label prop), and
+    the standard PRE-FILTER before expensive community or similarity
+    passes: nodes that can't sustain k connections after peeling can't
+    be in any k-dense structure, so dropping them first shrinks the
+    quadratic stages' input. Bounded-round formulation keeps the oracle
+    unrollable (operators/graph.py:k_core; each peel = one degree agg +
+    two restricting equi-joins on a monotonically shrinking edge set).
+    """
+    from .operators.graph import k_core
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+    topk = cs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 4
+    )
+    a = topk.select("c", F.col("s").alias("s1"))
+    b = topk.select("c", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 8)
+        .select("s1", "s2")
+    )
+    return k_core(edges, k=2, rounds=3)
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion: the 9 query shapes missing from the classic battery,
 # adapted to the reduced driver schema (no partsupp / commitdate — each

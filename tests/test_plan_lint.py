@@ -30,6 +30,7 @@ EAGER = {
     "q_source_schema_evolution",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
+    "graph_k_core",  # per-round edge materialization (k_core loop)
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
     "sample_cluster_balanced",  # same (built on kmeans_assign)
     "dedup_semantic",  # same (built on kmeans_assign)
