@@ -136,3 +136,21 @@ def test_connected_components_reliable_mode_matches(spark, tmp_path):
         for r in connected_components_twolevel(pairs, reliable=True).collect()
     }
     assert got2 == want
+
+
+def test_k_core_peels_hand_graph(spark):
+    """k=2, rounds=2 on a graph with a triangle + a pendant chain: the
+    chain peels away (its tail has degree 1, then its next node drops
+    to 1), the triangle survives with all degrees 2."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3, chain 3-4-5
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "s1 long, s2 long",
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(edges, k=2, rounds=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
