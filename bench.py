@@ -435,7 +435,15 @@ def _write_detail(detail: dict, sf_num: float | None) -> str:
     """Full per-query stats to BENCH_DETAIL_r{N}.json (N = the round
     being built = newest driver BENCH_r*.json + 1) for driver-scale runs,
     BENCH_DETAIL_local.json for ad-hoc small-sf runs so they never
-    clobber the round record the next _load_previous_round reads."""
+    clobber the round record the next _load_previous_round reads.
+
+    Labeling caveat (r7 review): a manual sf0.1 rerun mid-round writes
+    BENCH_DETAIL_r{N} before the round-N driver bench does; the driver's
+    own end-of-round run overwrites it with the final numbers, and the
+    read path only trusts a detail file whose round has a driver
+    BENCH_r{N}.json (_load_previous_round iterates driver captures), so
+    a stale early-round detail is never read unless the driver's bench
+    itself never ran that round."""
     here = os.path.dirname(os.path.abspath(__file__))
     if sf_num == 0.1:
         latest = _round_files()

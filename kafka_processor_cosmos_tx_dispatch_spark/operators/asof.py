@@ -117,7 +117,8 @@ def asof_join(
 
     if direction == "nearest":
         return _asof_nearest(
-            left, right, l_tagged, r_tagged, keys, ts_col, left_cols,
+            isinstance(right.schema[ts_col].dataType, T.TimestampType),
+            l_tagged, r_tagged, keys, ts_col, left_cols,
             carried, tolerance_us,
         )
 
@@ -157,8 +158,7 @@ def asof_join(
 
 
 def _asof_nearest(
-    left: DataFrame,
-    right: DataFrame,
+    ts_is_ts: bool,
     l_tagged: DataFrame,
     r_tagged: DataFrame,
     keys: list[str],
@@ -170,15 +170,21 @@ def _asof_nearest(
     """direction="nearest": min |right.ts - left.ts|, ties toward the
     BACKWARD (earlier) row — stated semantics, since pandas leaves the
     tie unspecified. Still ONE shuffle and ONE sort: both candidate
-    arms are window frames over the SAME (keys, ts ASC) ordering —
-    backward = last non-null over unbounded-preceding..current, forward
-    = first non-null over current..unbounded-following — so Spark
-    reuses a single Exchange+Sort for both (the second frame adds a
-    Window node, not a shuffle). Equal-ts right rows sort before the
-    left row and are only visible to the backward arm; that is exactly
-    right, because a 0-distance match can never lose the nearest
-    compare, and the backward tiebreak already resolves duplicates."""
-    ts_is_ts = isinstance(right.schema[ts_col].dataType, T.TimestampType)
+    arms are window frames over the SAME (keys, ts ASC) ordering, so
+    Spark reuses a single Exchange+Sort for both (the second frame adds
+    a Window node, not a shuffle). The arm picks are VALUE-BASED struct
+    aggregates rather than sort-position picks (first/last): one sort
+    direction cannot give the backward arm its largest-tiebreak winner
+    AND the forward arm its largest-tiebreak winner simultaneously —
+    position-based arms silently inverted the forward tiebreak (caught
+    in the r7 review) — so backward = max(struct(ts, tie, match)) over
+    preceding, forward = min(struct(ts, -tie, match)) over following:
+    lexicographic struct ordering yields greatest-ts/greatest-tie and
+    smallest-ts/greatest-tie respectively, matching the documented
+    'largest tiebreak wins' contract of both plain directions. Equal-ts
+    right rows sort before the left row and are only visible to the
+    backward arm; that is exactly right, because a 0-distance match can
+    never lose the nearest compare."""
 
     def us(c):
         return F.unix_micros(c) if ts_is_ts else c.cast("long")
@@ -194,13 +200,36 @@ def _asof_nearest(
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # right rows contribute a comparable struct; left rows contribute
+    # NULL (aggregates skip it), so the arms see only candidates
+    right_key_b = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            us(F.col(ts_col)).alias("t"),
+            F.col("__tie").alias("tie"),
+            F.col("__asof").alias("m"),
+        ),
+    )
+    right_key_f = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            us(F.col(ts_col)).alias("t"),
+            (-F.col("__tie")).alias("ntie"),
+            F.col("__asof").alias("m"),
+        ),
+    )
     filled = l_tagged.unionByName(r_tagged).select(
         *left_cols,
         F.col("__side"),
-        F.last("__asof", ignorenulls=True).over(w_b).alias("__b"),
-        F.first("__asof", ignorenulls=True).over(w_f).alias("__f"),
+        F.max(right_key_b).over(w_b).alias("__bk"),
+        F.min(right_key_f).over(w_f).alias("__fk"),
     )
-    matched = filled.filter(F.col("__side") == 1)
+    matched = filled.select(
+        *left_cols,
+        F.col("__side"),
+        F.col("__bk.m").alias("__b"),
+        F.col("__fk.m").alias("__f"),
+    ).filter(F.col("__side") == 1)
     lts = us(F.col(ts_col))
     dt_b = lts - us(F.col("__b.__asof_ts"))
     dt_f = us(F.col("__f.__asof_ts")) - lts

@@ -207,9 +207,9 @@ def with_matches(
         ).otherwise(matched)
     out = df.withColumn(out_col, matched.cast(T.ArrayType(T.IntegerType())))
     if tier3_col is not None:
-        out = out.drop(tier3_col)  # consumed plumbing (no-op if absent)
-    elif py_idx:
-        out = out.drop(f"__tier3_{out_col}")
+        # consumed plumbing — caller-provided or the internally
+        # materialized fused array (tier3_col was reassigned above)
+        out = out.drop(tier3_col)
     return out
 
 

@@ -7951,15 +7951,21 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode alignment shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     arr = docs.select("doc_id", F.split("text", " ").alias("a"))
+    # CASE guard: sequence(1, 0) is the DESCENDING array [1, 0], so a
+    # single-token document would evaluate element_at(a, 0) and die
+    # under ANSI — the oracle's generate_series(1, 0) is simply empty.
+    # Empty array -> explode drops the doc, matching the oracle.
     bg = arr.select(
         "doc_id",
         F.explode(
             F.expr(
-                "filter(transform(sequence(1, size(a) - 1),"
+                "CASE WHEN size(a) >= 2 THEN"
+                " filter(transform(sequence(1, size(a) - 1),"
                 " i -> struct(element_at(a, i) AS w1,"
                 " concat(element_at(a, i), ' ', element_at(a, i + 1)) AS b,"
                 " element_at(a, i + 1) AS w2)),"
                 " p -> p.w1 <> '' AND p.w2 <> '')"
+                " ELSE array() END"
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.b")

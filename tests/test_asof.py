@@ -248,12 +248,12 @@ def test_asof_nearest_matches_naive_reference(spark):
         back = [(rm, rid) for rk, rm, rid in right if rk == k and rm <= m]
         fwd = [(rm, rid) for rk, rm, rid in right if rk == k and rm > m]
         b = max(back) if back else None  # latest ts, then max rid
-        f = min(fwd) if fwd else None  # earliest ts; min-rid tiebreak:
-        if f is not None:
-            # first-in-window semantics: among equal future ts the arm
-            # sees the row sorted first (ts asc, tie asc) -> min rid
+        f = None
+        if fwd:
+            # largest-tiebreak contract, same as direction='forward':
+            # earliest future ts, then MAX rid among its duplicates
             fm = min(rm for rm, _ in fwd)
-            f = (fm, min(rid for rm, rid in fwd if rm == fm))
+            f = (fm, max(rid for rm, rid in fwd if rm == fm))
         if b is None and f is None:
             return None
         if b is None:
@@ -309,3 +309,27 @@ def test_asof_nearest_tolerance(spark):
     # left@10: back gap 2 <= fwd gap 3 -> rid 7; left@40: nearest is 13
     # (27 min away) but tolerance is 5 min -> null
     assert got == {100: 7, 101: None}
+
+
+def test_asof_nearest_forward_arm_tiebreak_matches_forward_direction(spark):
+    """r7 review finding, pinned: when the nearest winner is on the
+    FORWARD side and multiple right rows share that timestamp, the
+    survivor must be the largest-tiebreak row — identical to
+    direction='forward' on the same data (the position-based forward
+    arm used to return the smallest)."""
+    left = spark.createDataFrame(
+        [(1, _t(10), 100)], "k int, ts timestamp, left_id int"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(12), 1, "a"), (1, _t(12), 2, "b")],
+        "k int, ts timestamp, rid int, val string",
+    )
+    kwargs = dict(
+        keys=["k"], ts_col="ts", right_value_cols=["rid", "val"],
+        tiebreak_col="rid",
+    )
+    fwd = asof_join(left, right, direction="forward", **kwargs).collect()[0]
+    near = asof_join(left, right, direction="nearest", **kwargs).collect()[0]
+    assert fwd["asof_rid"] == 2
+    assert near["asof_rid"] == 2
+    assert near["asof_val"] == "b"

@@ -537,3 +537,36 @@ def test_bpe_chained_replace_equals_canonical_application():
     assert chained("erer") == ["er", "e", "r", "</w>"]
     assert canonical("ananas") == ["an", "an", "a", "s", "</w>"]
     assert chained("ananas") == ["an", "a", "n", "a", "s", "</w>"]
+
+
+def test_bigram_lm_survives_single_token_docs(spark):
+    """r7 review finding, pinned: sequence(1, size-1) on a one-token doc
+    is the DESCENDING [1, 0] array, so the unguarded bigram builder
+    evaluated element_at(a, 0) and died under ANSI while the oracle
+    returned no row. The CASE guard must make such docs (and empty
+    text) silently absent, same as the oracle."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+    import pandas as pd
+
+    fn = q._QUERIES["text_bigram_lm_score"]
+    # run the registered query body against a substituted documents
+    # table: monkeypatch load_table for this call via a temp view is
+    # invasive — instead rebuild the same plan on a tiny frame by
+    # reusing the registered function with a scratch sf_dir layout
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bigram_edge_")
+    docs = spark.createDataFrame(
+        [
+            (1, "singleword", "en", "s", 10),
+            (2, "two tokens here make bigrams fine", "en", "s", 33),
+            (3, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = fn(spark, d)
+    got = {r["doc_id"]: r["n_bigrams"] for r in out.collect()}
+    assert 1 not in got and 3 not in got
+    assert got[2] == 5
