@@ -71,6 +71,15 @@ HEADLINE = [
     "sim_topk_rerank",
     "text_bigram_lm_score",
     "q_asof_join_nearest",
+    # round-8 breadth (VERDICT r7 #6): every remaining r7 addition plus
+    # the composed-pipeline and quantization shapes, so all new heavy
+    # operators carry a cross-round trend from their first full round
+    "graph_k_core",
+    "text_bpe_encode",
+    "streaming_scd2_history",
+    "pipeline_curate",
+    "sim_scalar_quantize_int8",
+    "dedup_drop_best",
 ]
 
 
@@ -201,7 +210,7 @@ def streaming_throughput(spark, n_batches: int = 12, rows_per_batch: int = 2_000
 
 
 def streaming_decode_throughput(
-    spark, n: int = 7_200_000, rows_per_batch: int = 600_000
+    spark, n: int = 10_800_000, rows_per_batch: int = 1_800_000
 ) -> dict:
     """Steady-state throughput of the FULL reference pipeline — txgen
     bounded stream (protobuf TxRaw wire bytes) → decode_tx_records
@@ -210,13 +219,14 @@ def streaming_decode_throughput(
     (no spark-protobuf in this container). n/rows_per_batch give
     ceil(n/rows_per_batch) micro-batches; rates exclude batch 0.
 
-    Batch sizing: 600k rows/micro-batch. The trigger fixed cost
+    Batch sizing: 1.8M rows/micro-batch (r8). The trigger fixed cost
     (offset log, per-batch re-planning, 32-task scheduling, Python
     worker round-trips) measures ~0.9 s/batch on this box regardless of
     batch size — at 50k rows/batch it dominated (50.9k rows/s), at 200k
-    it was still ~45% of each batch (163k rows/s), at 600k it amortizes
-    to ~25% (335k rows/s) with identical per-row code (r7, after fusing
-    tier-3 matching into the decode UDF). A real ingest pipeline at
+    it was still ~45% of each batch (163k rows/s), at 600k ~25% (335k,
+    r7), and at 1.8M it amortizes to ~23% of a ~3.9 s batch: 467.8k
+    rows/s steady, 76% of the 612k batch-mode fused-decode ceiling
+    (PROBES.md) with identical per-row code. A real ingest pipeline at
     this volume runs fat micro-batches (maxOffsetsPerTrigger sized to
     seconds of compute, not milliseconds); both knobs stay explicit
     here so either regime can be measured."""

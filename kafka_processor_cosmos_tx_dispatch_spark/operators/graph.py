@@ -187,7 +187,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int = 2, rounds: int = 3, converge: bool = False
+) -> DataFrame:
     """Fixed-round k-core peeling over an undirected graph given as
     canonical edges (s1 < s2, no duplicates): each round drops every
     node whose CURRENT degree is < k and restricts the edge set to the
@@ -197,6 +199,17 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     input so a relational oracle can unroll it; full-convergence k-core
     just loops until no node drops (each round strictly shrinks the
     graph, so it terminates).
+
+    ``converge=True`` (r8) runs exactly that fixpoint: peel until an
+    entire round removes no edge, ignoring ``rounds``. The loop guard
+    is a ``count()`` on the just-materialized edge set — free relative
+    to the materialization itself, and the edge count is a valid
+    fixpoint witness (a dropped node always loses ≥1 incident edge, so
+    |E| unchanged ⟺ no node dropped ⟺ degrees unchanged). Termination:
+    |E| strictly decreases every non-final round, so ≤|E₀| rounds; real
+    graphs converge in O(degeneracy) rounds. The result is the true
+    k-core, what a 100 TB user wants — the fixed-round variant exists
+    for the relational oracle, which must unroll the loop.
 
     Scale: per round one map-side-combinable degree agg + two semi-
     restricting equi-joins on the shrinking edge set — monotone work,
@@ -211,7 +224,15 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
 
     reliable = resolve_reliable(edges.sparkSession, None)
     e = materialize(edges.select("s1", "s2"), reliable, strip=False)
-    for _ in range(rounds):
+    n_edges = e.count() if converge else None
+    r = 0
+    while True:
+        if converge:
+            if n_edges == 0:
+                break
+        elif r >= rounds:
+            break
+        r += 1
         deg = (
             e.select(F.col("s1").alias("node"))
             .unionAll(e.select(F.col("s2").alias("node")))
@@ -225,6 +246,10 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
             .select("s1", "s2"),
             reliable,
         )
+        if converge:
+            prev, n_edges = n_edges, e.count()
+            if n_edges == prev:
+                break
     return (
         e.select(F.col("s1").alias("node"))
         .unionAll(e.select(F.col("s2").alias("node")))

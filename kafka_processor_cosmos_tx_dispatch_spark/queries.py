@@ -4340,10 +4340,12 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_toks,
-           list_sort(list_distinct(toks))[1:5] AS uniq5,
+           COALESCE(array_to_string(list_sort(list_distinct(toks))[1:5],
+                                    '|'), '') AS uniq5,
            list_contains(toks, 'the') AS has_the,
-           list_sort(list_intersect(list_distinct(toks),
-                                    ['the', 'of', 'and'])) AS sw_hits,
+           COALESCE(array_to_string(list_sort(list_intersect(
+                    list_distinct(toks), ['the', 'of', 'and'])), '|'), '')
+             AS sw_hits,
            array_to_string(toks[1:3], '|') AS first3
     FROM t
     """,
@@ -4353,7 +4355,10 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect / join-to-string) — all JVM built-ins in one narrow
     projection. Engine-divergence traps handled: array_distinct keeps
     first-occurrence order in Spark but is unordered in DuckDB, so every
-    distinct/intersect result is sorted before comparison."""
+    distinct/intersect result is sorted before comparison. Array-valued
+    results are serialized with array_join (r8): the driver's pandas
+    canonicalizer cannot sort/hash list cells, so every top-level output
+    column must be scalar (CORRECTNESS_r07 q_scalar_array err)."""
     from .functions import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4362,12 +4367,16 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
-        F.slice(uniq, 1, 5).alias("uniq5"),
+        F.array_join(F.slice(uniq, 1, 5), "|").alias("uniq5"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.array_sort(
-            F.array_intersect(
-                F.array_distinct(toks), F.array(F.lit("the"), F.lit("of"), F.lit("and"))
-            )
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(F.lit("the"), F.lit("of"), F.lit("and")),
+                )
+            ),
+            "|",
         ).alias("sw_hits"),
         F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
     )
@@ -4378,7 +4387,8 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           list_transform(toks, x -> length(x)) AS lens,
+           COALESCE(array_to_string(list_transform(toks,
+                    x -> CAST(length(x) AS VARCHAR)), '|'), '') AS lens,
            CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER)
              AS n_long,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
@@ -4406,7 +4416,9 @@ def q_scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero = F.lit(0).cast("long")
         add = lambda a, x: a + x  # noqa: E731
         return F.struct(
-            lens.alias("lens"),
+            F.array_join(
+                F.transform(lens, lambda x: x.cast("string")), "|"
+            ).alias("lens"),
             F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
             F.aggregate(lens, zero, add).alias("tot_chars"),
             F.aggregate(

@@ -50,8 +50,26 @@ SAFE = {
 
 
 def _base_type(t: str) -> str:
-    """VARCHAR[] -> VARCHAR, BIGINT[] -> BIGINT; scalars unchanged."""
+    """VARCHAR[] -> VARCHAR, BIGINT[] -> BIGINT; scalars unchanged.
+
+    NOTE (r8): used only to *detect* nesting now — a ``[]`` suffix (or
+    any STRUCT/MAP/LIST/UNION type) is REJECTED by the gate, not
+    normalized away. r7's two driver-red rows (`q_scalar_array`,
+    `q_scalar_hof`) were top-level array outputs that this very gate
+    waved through by stripping the suffix; the driver's pandas
+    canonicalizer (`sort_values` over all columns) throws
+    ``TypeError: unhashable type: 'list'`` on them, so list-shaped
+    output is driver-incompatible regardless of element type."""
     return re.sub(r"(\[\])+$", "", t.strip())
+
+
+def _is_nonscalar(t: str) -> bool:
+    """True for any DuckDB output type the driver cannot hash: array
+    (``[]`` suffix or LIST(...)), STRUCT, MAP, UNION."""
+    t = t.strip()
+    if _base_type(t) != t:
+        return True
+    return bool(re.match(r"(STRUCT|MAP|LIST|UNION)\b", t, re.IGNORECASE))
 
 
 @pytest.fixture(scope="module")
@@ -77,12 +95,15 @@ def test_every_oracle_registered_output_type_is_hash_safe(
     offenders = []
     for name, desc in oracle_descriptions.items():
         for col, typ, *_ in desc:
-            if _base_type(typ) not in SAFE:
+            if _is_nonscalar(typ):
+                offenders.append(f"{name}.{col}: {typ} (non-scalar)")
+            elif typ.strip() not in SAFE:
                 offenders.append(f"{name}.{col}: {typ}")
     assert not offenders, (
         "oracles declaring DuckDB-widened / driver-hash-unsafe output "
-        "types (wrap the outer aggregate in CAST(... AS BIGINT) or emit "
-        f"a string): {offenders}"
+        "types (wrap the outer aggregate in CAST(... AS BIGINT); "
+        "serialize arrays with array_to_string — the driver cannot "
+        f"hash list cells): {offenders}"
     )
 
 
@@ -127,24 +148,43 @@ def test_spark_schema_matches_oracle_types(oracle_descriptions):
             mismatches.append(f"{name}: query build failed: {e}")
             continue
         spark_types = {f.name: f.dataType.simpleString() for f in df.schema}
+        for sname, st in spark_types.items():
+            # Mirror of the DuckDB-side non-scalar rejection: a Spark
+            # top-level array/map/struct output crashes the driver's
+            # canonicalizer even when the oracle side looks scalar.
+            if st.startswith(("array<", "map<", "struct<")):
+                mismatches.append(
+                    f"{name}.{sname}: spark top-level {st} is "
+                    "driver-unhashable — serialize (array_join/to_json)"
+                )
         for col, typ, *_ in desc:
-            base = _base_type(typ)
-            depth = (len(typ) - len(base)) // 2  # [] nesting
             st = spark_types.get(col)
             if st is None:
                 mismatches.append(f"{name}.{col}: missing in Spark schema")
                 continue
-            for _ in range(depth):
-                if not st.startswith("array<") or not st.endswith(">"):
-                    break
-                st = st[6:-1]
-            ok = st in _DUCK_TO_SPARK.get(base, set())
+            ok = st in _DUCK_TO_SPARK.get(typ.strip(), set())
             if not ok:
                 mismatches.append(
                     f"{name}.{col}: oracle {typ} vs spark "
                     f"{spark_types[col]}"
                 )
     assert not mismatches, mismatches
+
+
+def test_gate_red_bars_array_output_fixture():
+    """The r7 hole, pinned: a deliberately array/struct-outputting
+    oracle MUST be flagged by the non-scalar rejection (r7's gate
+    stripped the [] suffix and passed exactly the class that went
+    driver-red)."""
+    con = duckdb.connect()
+    desc = con.execute(
+        "DESCRIBE SELECT [1, 2] AS arr, {'x': 1} AS st, "
+        "MAP([1],[2]) AS mp, 'ok' AS s, CAST(1 AS BIGINT) AS b"
+    ).fetchall()
+    con.close()
+    flags = {col: _is_nonscalar(typ) for col, typ, *_ in desc}
+    assert flags["arr"] and flags["st"] and flags["mp"]
+    assert not flags["s"] and not flags["b"]
 
 
 def test_oracle_and_query_surfaces_align():

@@ -29,6 +29,15 @@ TABLES = (
 ).split()
 
 
+class DriverIncompatibleShape(Exception):
+    """An output cell holds a list/dict — the ROUND DRIVER's pandas
+    canonicalizer (`sort_values` over all columns) throws
+    ``unhashable type`` on these before any value compare, so the local
+    harness must REFUSE them rather than normalize (r7 verdict #3: the
+    old list→tuple normalization here is exactly why the q_scalar_array
+    / q_scalar_hof driver reds were invisible locally)."""
+
+
 def normalize(v):
     import datetime
     import decimal
@@ -45,8 +54,11 @@ def normalize(v):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, list):
-        return tuple(normalize(x) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        raise DriverIncompatibleShape(
+            "driver-incompatible output shape: list/map/struct cell "
+            f"({type(v).__name__}) — serialize with array_join/to_json"
+        )
     return v
 
 
@@ -94,7 +106,10 @@ def compare_query(spark, con, fn, oracle_sql, sf_dir) -> list[str]:
     if sorted(scols) != sorted(dcols):
         status.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
     if not status:
-        sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
+        try:
+            sk, dk = rows_key(scols, srows), rows_key(dcols, drows)
+        except DriverIncompatibleShape as e:
+            return [str(e)]
         if sk != dk:
             n_diff = sum(1 for a, b in zip(sk, dk) if a != b)
             first = next((f"spark={a} duck={b}" for a, b in zip(sk, dk) if a != b), "")
