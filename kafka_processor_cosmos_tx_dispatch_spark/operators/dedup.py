@@ -332,6 +332,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |∩| / min(|A|, |B|) — the
+    asymmetric-duplication detector. Jaccard misses subset duplication
+    (a document embedded verbatim inside a much longer one scores
+    |A|/|B| ≈ small), while containment of the smaller side scores it
+    ≈ 1 — exactly the quote/boilerplate/snapshot-inclusion case a
+    training-corpus dedup pass must catch (Broder's containment measure).
+
+    Same inverted-index candidate join as ngram_jaccard_pairs (docs
+    must share ≥1 shingle hash; never all-pairs) and the same
+    integer-counts + one-IEEE-division determinism contract."""
+    pairs = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=0.0,
+    ).drop("jaccard")
+    cont = F.col("n_inter").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

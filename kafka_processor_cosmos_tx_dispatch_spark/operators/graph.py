@@ -187,6 +187,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded-hop BFS shortest paths from a source set over an
+    UNDIRECTED graph given as directed `edges(src, dst)` (both
+    orientations are added here): returns (node, dist) with dist =
+    min hops from any source, for every node within `rounds` hops.
+
+    Frontier-style level-synchronous BFS: round r joins the CURRENT
+    frontier (nodes first reached at r−1) against the edge list,
+    dedups the neighbor set, and anti-joins the visited relation — so
+    per-round work is O(edges incident to the frontier), never
+    O(|V|·rounds), and first-discovery order IS min-distance (the
+    level-synchronous invariant). Every shuffle keys on node. Both the
+    visited set and frontier are materialized per round through the
+    iterative shell — the frontier is referenced twice (neighbor join +
+    next round's anti-join), so an unmaterialized loop re-embeds the
+    upstream plan exponentially (same 5^R blowup documented on k_core).
+
+    The relational oracle is a depth-bounded recursive CTE with a
+    MIN(dist) rollup — the same fixpoint by different means."""
+    reliable = resolve_reliable(edges.sparkSession, None)
+    e = edges.select("src", "dst")
+    und = materialize(
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+        strip=False,
+    )
+    dist = materialize(
+        sources.select("node").distinct().withColumn(
+            "dist", F.lit(0).cast("int")
+        ),
+        reliable,
+        strip=False,
+    )
+    frontier = dist.select("node")
+    for r in range(1, rounds + 1):
+        nbrs = (
+            und.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(dist.select("node"), "node", "left_anti").withColumn(
+            "dist", F.lit(r).cast("int")
+        )
+        dist = materialize(dist.unionAll(new), reliable)
+        frontier = dist.filter(F.col("dist") == r).select("node")
+    return dist
+
+
 def k_core(
     edges: DataFrame, k: int = 2, rounds: int = 3, converge: bool = False
 ) -> DataFrame:

@@ -62,6 +62,108 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: EVERY corpus vector within a cosine
+    threshold of each query — the FAISS ``range_search`` surface, the
+    retrieval primitive when the answer set size is data-dependent
+    (dedup candidate pull, recall-complete retrieval) rather than a
+    fixed k.
+
+    Same broadcast-query / streaming-corpus shape as brute_force_topk,
+    minus the window: no per-query shuffle at all — the filter runs
+    inside the one narrow scan stage, so the plan is a pure map over
+    the corpus (strictly cheaper than top-k, which needs the rank
+    window). The threshold compare is on the fixed-point-derived cosine
+    double, bit-identical across engines, so >= is deterministic.
+
+    Scale: corpus streams; output is bounded by the radius, not by
+    |corpus|. A selective threshold at 100 TB emits ~nothing per
+    partition; a loose one is the user's explicit choice of output
+    size. The LSH/IVF bucketed variants compose the same way they do
+    for top-k when the query set itself is huge."""
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+    ).withColumnRenamed("__norm", "q_norm")
+    c = _with_norm(
+        widen(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    ).withColumnRenamed("__norm", "c_norm")
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    dot = V.dot_fixed(F.col("q_vec"), F.col("c_vec"))
+    sim = V.cosine_fixed(dot, F.col("q_norm"), F.col("c_norm"))
+    return joined.select(
+        "query_id", "neighbor_id", sim.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def maxsim_multivector(
+    query_tokens: DataFrame,
+    corpus: DataFrame,
+    doc_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim scoring against
+    multi-vector documents: score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d).
+    Documents are vector GROUPS (all corpus rows sharing ``doc_col``);
+    the query is a small set of token vectors.
+
+    Plan: corpus ⋈ broadcast(query tokens) → one narrow scored stream,
+    then two keyed aggs — max per (doc, token), sum per doc. Never
+    materializes a doc×doc or token×token product; the only shuffles
+    are on (doc, token) then doc. Determinism: the per-token max is
+    over bit-identical cosine doubles; the cross-token SUM goes through
+    fixed-point floor (BIGINT) so accumulation order can't flip a ULP
+    — same contract as every hashed double in this repo.
+
+    Scale: |Q| is tiny (broadcast); the scored stream is |corpus|·|Q|
+    rows in one map stage — linear, and the (doc, token) agg is
+    map-side combinable. This is the retrieval scorer for multi-vector
+    embeddings (per-token document representations) at corpus scale."""
+    s = float(V.FIXED_SCALE)
+    q = _with_norm(
+        query_tokens.select(
+            F.col(id_col).alias("token_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+    ).withColumnRenamed("__norm", "q_norm")
+    c = _with_norm(
+        widen(corpus).select(
+            F.col(doc_col).alias("doc"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    ).withColumnRenamed("__norm", "c_norm")
+    dot = V.dot_fixed(F.col("q_vec"), F.col("c_vec"))
+    sim = V.cosine_fixed(dot, F.col("q_norm"), F.col("c_norm"))
+    scored = c.join(F.broadcast(q)).select(
+        "doc", "token_id", sim.alias("cos_sim")
+    )
+    per_token = scored.groupBy("doc", "token_id").agg(
+        F.max("cos_sim").alias("best")
+    )
+    return (
+        per_token.groupBy("doc")
+        .agg(
+            (
+                F.sum(F.floor(F.col("best") * F.lit(s)).cast("long")) / F.lit(s)
+            ).alias("maxsim"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select("doc", "maxsim", "n_tokens")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

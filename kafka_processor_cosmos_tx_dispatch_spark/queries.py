@@ -7999,6 +7999,521 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-8 widening: radius retrieval, late-interaction scoring, regression
+# / diversity stats, link-prediction + BFS graph ops, BM25 ranking,
+# containment dedup, cohort retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_range_search",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 10
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id)
+    WHERE cos_sim >= 0.25
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius retrieval (FAISS range_search): every neighbor within a
+    cosine threshold, answer set size data-dependent. Unlike top-k
+    there is NO per-query window shuffle — the threshold filter runs
+    inside the one narrow corpus scan stage (operators/similarity.py:
+    range_search), so the plan is strictly cheaper than brute-force
+    top-k. Fixed-point cosine ⇒ the >= compare is bit-deterministic."""
+    from .operators.similarity import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return range_search(emb.filter(F.col("vec_id") < 10), emb, threshold=0.25)
+
+
+@register(
+    "sim_maxsim_multivector",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS token_id, c.vec_id AS cid,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 4
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT e.label AS doc, dots.token_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN embeddings e ON e.vec_id = dots.cid
+      JOIN norms nq ON nq.vec_id = dots.token_id
+      JOIN norms nc ON nc.vec_id = dots.cid),
+    per_token AS (
+      SELECT doc, token_id, MAX(cos_sim) AS best
+      FROM scored GROUP BY 1, 2)
+    SELECT doc,
+           SUM(CAST(floor(best * {_FIXED}) AS BIGINT)) / {_FIXED} AS maxsim,
+           COUNT(*) AS n_tokens
+    FROM per_token GROUP BY doc
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT) MaxSim: multi-vector documents (all
+    embeddings sharing a label) scored against a small query-token set
+    as Σ_token max_docvec cos. Plan: corpus × broadcast(4 tokens) in one
+    map stage, then two map-side-combinable keyed aggs ((doc, token)
+    max → doc fixed-point sum) — never a doc×doc product
+    (operators/similarity.py:maxsim_multivector). The cross-token sum
+    goes through fixed-point floor so accumulation order is moot."""
+    from .operators.similarity import maxsim_multivector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return maxsim_multivector(emb.filter(F.col("vec_id") < 4), emb)
+
+
+@register(
+    "q_stats_linreg",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(user_id) AS sx,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(user_id AS DECIMAL(18,0))
+                 * CAST(value AS DECIMAL(12,2))) AS sxy,
+             SUM(user_id * user_id) AS sxx,
+             SUM(CAST(value AS DECIMAL(12,2))
+                 * CAST(value AS DECIMAL(12,2))) AS syy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+    FROM s
+    """,
+)
+def q_stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (slope / intercept / r²) from
+    the five classical sufficient statistics — the REGR_* family
+    re-expressed shuffle-minimal: ONE map-side-combinable agg computes
+    the exact sums (BIGINT for x, decimal for y and cross terms — no
+    float accumulation), then the closed-form arithmetic runs in double
+    on exact operands with identical expression trees in both engines,
+    so every output bit matches the oracle. Spark's built-in
+    regr_slope/corr accumulate doubles (order-dependent); this shape is
+    how a 100 TB fit stays deterministic AND one-pass."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sx"),
+        F.sum(F.col("value").cast(DEC_PRICE)).alias("sy"),
+        F.sum(
+            F.col("user_id").cast("decimal(18,0)")
+            * F.col("value").cast(DEC_PRICE)
+        ).alias("sxy"),
+        F.sum(F.col("user_id") * F.col("user_id")).alias("sxx"),
+        F.sum(
+            F.col("value").cast(DEC_PRICE) * F.col("value").cast(DEC_PRICE)
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_n * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+@register(
+    "q_stats_gini_diversity",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS cnt
+      FROM documents GROUP BY source, lang),
+    s AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS ssq,
+             COUNT(*) AS n_langs
+      FROM c GROUP BY source)
+    SELECT source, n, CAST(n_langs AS INTEGER) AS n_langs,
+           1.0 - CAST(ssq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_diversity
+    FROM s
+    """,
+)
+def q_stats_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity as the Gini–Simpson index
+    1 − Σpᵢ² — the rational (log-free) diversity measure, chosen over
+    Shannon entropy deliberately: entropy needs libm log whose last-ULP
+    differs across engines, while Σcᵢ²/N² is exact-integer work plus
+    one IEEE division. Corpus-composition dashboards at 100 TB are two
+    map-side-combinable aggs — no distinct, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_langs",
+        (
+            F.lit(1.0)
+            - F.col("ssq").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("gini_diversity"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER)
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort, week_offset
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    distinct per (cohort, week-offset) — the product-analytics staple.
+    Plan: one user-keyed agg for cohorts, joined back user-keyed (no
+    broadcast needed at scale: both sides partition by user_id, AQE
+    broadcasts when the cohort side is small), distinct on (user,
+    cohort, offset) then count. Every shuffle is keyed on user or
+    (cohort, offset); nothing is all-pairs. date_trunc week (Monday
+    epoch) and integer day-diff // 7 are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "graph_resource_allocation",
+    """
+    WITH cs AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c
+                       ORDER BY n DESC, s) AS rn
+        FROM cs) WHERE rn <= 4),
+    degc AS (SELECT c, COUNT(*) AS d FROM topk GROUP BY 1)
+    SELECT s1, s2, CAST(common AS BIGINT) AS common,
+           ra_fp / 1048576.0 AS ra
+    FROM (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common,
+             SUM(1048576 // degc.d) AS ra_fp
+      FROM topk a
+      JOIN topk b ON a.c = b.c AND a.s < b.s
+      JOIN degc ON degc.c = a.c
+      GROUP BY 1, 2)
+    WHERE common >= 3
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction over the capped bipartite
+    purchase graph: RA(s1,s2) = Σ_{c ∈ common} 1/deg(c) — common
+    neighbors weighted DOWN by how promiscuous they are, the strongest
+    of the simple link predictors (Zhou et al. 2009). Chosen over
+    Adamic–Adar deliberately: AA's 1/log(deg) needs libm log (last-ULP
+    engine drift), while 1/deg is exact in fixed point
+    (SUM(2^20 // d) as BIGINT, one final double division). Same top-4
+    per-customer degree cap and customer-keyed pair join as
+    graph_jaccard_neighbors — C(4,2) pair bound per hot key, never
+    all-pairs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+    topk = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("c", "s")
+    )
+    degc = topk.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = topk.alias("a")
+    b = topk.alias("b")
+    g = degc.alias("g")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .join(g, F.col("a.c") == F.col("g.c"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.expr("1048576 DIV d")).alias("ra_fp"),
+        )
+        .filter(F.col("common") >= 3)
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        "common",
+        (F.col("ra_fp") / F.lit(1048576.0)).alias("ra"),
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(node, d) AS (
+      SELECT DISTINCT src, 0 FROM und WHERE src < 100
+      UNION
+      SELECT u.dst, w.d + 1
+      FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 3)
+    SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop BFS (3 hops from customers with key
+    < 100) over the undirected purchase graph — the reachability /
+    blast-radius primitive (operators/graph.py:bfs_hops). Frontier
+    BFS: per round one frontier⋈edges equi-join + distinct + anti-join
+    against visited, all keyed on node; first-discovery level = min
+    distance, so no per-node min agg is ever shuffled. The oracle is a
+    depth-bounded recursive CTE with a MIN rollup — same fixpoint,
+    different engine idiom."""
+    from .operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") < 100)
+        .distinct()
+    )
+    return bfs_hops(edges, sources, rounds=3)
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+             AS containment
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |∩|/min(|A|,|B|) over the same inverted-index
+    candidate join as dedup_ngram_jaccard — catches SUBSET duplication
+    (a short doc embedded in a long one) that symmetric Jaccard
+    structurally misses (operators/dedup.py:ngram_containment_pairs)."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.9)
+
+
+_BM25_TERMS = ("data", "vector", "query")
+
+
+def _bm25_term_sql(term: str) -> str:
+    """One fixed-point BM25 term contribution (k1=1.2, b=0.75, odds
+    idf) — mirrors the Spark expression tree token for token."""
+    tf = f"tf_{term}"
+    df = f"df_{term}"
+    return f"""
+      CASE WHEN {tf} = 0 THEN 0 ELSE CAST(floor(
+        ((CAST(2 * (nd - {df}) + 1 AS DOUBLE) / CAST(2 * {df} + 1 AS DOUBLE))
+         * (CAST({tf} AS DOUBLE) * 2.2)
+         / (CAST({tf} AS DOUBLE)
+            + 1.2 * (0.25 + 0.75
+                     * ((CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE))
+                        / CAST(tot AS DOUBLE)))))
+        * 1048576.0) AS BIGINT) END"""
+
+
+@register(
+    "text_bm25_rank",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    per_doc AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT)"
+                 f" AS tf_{w}" for w in _BM25_TERMS)}
+      FROM toks),
+    corpus AS (
+      SELECT COUNT(*) AS nd, SUM(dl) AS tot,
+             {", ".join(
+                 f"SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                 for w in _BM25_TERMS)}
+      FROM per_doc)
+    SELECT doc_id,
+           ({" + ".join(_bm25_term_sql(w) for w in _BM25_TERMS)})
+             / 1048576.0 AS bm25
+    FROM per_doc CROSS JOIN corpus
+    WHERE {" + ".join(f"tf_{w}" for w in _BM25_TERMS)} > 0
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document for a fixed 3-term query,
+    entirely JVM-side: per-doc term frequencies are IN-ROW array
+    filters (no explode, no shuffle), corpus statistics (N, Σdl, df_t)
+    are ONE 1-row aggregate broadcast back, and each term's score is a
+    fixed-point floor so the cross-term sum is order-free. The idf is
+    the log-free odds form (N−df+0.5)/(df+0.5) — monotone in the
+    classic log idf (same ranking) but exactly reproducible across
+    engines, the same libm-avoidance contract as the rest of the repo
+    (Robertson–Spärck Jones weight without the log).
+
+    Scale: corpus stats are O(1) state; the scoring pass is one narrow
+    map over the corpus — BM25 at 100 TB is scan-bound, exactly as it
+    should be."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions import text as TX
+
+    toks = TX.tokens(F.col("text"))
+
+    def _tf(word: str) -> F.Column:
+        # NB: a plain `lambda x, w=w:` would have arity 2, which PySpark's
+        # HOF layer interprets as (element, index) — the index would
+        # silently shadow the captured word. A factory keeps arity 1.
+        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(w).cast("long").alias(f"tf_{w}") for w in _BM25_TERMS],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+
+    def term_fp(w: str) -> F.Column:
+        tf = F.col(f"tf_{w}").cast("double")
+        df = F.col(f"df_{w}")
+        idf = (F.lit(2) * (F.col("nd") - df) + F.lit(1)).cast("double") / (
+            F.lit(2) * df + F.lit(1)
+        ).cast("double")
+        dl_ratio = (
+            F.col("dl").cast("double") * F.col("nd").cast("double")
+        ) / F.col("tot").cast("double")
+        score = (
+            idf
+            * (tf * F.lit(2.2))
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dl_ratio))
+        )
+        return F.when(
+            F.col(f"tf_{w}") == 0, F.lit(0).cast("long")
+        ).otherwise(F.floor(score * F.lit(1048576.0)).cast("long"))
+
+    total_tf = sum(
+        (F.col(f"tf_{w}") for w in _BM25_TERMS[1:]),
+        F.col(f"tf_{_BM25_TERMS[0]}"),
+    )
+    fp_sum = sum(
+        (term_fp(w) for w in _BM25_TERMS[1:]), term_fp(_BM25_TERMS[0])
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .filter(total_tf > 0)
+        .select("doc_id", (fp_sum / F.lit(1048576.0)).alias("bm25"))
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

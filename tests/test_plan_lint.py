@@ -31,6 +31,7 @@ EAGER = {
     "graph_pagerank",
     "graph_pagerank_dangling",
     "graph_k_core",  # per-round edge materialization (k_core loop)
+    "graph_bfs_hops",  # per-round frontier/visited materialization
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
     "sample_cluster_balanced",  # same (built on kmeans_assign)
     "dedup_semantic",  # same (built on kmeans_assign)
@@ -74,7 +75,10 @@ BNLJ_OK = {
     "sample_hash_split",
     "q_join_range_nonequi",  # broadcast non-equi vs bounded dim (by design)
     "q_join_bloom_prefilter",  # 1-row bloom word-array broadcast into the scan
+    "text_bm25_rank",  # 1-row corpus-stats (N, Σdl, df_t) broadcast
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
+    "sim_range_search",  # same bounded-query broadcast, threshold filter
+    "sim_maxsim_multivector",  # bounded token-set broadcast vs corpus
     "sample_hard_negatives",  # same bounded-query broadcast shape
     "sim_topk_pq",  # same bounded-query broadcast, ADC-scored codes
     "sim_topk_rerank",  # same stage-1 plan + candidate-set broadcast rerank
