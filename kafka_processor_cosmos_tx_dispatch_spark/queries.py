@@ -8514,6 +8514,106 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_heavy_hitters_mg",
+    """
+    WITH s AS (SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS u
+               FROM events),
+    c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT user_id, cnt AS n_events,
+           CAST(cnt * u AS DOUBLE) / CAST(n AS DOUBLE) AS rel_freq
+    FROM c CROSS JOIN s
+    WHERE cnt * u > 2 * n
+    """,
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (users with >2× the mean event count) via
+    Misra–Gries sketch-guided pruning: pass 1 builds per-partition
+    k-counter MG summaries whose survivor union provably contains every
+    key above frequency n/(k+1) (operators/sketches.py — k=2048 covers
+    the 2×-mean threshold while distinct users < 4096·sf-envelope);
+    pass 2 exact-counts ONLY the broadcast candidate set. At 100 TB
+    this replaces a full-domain groupBy shuffle with a
+    cardinality-bounded one (≤ partitions·k candidate keys) plus a
+    broadcast semi-join — the sketch prunes, the answer stays exact,
+    which is why the oracle is the plain exact query."""
+    from .operators.sketches import misra_gries_candidates
+
+    ev = load_table(spark, sf_dir, "events")
+    cand = misra_gries_candidates(ev, "user_id", k=2048)
+    stats = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("u"),
+    )
+    counts = (
+        ev.join(F.broadcast(cand), "user_id", "leftsemi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("u") > F.lit(2) * F.col("n"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("n_events"),
+            (
+                (F.col("cnt") * F.col("u")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("rel_freq"),
+        )
+    )
+
+
+@register(
+    "q_changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS target FROM daily),
+    r AS (
+      SELECT day, n, target,
+             SUM(n - target) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM daily CROSS JOIN t)
+    SELECT day, n AS n_events,
+           CAST(run - MIN(run) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cusum
+    FROM r
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic over the daily event-count
+    series: the textbook recursion sᵢ = max(0, sᵢ₋₁ + (xᵢ − target)) is
+    not directly expressible relationally, but the closed form
+    sᵢ = Rᵢ − min_{j≤i} Rⱼ (R = running sum of deviations) is — two
+    stacked window functions, no recursion, no UDF. All-integer
+    arithmetic (target = floor-mean), so both engines agree bit-for-bit.
+
+    Scale: the raw stream collapses to one row per day FIRST (keyed,
+    map-side-combinable agg); the unpartitioned ordered window then runs
+    over the bounded time dimension (days), which is the correct
+    single-partition residue — a monitoring series is small by
+    construction, its source need not be."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = daily.agg(
+        F.expr("CAST(SUM(n) DIV COUNT(*) AS BIGINT)").alias("target")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = daily.crossJoin(F.broadcast(t)).withColumn(
+        "run", F.sum(F.col("n") - F.col("target")).over(w)
+    )
+    return r.select(
+        "day",
+        F.col("n").alias("n_events"),
+        (F.col("run") - F.min("run").over(w)).cast("long").alias("cusum"),
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -570,3 +570,115 @@ def test_bigram_lm_survives_single_token_docs(spark):
     got = {r["doc_id"]: r["n_bigrams"] for r in out.collect()}
     assert 1 not in got and 3 not in got
     assert got[2] == 5
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """The design point of ngram_containment_pairs: a short doc embedded
+    verbatim in a much longer one has containment 1.0 but low Jaccard —
+    the symmetric measure must NOT pair them at 0.9 while the
+    containment measure must."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["doc_a"] == 1 and cont[0]["containment"] == 1.0
+    assert ngram_jaccard_pairs(docs, threshold=0.9).count() == 0
+
+
+def test_maxsim_hand_case(spark):
+    """MaxSim on a hand-checkable corpus: two docs (labels), two query
+    tokens; score = sum over tokens of the best cosine within the doc's
+    vector group. Unit vectors on axes make the cosines 0/1 exactly."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        maxsim_multivector,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0], 1),  # doc 1 has both axis-0 and axis-1
+            (11, [0.0, 1.0, 0.0], 1),
+            (20, [0.0, 0.0, 1.0], 2),  # doc 2 only axis-2
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["doc"]: r["maxsim"] for r in maxsim_multivector(q, corpus).collect()}
+    # doc 1: best cos per token = 1.0 + 1.0; doc 2: 0.0 + 0.0
+    assert got[1] == 2.0
+    assert got[2] == 0.0
+
+
+def test_range_search_threshold_boundary(spark):
+    """Radius search returns exactly the neighbors at-or-above the
+    threshold — including the equality boundary (cos of identical
+    direction = 1.0 >= 1.0) — and never the query itself."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        range_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),   # same direction as query 0 → cos 1.0
+            (2, [1.0, 1.0]),   # cos ≈ 0.707
+            (3, [-1.0, 0.0]),  # cos -1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter("vec_id = 0")
+    got = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in range_search(q, corpus, threshold=0.7).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == 1.0
+    assert 0 not in got
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Level-synchronous BFS on a hand graph: path 1-2-3-4-5 with a
+    shortcut 1-4; min-distance must win (node 4 is 1 hop via the
+    shortcut, not 3), and nodes beyond the round bound are absent."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"] for r in bfs_hops(edges, sources, rounds=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_misra_gries_superset_guarantee_under_eviction(spark):
+    """Force eviction (k=3 counters, 8 distinct keys per partition) and
+    pin the MG contract: every key with global count > n/(k+1) survives
+    in the candidate union. Key 'hot' is 40% of the stream; the uniform
+    tail churns the counters."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    rows = []
+    for i in range(1000):
+        rows.append(("hot",) if i % 5 < 2 else (f"cold{i % 8}",))
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    cands = {
+        r["k"] for r in misra_gries_candidates(df, "k", k=3).collect()
+    }
+    assert "hot" in cands
+    # candidate set is partition-bounded: ≤ partitions * k
+    assert len(cands) <= 4 * 3

@@ -55,6 +55,7 @@ PYTHON_OK = {
     "dedup_hybrid_verify",
     "dedup_verify_editdist",
     "q_cogroup_reconcile",  # cogrouped applyInPandas (the point of the query)
+    "q_heavy_hitters_mg",  # per-partition Misra-Gries summaries (mapInPandas)
     "sim_topk_pq",  # numpy einsum PQ encode/tables under mapInPandas
     "sim_topk_rerank",  # stage 1 IS sim_topk_pq (same encode); rerank is JVM
 }
@@ -76,6 +77,8 @@ BNLJ_OK = {
     "q_join_range_nonequi",  # broadcast non-equi vs bounded dim (by design)
     "q_join_bloom_prefilter",  # 1-row bloom word-array broadcast into the scan
     "text_bm25_rank",  # 1-row corpus-stats (N, Σdl, df_t) broadcast
+    "q_heavy_hitters_mg",  # 1-row (n, u) threshold broadcast
+    "q_changepoint_cusum",  # 1-row floor-mean target broadcast
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sim_range_search",  # same bounded-query broadcast, threshold filter
     "sim_maxsim_multivector",  # bounded token-set broadcast vs corpus

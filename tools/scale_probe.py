@@ -237,6 +237,31 @@ def main() -> None:
         lambda: run(embedding_near_dup_pairs(vecs, threshold=0.9)),
     )
 
+    # radius retrieval: bounded query set broadcast, threshold filter
+    # inside the corpus scan — per-row cost must match brute-force dot
+    # products with NO window stage on top
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        maxsim_multivector,
+        range_search,
+    )
+
+    rs_queries = vecs.filter(F.col("vec_id") < 16)
+    probe(
+        "range_search_q16",
+        args.vecs,
+        lambda: run(range_search(rs_queries, vecs, threshold=0.8)),
+    )
+
+    # late-interaction MaxSim: corpus × 8 broadcast tokens → two keyed
+    # aggs; throughput should be ~dot-product-bound like range search
+    ms_tokens = vecs.filter(F.col("vec_id") < 8)
+    ms_corpus = vecs.withColumn("label", (F.col("vec_id") % 1000).cast("int"))
+    probe(
+        "maxsim_8tok_1kdocs",
+        args.vecs,
+        lambda: run(maxsim_multivector(ms_tokens, ms_corpus)),
+    )
+
     # corpus-statistics build + apply (unigram rarity): the SAME operator
     # the oracle-checked query uses (functions/text.py:token_rarity_scores)
     from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
@@ -257,6 +282,19 @@ def main() -> None:
         (F.abs(F.xxhash64("id", F.lit(7))) % (1 + F.col("id") % 1000)).alias("dst"),
     )
     probe("pagerank_3rounds", n_edges, lambda: run(pagerank(edges, rounds=3)))
+
+    # bounded-hop BFS at the same edge scale: per-round cost must track
+    # edges incident to the frontier, so 3 hops from a 1k-source set on
+    # a 1M-edge graph is three keyed joins + anti-joins, not 3 full
+    # traversals of a materialized distance table
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import bfs_hops
+
+    bfs_sources = spark.range(1_000).select(F.col("id").alias("node"))
+    probe(
+        "bfs_hops_r3",
+        n_edges,
+        lambda: run(bfs_hops(edges, bfs_sources, rounds=3)),
+    )
 
     # two-level connected components on a chain-heavy pair graph — the
     # adversarial shape for label propagation (diameter = chain length,
