@@ -80,6 +80,12 @@ HEADLINE = [
     "pipeline_curate",
     "sim_scalar_quantize_int8",
     "dedup_drop_best",
+    # round-8 new operators: iterative BFS, sketch-pruned heavy hitters,
+    # containment dedup, late-interaction scoring — first-round trends
+    "graph_bfs_hops",
+    "q_heavy_hitters_mg",
+    "dedup_ngram_containment",
+    "sim_maxsim_multivector",
 ]
 
 

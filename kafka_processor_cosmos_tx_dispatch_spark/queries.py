@@ -4405,7 +4405,10 @@ def q_scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection instead of explode→agg round trips (no Generate, no
     shuffle). The token array is let-bound (functions/exprs.py:bind) so
     four HOFs over it evaluate the split ONCE — the HOF re-evaluation
-    trap pinned in round 1."""
+    trap pinned in round 1. The per-token length vector is serialized
+    with array_join (r8): top-level array outputs are driver-unhashable
+    (CORRECTNESS_r07 q_scalar_hof err), and the oracle-type gate now
+    rejects them structurally."""
     from .functions import exprs as EX
     from .functions import text as TX
 
@@ -8612,6 +8615,23 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         (F.col("run") - F.min("run").over(w)).cast("long").alias("cusum"),
     )
+
+
+@register("streaming_changepoint_monitor", _ORACLE["q_changepoint_cusum"])
+def streaming_changepoint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM change-point gate maintained WHILE data lands
+    (streaming/incremental.py:incremental_cusum_daily): per-day counts
+    merge per micro-batch — integer addition is associative, so any
+    split reproduces the one-shot daily histogram exactly — and the
+    R − prefix-min closed form reads out over the bounded daily series
+    at the end. Same oracle as the batch gate; replay-idempotent via
+    the batch-id state ledger."""
+    import tempfile
+
+    from .streaming.incremental import incremental_cusum_daily
+
+    ev = _events_stream(spark, sf_dir)
+    return incremental_cusum_daily(ev, tempfile.mkdtemp(prefix="cusum_"))
 
 
 def _family(name: str) -> str:

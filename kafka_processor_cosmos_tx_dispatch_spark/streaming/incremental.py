@@ -299,6 +299,91 @@ def make_drift_merge_batch(state_dir: str, bucket_width: float, latest: dict):
     return merge_batch
 
 
+def make_daily_count_merge_batch(state_dir: str, latest: dict):
+    """foreachBatch body of incremental_cusum_daily: batch-id-ledgered
+    merge of per-day event counts (the exactly-once contract of
+    make_decimal_merge_batch; counts are associative, not idempotent,
+    so replays must be skipped, never re-added)."""
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: already folded into state
+        agg = bdf.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("a_n")
+        )
+        if latest["path"] is not None:
+            prev = bdf.sparkSession.read.parquet(latest["path"])
+            merged = prev.join(agg, "day", "full_outer").select(
+                "day",
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("a_n"), F.lit(0))
+                ).alias("n"),
+            )
+        else:
+            merged = agg.select("day", F.col("a_n").alias("n"))
+        path = os.path.join(state_dir, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_cusum_daily(stream: DataFrame, state_dir: str) -> DataFrame:
+    """Streaming change-point monitoring: per-day event counts are
+    maintained across micro-batches (associative integer merge — any
+    split reproduces the one-shot daily histogram exactly), then the
+    one-sided CUSUM statistic reads out over the BOUNDED daily series
+    with the same R − prefix-min closed form as the batch gate
+    (queries.q_changepoint_cusum, same oracle). This is the shape of a
+    live ingest monitor: the state that scales with data (raw events)
+    is folded down per batch; the unpartitioned window only ever sees
+    one row per day.
+
+    Replay-idempotent via the batch-id state ledger, recovered from
+    disk on restart (see make_decimal_merge_batch)."""
+    bid, path = _scan_state(state_dir)
+    latest: dict = {"path": path, "bid": bid}
+    merge_batch = make_daily_count_merge_batch(state_dir, latest)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_cusum_daily: stream did not finish within 300s"
+        )
+    spark = stream.sparkSession
+    if latest["path"] is None:
+        return spark.createDataFrame(
+            [], "day date, n_events long, cusum long"
+        )
+    from pyspark.sql import Window as W
+
+    daily = spark.read.parquet(latest["path"])
+    t = daily.agg(
+        F.expr("CAST(SUM(n) DIV COUNT(*) AS BIGINT)").alias("target")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = daily.crossJoin(F.broadcast(t)).withColumn(
+        "run", F.sum(F.col("n") - F.col("target")).over(w)
+    )
+    return r.select(
+        "day",
+        F.col("n").alias("n_events"),
+        (F.col("run") - F.min("run").over(w)).cast("long").alias("cusum"),
+    )
+
+
 def incremental_drift_counts(
     stream: DataFrame,
     state_dir: str,

@@ -541,3 +541,39 @@ class TestDriftReplay:
             for r in spark.read.parquet(latest["path"]).collect()
         }
         assert got == {0: (1, 0), 1: (0, 1)}
+
+
+class TestIncrementalCusum:
+    def test_daily_count_merge_replay_idempotent(self, spark, tmp_path):
+        """The daily-count ledger mirrors the decimal merge's
+        exactly-once contract: in-run redelivery, stale replay after
+        progress, and cross-restart redelivery must all be absorbed —
+        final per-day counts equal each batch applied once."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+            make_daily_count_merge_batch,
+        )
+
+        state = str(tmp_path / "cusum_state")
+        os.makedirs(state)
+        b0 = _mk_events(spark, [(1, 1, 10, "a", 1.0, 0), (2, 2, 11, "b", 2.0, 0)])
+        b1 = _mk_events(spark, [(3, 3, 10, "a", 3.0, 0)])
+
+        latest = {"path": None, "bid": None}
+        merge = make_daily_count_merge_batch(state, latest)
+        merge(b0, 0)
+        merge(b0, 0)  # in-run redelivery
+        merge(b1, 1)
+        merge(b0, 0)  # stale replay after progress
+
+        bid, path = _scan_state(state)
+        assert bid == 1
+        latest2 = {"path": path, "bid": bid}
+        merge2 = make_daily_count_merge_batch(state, latest2)
+        merge2(b1, 1)  # restart redelivery
+
+        got = {
+            str(r["day"]): r["n"]
+            for r in spark.read.parquet(latest2["path"]).collect()
+        }
+        assert got == {"2024-01-01": 3}
