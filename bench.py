@@ -86,6 +86,8 @@ HEADLINE = [
     "q_heavy_hitters_mg",
     "dedup_ngram_containment",
     "sim_maxsim_multivector",
+    "sim_topk_ivfpq",
+    "q_table_diff_blocks",
 ]
 
 

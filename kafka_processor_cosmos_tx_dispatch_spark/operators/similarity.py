@@ -525,6 +525,7 @@ def pq_encode(
     vec_col: str = "embedding",
     m: int = PQ_M,
     k: int = PQ_K,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into `m`
     subvectors, snap each to its nearest codebook entry (exact integer
@@ -550,10 +551,22 @@ def pq_encode(
         m, k, sub_d
     )
     cnorm = (cent3 * cent3).sum(axis=2)  # (m, k)
-    schema = "vec_id bigint, " + ", ".join(
-        f"code_{mi} int" for mi in range(m)
+    # passthrough: extra (already-computed) columns carried through the
+    # Arrow hop unchanged — e.g. the IVF cell id in ivfpq_topk, so the
+    # corpus needs no second join to reunite codes with cells
+    pt_fields = [df.schema[c] for c in passthrough]
+    schema = (
+        "vec_id bigint, "
+        + ", ".join(f"code_{mi} int" for mi in range(m))
+        + "".join(
+            f", {f.name} {f.dataType.simpleString()}" for f in pt_fields
+        )
     )
-    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        *[F.col(c) for c in passthrough],
+    )
 
     def encode(batches):
         import pandas as pd
@@ -575,6 +588,8 @@ def pq_encode(
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for mi in range(m):
                 out[f"code_{mi}"] = codes[:, mi].astype("int32")
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
             yield pd.DataFrame(out)
 
     return src.mapInPandas(encode, schema)
@@ -668,6 +683,120 @@ def pq_topk(
     )
     scored = joined.select(
         "query_id", "neighbor_id", adc.alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_out
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    k_out: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the FAISS `IndexIVFPQ` composition — coarse IVF cells
+    prune WHICH corpus rows are scored, PQ/ADC codes decide HOW each
+    survivor is scored. The two dials are independent: n_probe buys
+    recall with more cells searched, m/k buy accuracy with bigger codes;
+    the per-(query, row) cost after the cell join is m table lookups.
+
+    Plan: corpus side = one Arrow encode pass emitting (id, codes, cell)
+    — the IVF cell rides the pq_encode passthrough, so codes and cells
+    never need a reuniting join; query side = top-n_probe cells
+    (in-row) exploded × precomputed ADC tables (Arrow), broadcast; the
+    search is an equi-join on cell. A (query, corpus-row) pair meets at
+    most one probe (a row lives in exactly one cell), so no dedup stage
+    is needed.
+
+    Scale: this is the billion-vector layout — the corpus shuffles/
+    stores m ints + a cell id per row (no raw vectors in the index),
+    the cell join touches n_probe/n_centroids of it per query, and both
+    index-build passes are narrow scans. Same integer/ADC determinism
+    contract as pq_topk, so the composed oracle reproduces every
+    distance bit-for-bit."""
+    dims = _dims(corpus, vec_col)
+    sub_d = dims // m
+    import numpy as np
+
+    cents = ivf_centroids(n_centroids, dims)
+    cent3 = np.asarray(pq_codebook(dims, m, k), dtype=np.int64).reshape(
+        m, k, sub_d
+    )
+    cnorm = (cent3 * cent3).sum(axis=2)  # (m, k)
+
+    c_cells = widen(corpus).select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        _ivf_assign(V.quantized(F.col(vec_col)), cents)
+        .cast("long")
+        .alias("cell"),
+    )
+    enc = pq_encode(
+        c_cells, id_col, vec_col, m, k, passthrough=("cell",)
+    ).withColumnRenamed("vec_id", "neighbor_id")
+
+    def query_tables(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                * float(V.QUANT_SCALE)
+            ).astype(np.int64)
+            Xs = X.reshape(len(pdf), m, sub_d)
+            snorm = (Xs * Xs).sum(axis=2)
+            dist = (
+                snorm[:, :, None]
+                + cnorm[None, :, :]
+                - 2 * np.einsum("nmd,mkd->nmk", Xs, cent3)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "q_tables": [r.tolist() for r in dist],
+                }
+            )
+
+    q_probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            _ivf_assign_topp(V.quantized(F.col(vec_col)), cents, n_probe)
+        ).alias("__probe"),
+    ).select("query_id", "v", F.col("__probe.c").cast("long").alias("cell"))
+    q = q_probed.mapInPandas(
+        query_tables,
+        "query_id bigint, cell bigint, q_tables array<array<bigint>>",
+    )
+    joined = enc.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = sum(
+        (
+            F.element_at(
+                F.element_at("q_tables", mi + 1),
+                F.col(f"code_{mi}").cast("int") + 1,
+            )
+            for mi in range(1, m)
+        ),
+        start=F.element_at(
+            F.element_at("q_tables", 1), F.col("code_0").cast("int") + 1
+        ),
+    )
+    scored = joined.select(
+        "query_id", "cell", "neighbor_id", adc.alias("adc_dist")
     )
     w = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

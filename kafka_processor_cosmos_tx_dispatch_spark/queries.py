@@ -8634,6 +8634,149 @@ def streaming_changepoint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_cusum_daily(ev, tempfile.mkdtemp(prefix="cusum_"))
 
 
+@register(
+    "q_table_diff_blocks",
+    """
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 997 = 0
+                  THEN o_orderstatus || '*' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 1013 <> 0),
+    ca AS (
+      SELECT o_orderkey % 64 AS block,
+             CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                   o_orderkey, o_orderstatus)), 1, 12)) AS BIGINT)
+                 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS VARCHAR)
+               AS cksum_a,
+             COUNT(*) AS n_a
+      FROM orders GROUP BY 1),
+    cb AS (
+      SELECT o_orderkey % 64 AS block,
+             CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                   o_orderkey, o_orderstatus)), 1, 12)) AS BIGINT)
+                 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS VARCHAR)
+               AS cksum_b,
+             COUNT(*) AS n_b
+      FROM b GROUP BY 1)
+    SELECT block, cksum_a, n_a, cksum_b, n_b
+    FROM ca JOIN cb USING (block)
+    WHERE cksum_a <> cksum_b OR n_a <> n_b
+    """,
+)
+def q_table_diff_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style block diff between two table copies: per key-block
+    commutative md5-prefix checksums on each side, joined on block id,
+    emitting ONLY mismatching blocks — the drill-down step after
+    q_table_checksum says 'the copies differ'. At 100 TB each side is
+    one scan + a map-side-combinable 64-group agg; the join compares 64
+    rows, and re-verification re-scans only the flagged blocks (here
+    the B side is the A side with deterministic injected drift: one
+    mutated status per 997 keys, one dropped row per 1013 — so the
+    output pins both corruption detection AND missing-row detection).
+    Same DECIMAL(38,0) accumulator + digit-string rendering as
+    q_table_checksum (48-bit prefixes overflow int64; HUGEINT hashes
+    differently)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cksum(df: DataFrame, suffix: str) -> DataFrame:
+        row_str = F.concat_ws("|", "o_orderkey", "o_orderstatus")
+        prefix48 = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        return df.groupBy((F.col("o_orderkey") % 64).alias("block")).agg(
+            F.sum(prefix48.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias(f"cksum_{suffix}"),
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+        )
+
+    a = cksum(orders.select("o_orderkey", "o_orderstatus"), "a")
+    b_side = orders.filter(F.col("o_orderkey") % 1013 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 997 == 0,
+            F.concat(F.col("o_orderstatus"), F.lit("*")),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    b = cksum(b_side, "b")
+    return a.join(b, "block").filter(
+        (F.col("cksum_a") != F.col("cksum_b")) | (F.col("n_a") != F.col("n_b"))
+    )
+
+
+@register(
+    "sim_topk_ivfpq",
+    f"""
+    WITH {_PQ_CTES},
+    icent AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    assign AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT v.vec_id, ct.c,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.qv, ct.cv) DESC, ct.c) AS rn
+        FROM q v CROSS JOIN icent ct)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT v.vec_id, ct.c,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.qv, ct.cv) DESC, ct.c) AS rn
+        FROM q v CROSS JOIN icent ct
+        WHERE v.vec_id < 10)
+      WHERE rn <= 2),
+    iscored AS (
+      SELECT qs.vec_id AS query_id, p.cell, e.vec_id AS neighbor_id,
+             CAST(SUM(CAST(list_dot_product(qs.sv, qs.sv) AS BIGINT)
+                 - 2 * CAST(list_dot_product(qs.sv, c.cv) AS BIGINT)
+                 + CAST(list_dot_product(c.cv, c.cv) AS BIGINT))
+               AS BIGINT) AS adc_dist
+      FROM sub qs
+      JOIN probes p ON p.vec_id = qs.vec_id
+      JOIN assign a ON a.cell = p.cell
+      JOIN enc e ON e.vec_id = a.vec_id AND qs.m = e.m
+        AND qs.vec_id <> e.vec_id
+      JOIN cent c ON c.cid = e.m * 16 + e.code
+      WHERE qs.vec_id < 10
+      GROUP BY 1, 2, 3)
+    SELECT query_id, cell, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id) AS rn
+          FROM iscored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ): coarse cells prune WHICH rows are
+    scored (probe=2 of {_IVF_CELLS} cells), PQ/ADC codes decide HOW
+    (operators/similarity.py:ivfpq_topk). The corpus index is one Arrow
+    pass emitting (id, 4 codes, cell) — the cell rides the pq_encode
+    passthrough so codes and cells never re-join; the search is an
+    equi-join on cell against broadcast (query, probe-cell, ADC-table)
+    rows. The billion-vector layout: m ints + a cell id per corpus row,
+    n_probe/n_cells of the index touched per query."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        n_centroids=_IVF_CELLS,
+        n_probe=2,
+        k_out=5,
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -58,6 +58,7 @@ PYTHON_OK = {
     "q_heavy_hitters_mg",  # per-partition Misra-Gries summaries (mapInPandas)
     "sim_topk_pq",  # numpy einsum PQ encode/tables under mapInPandas
     "sim_topk_rerank",  # stage 1 IS sim_topk_pq (same encode); rerank is JVM
+    "sim_topk_ivfpq",  # same Arrow encode/ADC-table passes + cell equi-join
 }
 
 # Bounded-side nested-loop joins: the broadcast side is a 1-row (or
