@@ -8580,8 +8580,8 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
       FROM daily CROSS JOIN t)
     SELECT day, n AS n_events,
-           CAST(run - MIN(run) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(run - LEAST(MIN(run) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
              AS BIGINT) AS cusum
     FROM r
     """,
@@ -8613,7 +8613,9 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "day",
         F.col("n").alias("n_events"),
-        (F.col("run") - F.min("run").over(w)).cast("long").alias("cusum"),
+        (F.col("run") - F.least(F.min("run").over(w), F.lit(0)))
+        .cast("long")
+        .alias("cusum"),
     )
 
 

@@ -380,7 +380,9 @@ def incremental_cusum_daily(stream: DataFrame, state_dir: str) -> DataFrame:
     return r.select(
         "day",
         F.col("n").alias("n_events"),
-        (F.col("run") - F.min("run").over(w)).cast("long").alias("cusum"),
+        (F.col("run") - F.least(F.min("run").over(w), F.lit(0)))
+        .cast("long")
+        .alias("cusum"),
     )
 
 

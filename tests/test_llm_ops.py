@@ -682,3 +682,45 @@ def test_misra_gries_superset_guarantee_under_eviction(spark):
     assert "hot" in cands
     # candidate set is partition-bounded: ≤ partitions * k
     assert len(cands) <= 4 * 3
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The relational CUSUM uses the identity
+    s_i = R_i − min_{j≤i} R_j  ==  s_i = max(0, s_{i−1} + (x_i − t))
+    — pin it against the direct recursion on a hypothesis-style sweep
+    of adversarial integer series (all-below-target, all-above, sign
+    flips, zeros)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    series = [
+        [5, 5, 5, 5],
+        [0, 0, 9, 9, 0, 0],
+        [10, -3, 4, -20, 8, 8, 8],
+        [1],
+        [3, 3, 2, 9, 1, 7, 0, 0, 12, 4],
+    ]
+    for xs in series:
+        t = sum(xs) // len(xs)
+        # direct recursion
+        want, s = [], 0
+        for x in xs:
+            s = max(0, s + (x - t))
+            want.append(s)
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "i long, x long"
+        )
+        w = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+        r = df.withColumn("run", F.sum(F.col("x") - F.lit(t)).over(w))
+        got = [
+            row["cusum"]
+            for row in r.select(
+                "i",
+                (
+                    F.col("run") - F.least(F.min("run").over(w), F.lit(0))
+                ).alias("cusum"),
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        assert got == want, (xs, got, want)
