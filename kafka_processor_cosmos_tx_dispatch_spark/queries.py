@@ -8779,6 +8779,38 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_incremental_dedup",
+    f"""
+    WITH {_minhash_sig_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates maintained over a DOCUMENT
+    stream (streaming/incremental.py:incremental_lsh_dedup): each
+    micro-batch pairs against itself AND the accumulated corpus
+    band-key state, so the union of per-batch outputs equals the
+    one-shot batch pair set under any split — the crawl-ingest dedup
+    loop as Structured Streaming, per-batch cost O(new · collisions)
+    independent of corpus size. Oracle = the batch LSH pair set
+    (uncapped: a bucket cap would make results depend on batch
+    boundaries; production re-adds it on the state side)."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_lsh_dedup
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return incremental_lsh_dedup(stream, tempfile.mkdtemp(prefix="sdedup_"))
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -299,6 +299,100 @@ def make_drift_merge_batch(state_dir: str, bucket_width: float, latest: dict):
     return merge_batch
 
 
+def make_lsh_dedup_batch(work_dir: str):
+    """foreachBatch body of incremental_lsh_dedup: per batch, band-key
+    the new documents, pair them against (a) themselves and (b) every
+    EARLIER batch's banded keys, and write both the keys and the pairs
+    under batch-id-named dirs.
+
+    IDEMPOTENCE WITHOUT A LEDGER: unlike the count merges, every write
+    here is `overwrite` into a dir named by batch id and every emitted
+    pair is canonicalized (doc_a = least, doc_b = greatest) — so a
+    replayed batch rewrites byte-identical keys, and any extra pairs it
+    sees (state dirs from later batches now on disk) are duplicates
+    that the readout's DISTINCT absorbs. Associativity comes from the
+    self-pairs: a pair is either within one batch (caught by the
+    self-join) or across two (caught by the keys-state join), so ANY
+    micro-batch split of the corpus yields the same global pair set —
+    the split-invariance argument the test pins."""
+    keys_root = os.path.join(work_dir, "keys")
+    pairs_root = os.path.join(work_dir, "pairs")
+
+    def dedup_batch(bdf: DataFrame, bid: int) -> None:
+        from ..operators.dedup import _banded_keys
+
+        spark = bdf.sparkSession
+        bk = _banded_keys(bdf, "doc_id", "text", 12, 3, 3).localCheckpoint()
+        import glob
+
+        prior = [
+            p
+            for p in glob.glob(os.path.join(keys_root, "b*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+            and os.path.basename(p) != f"b{bid}"
+        ]
+        a, b = bk.alias("a"), bk.alias("b")
+        self_pairs = a.join(b, "band_key").filter(
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        pairs = self_pairs.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        if prior:
+            state = spark.read.parquet(*prior)
+            cross = bk.join(
+                state.withColumnRenamed("doc_id", "old_id"), "band_key"
+            ).select(
+                F.least("doc_id", "old_id").alias("doc_a"),
+                F.greatest("doc_id", "old_id").alias("doc_b"),
+            )
+            pairs = pairs.unionAll(cross)
+        pairs.distinct().write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"b{bid}")
+        )
+        bk.write.mode("overwrite").parquet(os.path.join(keys_root, f"b{bid}"))
+
+    return dedup_batch
+
+
+def incremental_lsh_dedup(stream: DataFrame, work_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate maintenance over a DOCUMENT
+    stream: each micro-batch is deduplicated against itself and against
+    the accumulated corpus band-key state, so the union of per-batch
+    outputs equals the one-shot batch pair set under ANY micro-batch
+    split — the production crawl-ingest loop (dedup the new batch, keep
+    the corpus's banded table for the next one) as Structured Streaming.
+
+    Per-batch cost is O(new · collisions) regardless of corpus size
+    (the corpus×corpus term never runs — operators/dedup.py:
+    minhash_lsh_pairs_between is the batch twin). No bucket cap here:
+    the cap would make results depend on where batch boundaries fall;
+    production re-adds it on the state side and accepts the bounded
+    approximation (documented trade)."""
+    q = (
+        stream.writeStream.foreachBatch(make_lsh_dedup_batch(work_dir))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_lsh_dedup: stream did not finish within 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(work_dir, "pairs", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not outs:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return spark.read.parquet(*outs).distinct()
+
+
 def make_daily_count_merge_batch(state_dir: str, latest: dict):
     """foreachBatch body of incremental_cusum_daily: batch-id-ledgered
     merge of per-day event counts (the exactly-once contract of

@@ -577,3 +577,49 @@ class TestIncrementalCusum:
             for r in spark.read.parquet(latest2["path"]).collect()
         }
         assert got == {"2024-01-01": 3}
+
+
+class TestIncrementalLshDedup:
+    def test_split_invariant_and_replay_idempotent(self, spark, tmp_path):
+        """Any micro-batch split of a document corpus must yield the
+        same near-dup pair set as the one-shot batch computation: a
+        pair lands in one batch (self-join) or across two (state join).
+        Also replays a mid-stream batch AFTER later state exists — the
+        canonicalized pairs + DISTINCT readout must absorb it."""
+        import glob
+
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_lsh_dedup_batch,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "making a long enough shingle stream for minhash"
+        )
+        docs = [
+            (i, base if i % 3 == 0 else f"{base} variant {i} " + "x " * i)
+            for i in range(30)
+        ]
+        schema = "doc_id long, text string"
+        full = spark.createDataFrame(docs, schema)
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(full, max_bucket=10**9).collect()
+        }
+
+        work = str(tmp_path / "sdedup")
+        body = make_lsh_dedup_batch(work)
+        splits = [docs[:11], docs[11:17], docs[17:]]
+        for bid, rows in enumerate(splits):
+            body(spark.createDataFrame(rows, schema), bid)
+        body(spark.createDataFrame(splits[1], schema), 1)  # stale replay
+
+        outs = glob.glob(f"{work}/pairs/b*")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(*outs).distinct().collect()
+        }
+        assert got == want
