@@ -8811,6 +8811,76 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_dedup(stream, tempfile.mkdtemp(prefix="sdedup_"))
 
 
+@register(
+    "text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+    syms AS (
+      SELECT w, f,
+             list_append(list_filter(string_split(w, ''), c -> c <> ''),
+                         '</w>') AS s
+      FROM wf),
+    prs AS (
+      SELECT f, unnest(list_transform(generate_series(1, len(s) - 1),
+                       i -> s[i] || ' ' || s[i + 1])) AS pair
+      FROM syms),
+    agg AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+            FROM prs GROUP BY pair)
+    SELECT pair, cnt, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+          FROM agg)
+    WHERE rn <= 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING statistic — the corpus-weighted adjacent-symbol-pair
+    counts whose argmax picks the next merge (the other half of
+    text_bpe_encode, which APPLIES a trained table). Same dictionary-
+    encoding scale pattern: pair extraction runs over the DISTINCT
+    vocabulary (thousands of rows) weighted by word frequency, so the
+    raw corpus is touched exactly once for the frequency agg no matter
+    how long the words are; a full BPE trainer is a driver loop calling
+    this with the merge table applied so far — each iteration is one
+    bounded vocab pass, which is how sentencepiece-scale training
+    parallelizes over a 100 TB corpus. Top-20 with a deterministic
+    (count desc, pair asc) tiebreak."""
+    from .functions import exprs as EX
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.array(F.lit("</w>")),
+    )
+
+    def pair_list(s: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(s, i), F.element_at(s, i + 1)
+            ),
+        )
+
+    prs = wf.select(
+        "f", F.explode(EX.bind(syms, pair_list)).alias("pair")
+    )
+    agg = prs.groupBy("pair").agg(F.sum("f").alias("cnt"))
+    w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "cnt", "rank")
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
