@@ -88,6 +88,8 @@ HEADLINE = [
     "sim_maxsim_multivector",
     "sim_topk_ivfpq",
     "q_table_diff_blocks",
+    "streaming_incremental_dedup",
+    "text_bpe_pair_counts",
 ]
 
 
