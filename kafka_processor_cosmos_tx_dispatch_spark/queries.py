@@ -8881,6 +8881,73 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+_MIX_SCALE = 840  # divisible by every weight → integer stride keys
+
+
+@register(
+    "sample_mixture_schedule",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang,
+             r * ({_MIX_SCALE} // CASE lang
+                 {" ".join(f"WHEN '{k}' THEN {v}"
+                           for k, v in _MIX_WEIGHTS.items())}
+                 ELSE 1 END) AS k
+      FROM ranked)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, lang, doc_id) AS BIGINT)
+             AS position,
+           lang, doc_id
+    FROM keyed
+    QUALIFY position <= 100
+    """,
+)
+def sample_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing schedule: the exact interleave order a
+    training run should consume documents in, given per-language
+    mixture weights — the low-discrepancy (stride-scheduling) analog of
+    multinomial source sampling, with none of the randomness. Each
+    language's docs are ranked by a stable md5 shuffle, doc r of a
+    weight-w language gets integer key r·(SCALE/w), and the global sort
+    of those keys interleaves languages in exact weight proportion over
+    ANY prefix (after k positions, language ℓ has ≈ k·wℓ/Σw docs — the
+    property curriculum/mixture training needs and multinomial sampling
+    only has in expectation).
+
+    Scale: rank + key are one per-language window over a lang-keyed
+    shuffle; the global order is a sort by the key — which is exactly
+    the order the schedule gets WRITTEN in, so the sort is the output,
+    not overhead. First 100 positions emitted here to keep the gate
+    output bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    stride = F.lit(_MIX_SCALE) / F.create_map(
+        *[
+            x
+            for k, v in _MIX_WEIGHTS.items()
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )[F.col("lang")]
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        (F.row_number().over(wl) * stride.cast("long")).alias("k"),
+    )
+    wg = W.orderBy("k", "lang", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(wg).cast("long"))
+        .filter(F.col("position") <= 100)
+        .select("position", "lang", "doc_id")
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

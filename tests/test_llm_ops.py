@@ -724,3 +724,24 @@ def test_cusum_closed_form_equals_recursion(spark):
             .collect()
         ]
         assert got == want, (xs, got, want)
+
+
+def test_mixture_schedule_prefix_proportionality(spark, sf_dir):
+    """The stride-schedule guarantee: over any prefix, each language's
+    share tracks its weight within ~1 stride (the property multinomial
+    sampling has only in expectation). Checked at two prefixes."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    rows = (
+        q._QUERIES["sample_mixture_schedule"](spark, sf_dir)
+        .orderBy("position")
+        .collect()
+    )
+    weights = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+    total_w = sum(weights.values())
+    for k in (30, 60):
+        prefix = [r["lang"] for r in rows[:k]]
+        for lang, w in weights.items():
+            want = k * w / total_w
+            got = prefix.count(lang)
+            assert abs(got - want) <= 2.0, (k, lang, got, want)
