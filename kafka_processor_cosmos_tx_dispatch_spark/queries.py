@@ -8948,6 +8948,99 @@ def sample_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_fuzzy_join_symdel",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substring(c_name, 1, 1 + (c_custkey % length(c_name)) - 1)
+               || substring(c_name, 1 + (c_custkey % length(c_name)) + 1,
+                            1000) AS dname
+      FROM customer WHERE c_custkey % 3 = 0),
+    dv AS (
+      SELECT dirty_id, dname,
+             unnest(list_prepend(dname,
+               list_transform(generate_series(1, length(dname)),
+                 i -> substring(dname, 1, i - 1)
+                   || substring(dname, i + 1, 1000)))) AS v
+      FROM dirty),
+    cv AS (
+      SELECT c_custkey, c_name,
+             unnest(list_prepend(c_name,
+               list_transform(generate_series(1, length(c_name)),
+                 i -> substring(c_name, 1, i - 1)
+                   || substring(c_name, i + 1, 1000)))) AS v
+      FROM customer),
+    cand AS (
+      SELECT DISTINCT dv.dirty_id, dv.dname, cv.c_custkey, cv.c_name
+      FROM dv JOIN cv USING (v))
+    SELECT dirty_id, c_custkey,
+           CAST(levenshtein(dname, c_name) AS INTEGER) AS lev
+    FROM cand
+    WHERE levenshtein(dname, c_name) <= 1
+    """,
+)
+def q_fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (entity-resolution) JOIN via symmetric-delete blocking —
+    the SymSpell algorithm as a distributed join: both sides expand to
+    their single-deletion neighborhoods (the string itself + every
+    one-char deletion, ~len variants in-row), candidates meet in an
+    EQUI-join on the variant, and exact Levenshtein verifies the
+    bounded candidate set. Deletion neighborhoods intersect whenever
+    edit distance ≤ 1, so recall is exact for distance 1 — unlike
+    prefix/length blocking, which misses first-char edits — and the
+    plan never compares all pairs. The dirty side here is a
+    deterministic corruption (every 3rd customer, one char deleted at
+    key mod length), so matches pin both the recall (every corruption
+    re-finds its source) and the collision behavior (distance-1
+    neighbors of OTHER customers match too, deterministically).
+
+    Scale: ~len× row amplification into a string equi-join (hash the
+    variant to a 64-bit key at 100 TB to shrink the shuffle — same
+    trick as the shingle join), then O(candidates) verify. This is the
+    SymSpell/deletion-index structure that makes spell-correct joins
+    tractable at corpus scale."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def variants(df: DataFrame, id_out: str, name_out: str) -> DataFrame:
+        name = F.col(name_out)
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(name)),
+            lambda i: F.concat(
+                name.substr(F.lit(1), i - 1),
+                name.substr(i + 1, F.lit(1000)),
+            ),
+        )
+        return df.select(
+            id_out,
+            name_out,
+            F.explode(F.concat(F.array(name), dels)).alias("v"),
+        )
+
+    pos = F.lit(1) + F.col("c_custkey") % F.length("c_name")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.lit(1000)),
+        ).alias("dname"),
+    )
+    dv = variants(dirty, "dirty_id", "dname")
+    cv = variants(
+        cust.select("c_custkey", "c_name"), "c_custkey", "c_name"
+    )
+    cand = (
+        dv.join(cv, "v")
+        .select("dirty_id", "dname", "c_custkey", "c_name")
+        .distinct()
+    )
+    lev = F.levenshtein("dname", "c_name")
+    return (
+        cand.filter(lev <= 1)
+        .select("dirty_id", "c_custkey", lev.cast("int").alias("lev"))
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

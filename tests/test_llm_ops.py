@@ -745,3 +745,22 @@ def test_mixture_schedule_prefix_proportionality(spark, sf_dir):
             want = k * w / total_w
             got = prefix.count(lang)
             assert abs(got - want) <= 2.0, (k, lang, got, want)
+
+
+def test_fuzzy_join_symdel_exact_recall(spark, sf_dir):
+    """The symmetric-delete guarantee: every deterministically corrupted
+    name (one char deleted) must re-find its source customer at
+    distance 1 — deletion neighborhoods intersect whenever dist <= 1,
+    so recall at this distance is exact, not probabilistic."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    rows = q._QUERIES["q_fuzzy_join_symdel"](spark, sf_dir).collect()
+    matches = {(r["dirty_id"], r["c_custkey"]) for r in rows}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    expected_ids = [
+        r["c_custkey"]
+        for r in cust.filter(F.col("c_custkey") % 3 == 0).collect()
+    ]
+    assert expected_ids, "fixture empty"
+    for cid in expected_ids:
+        assert (cid, cid) in matches, f"corruption of {cid} not recalled"
