@@ -9041,6 +9041,47 @@ def q_fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS psize,
+             MIN(p_partkey) AS p_partkey, COUNT(*) AS n_dups
+      FROM part GROUP BY 1, 2)
+    SELECT price, psize, p_partkey, n_dups
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.psize <= p.psize
+        AND (q.price < p.price OR q.psize < p.psize))
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts over (retail price, size),
+    both minimized — the "best trade-offs" operator Spark lacks and the
+    textbook formulation makes quadratic (the oracle IS that quadratic
+    NOT-EXISTS, on the distinct-point set). The engine's plan
+    (operators/skyline.py:skyline_2d) is three bounded stages: distinct
+    -point pre-agg, partition-local linear sweep (sound: local
+    dominance ⇒ global dominance, so no frontier point is droppable),
+    then an exact resolve of the tiny per-partition frontiers. At
+    100 TB the quadratic term never materializes — only frontiers
+    cross partitions."""
+    from .operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        part.select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("psize"),
+            "p_partkey",
+        ),
+        "price",
+        "psize",
+        "p_partkey",
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

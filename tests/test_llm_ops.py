@@ -764,3 +764,41 @@ def test_fuzzy_join_symdel_exact_recall(spark, sf_dir):
     assert expected_ids, "fixture empty"
     for cid in expected_ids:
         assert (cid, cid) in matches, f"corruption of {cid} not recalled"
+
+
+def test_skyline_handles_ties_and_duplicates(spark):
+    """Dominance edge cases pinned against brute force: equal-x ties
+    (smaller y dominates), equal-y ties (smaller x dominates), exact
+    duplicate points (do NOT dominate each other — survive with
+    n_dups), and interior points (dominated on both axes)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1, 1.0, 5),   # frontier
+        (2, 1.0, 7),   # dominated: same x, bigger y
+        (3, 2.0, 3),   # frontier
+        (4, 3.0, 3),   # dominated: same y, bigger x
+        (5, 2.0, 3),   # duplicate of 3 → same frontier point
+        (6, 5.0, 4),   # interior, dominated by (2.0, 3)
+        (7, 4.0, 1),   # frontier
+    ]
+    df = spark.createDataFrame(rows, "pid long, x double, y int")
+
+    def brute(pts):
+        out = []
+        for pid, x, y in pts:
+            if not any(
+                (qx <= x and qy <= y and (qx < x or qy < y))
+                for _, qx, qy in pts
+            ):
+                out.append((x, y))
+        return set(out)
+
+    got = {
+        (r["x"], r["y"], r["pid"], r["n_dups"])
+        for r in skyline_2d(df.repartition(3), "x", "y", "pid").collect()
+    }
+    assert {(x, y) for x, y, *_ in got} == brute(rows)
+    assert (2.0, 3, 3, 2) in got  # duplicate survives, min-id rep, count 2

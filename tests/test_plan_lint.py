@@ -56,6 +56,7 @@ PYTHON_OK = {
     "dedup_verify_editdist",
     "q_cogroup_reconcile",  # cogrouped applyInPandas (the point of the query)
     "q_heavy_hitters_mg",  # per-partition Misra-Gries summaries (mapInPandas)
+    "q_skyline_pareto",  # partition-local skyline sweep (mapInPandas)
     "sim_topk_pq",  # numpy einsum PQ encode/tables under mapInPandas
     "sim_topk_rerank",  # stage 1 IS sim_topk_pq (same encode); rerank is JVM
     "sim_topk_ivfpq",  # same Arrow encode/ADC-table passes + cell equi-join
