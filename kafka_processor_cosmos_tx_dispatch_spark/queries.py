@@ -9082,6 +9082,148 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_temporal_scd2_lookup",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    hist AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER)
+               AS version
+      FROM chg),
+    facts AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT f.event_id, f.user_id, f.ts_us,
+             h.event_type AS profile_type, h.version,
+             ROW_NUMBER() OVER (PARTITION BY f.event_id
+               ORDER BY h.valid_from_us DESC, h.version DESC) AS rn
+      FROM facts f
+      JOIN hist h ON h.user_id = f.user_id
+        AND h.valid_from_us <= f.ts_us)
+    SELECT event_id, user_id, ts_us, profile_type, version
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the warehouse pattern downstream of
+    every SCD2 build: each fact row (purchases) joins the dimension
+    VERSION that was valid at the fact's own timestamp. Because SCD2
+    validity intervals tile contiguously per key, 'valid_from ≤ ts <
+    valid_to' is exactly the nearest-predecessor match on valid_from —
+    so the plan is the as-of operator (operators/asof.py: ONE shuffle,
+    union + window), not an interval join; the oracle spells out the
+    interval semantics as the quadratic candidates + ROW_NUMBER
+    formulation. Equal-timestamp version stacks (zero-width intervals)
+    resolve to the LATEST version via the as-of tiebreak, matching the
+    oracle's version DESC."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = q_scd2_history(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from_us").alias("ts_us"),
+        F.col("event_type").alias("profile_type"),
+        "version",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = asof_join(
+        facts,
+        hist,
+        keys=["user_id"],
+        ts_col="ts_us",
+        right_value_cols=["profile_type", "version"],
+        tiebreak_col="version",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_profile_type").alias("profile_type"),
+        F.col("asof_version").cast("int").alias("version"),
+    )
+
+
+@register(
+    "sim_knn_classify",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 20
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY (d / {_FIXED}) / sqrt((nq.n / {_FIXED})
+                          * (nc.n / {_FIXED})) DESC, neighbor_id) AS rn
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id)
+      WHERE rn <= 5),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS n_votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2)
+    SELECT query_id, label AS predicted_label,
+           CAST(n_votes AS INTEGER) AS n_votes
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, label) AS rn FROM votes)
+    WHERE rn = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification — ML inference as retrieval: each query
+    vector takes the majority label of its 5 exact nearest neighbors
+    (deterministic tiebreak: vote count desc, then smallest label).
+    Plan: the brute-force top-k (bounded query broadcast, corpus
+    streams) + a neighbor→label equi-join + two small keyed aggs — the
+    per-query work after retrieval is O(k). At 100 TB the retrieval
+    stage swaps for the IVF/PQ index (same downstream vote); this is
+    how embedding-based labeling (nearest-labeled-example propagation)
+    runs over an unlabeled corpus."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    votes = (
+        topk.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -83,6 +83,7 @@ BNLJ_OK = {
     "q_changepoint_cusum",  # 1-row floor-mean target broadcast
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sim_range_search",  # same bounded-query broadcast, threshold filter
+    "sim_knn_classify",  # same bounded-query broadcast + label vote
     "sim_maxsim_multivector",  # bounded token-set broadcast vs corpus
     "sample_hard_negatives",  # same bounded-query broadcast shape
     "sim_topk_pq",  # same bounded-query broadcast, ADC-scored codes
