@@ -90,6 +90,14 @@ HEADLINE = [
     "q_table_diff_blocks",
     "streaming_incremental_dedup",
     "text_bpe_pair_counts",
+    "q_skyline_pareto",
+    "q_fuzzy_join_symdel",
+    "q_temporal_scd2_lookup",
+    "sim_knn_classify",
+    "sample_mixture_schedule",
+    "q_changepoint_cusum",
+    "q_stats_linreg",
+    "q_retention_cohort",
 ]
 
 
