@@ -9224,6 +9224,125 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_gaps_islands",
+    """
+    WITH marked AS (
+      SELECT event_type, event_id,
+             event_id - ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY event_id) AS grp
+      FROM events),
+    islands AS (
+      SELECT event_type, grp,
+             COUNT(*) AS island_len,
+             MIN(event_id) AS island_start
+      FROM marked GROUP BY event_type, grp)
+    SELECT event_type,
+           COUNT(*) AS n_islands,
+           CAST(MAX(island_len) AS BIGINT) AS max_island_len,
+           CAST(MIN(island_start) AS BIGINT) AS first_start
+    FROM islands GROUP BY event_type
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive event_ids per
+    event_type via the classic id − row_number() grouping key (two
+    consecutive ids in the same partition get the same difference; a
+    gap shifts it) — sequence-continuity auditing (missed deliveries,
+    retention holes) with ONE window + two keyed aggs, no self-join.
+    All-integer, so the island keys are engine-exact.
+
+    Scale: one shuffle on event_type for the window (at 100 TB the
+    partition column would be (event_type, id-range bucket) with
+    island stitching at bucket boundaries — the standard two-level
+    refinement; the single-window form is right up to the point a
+    single type's sequence outgrows one executor's sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("event_id")
+    marked = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    islands = marked.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("island_len"),
+        F.min("event_id").alias("island_start"),
+    )
+    return islands.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_len").alias("max_island_len"),
+        F.min("island_start").alias("first_start"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    owner AS (SELECT shash, MIN(doc_id) AS owner FROM ex GROUP BY shash)
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM ex e JOIN owner o USING (shash)
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty attribution: every distinct trigram is OWNED by
+    the lowest doc_id containing it; a document's novelty is the
+    fraction of its shingles it owns — the corpus-order contribution
+    curve (what fraction of each new document is text the corpus has
+    not seen before). The dedup/contamination families detect COPIES;
+    this measures marginal new content, the curation metric for
+    deciding whether another crawl snapshot still adds information.
+
+    Plan: the same integer shingle-hash explode as the dedup family,
+    one min-agg over the shingle key (map-side combinable), one
+    keyed join back, one doc agg — all shuffles on shingle or doc
+    keys, never pairwise. The novelty double is one IEEE division of
+    two exact ints."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    sh = F.array_distinct(TX.word_shingles(toks, 3))
+
+    def hashes(l: F.Column) -> F.Column:
+        return F.transform(l, lambda s: TX.minhash_base_hashes(s)[0])
+
+    ex = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(EX.bind(sh, hashes)).alias("shash"),
+        )
+        .filter(F.col("shash").isNotNull())
+    )
+    owner = ex.groupBy("shash").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(
+        F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ex.join(owner, "shash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (
+                novel.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
