@@ -802,3 +802,40 @@ def test_skyline_handles_ties_and_duplicates(spark):
     }
     assert {(x, y) for x, y, *_ in got} == brute(rows)
     assert (2.0, 3, 3, 2) in got  # duplicate survives, min-id rep, count 2
+
+
+def test_skyline_random_sets_match_bruteforce(spark):
+    """Property sweep: on deterministic pseudo-random point sets (with
+    forced duplicates and axis ties), the distributed skyline must
+    equal brute force regardless of partitioning."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (1103515245 * x + 12345) % (1 << 31)
+            yield x
+
+    for seed, n, nparts in ((7, 60, 5), (23, 120, 3), (99, 40, 13)):
+        g = lcg(seed)
+        pts = [
+            (i, float(next(g) % 17), int(next(g) % 11)) for i in range(n)
+        ]
+        df = spark.createDataFrame(pts, "pid long, x double, y int")
+        frontier = {
+            (x, y)
+            for _, x, y in pts
+            if not any(
+                qx <= x and qy <= y and (qx < x or qy < y)
+                for _, qx, qy in pts
+            )
+        }
+        got = {
+            (r["x"], r["y"])
+            for r in skyline_2d(
+                df.repartition(nparts), "x", "y", "pid"
+            ).collect()
+        }
+        assert got == frontier, (seed, got ^ frontier)
