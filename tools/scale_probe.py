@@ -262,6 +262,63 @@ def main() -> None:
         lambda: run(maxsim_multivector(ms_tokens, ms_corpus)),
     )
 
+    # IVF-PQ composed index: corpus → (codes, cell) in one Arrow pass,
+    # search = cell equi-join vs broadcast ADC tables. Should beat
+    # brute force per query by ~n_probe/n_cells on the join volume.
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    probe(
+        "ivfpq_q10_probe2",
+        args.vecs,
+        lambda: run(
+            ivfpq_topk(
+                vecs.filter(F.col("vec_id") < 10), vecs, n_probe=2
+            )
+        ),
+    )
+
+    # Misra-Gries-pruned exact heavy hitters over the events stream:
+    # two scans, candidate set bounded by partitions×k
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    def mg_pipeline():
+        cand = misra_gries_candidates(ev, "user_id", k=2048)
+        counts = (
+            ev.join(F.broadcast(cand), "user_id", "leftsemi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        run(counts)
+
+    probe("heavy_hitters_mg", args.events, mg_pipeline)
+
+    # 2-D skyline at event scale: the partition-local sweep must keep
+    # this linear — the quadratic NOT-EXISTS would never finish here
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    probe(
+        "skyline_2d",
+        args.events,
+        lambda: run(
+            skyline_2d(
+                ev.select(
+                    F.col("value").alias("x"),
+                    (F.col("user_id") % 1000).alias("y"),
+                    F.col("event_id").alias("pid"),
+                ),
+                "x",
+                "y",
+                "pid",
+            )
+        ),
+    )
+
     # corpus-statistics build + apply (unigram rarity): the SAME operator
     # the oracle-checked query uses (functions/text.py:token_rarity_scores)
     from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX
