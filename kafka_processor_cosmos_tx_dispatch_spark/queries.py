@@ -9343,6 +9343,103 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_curate_mix",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, {_D_TOKS} AS t, md5({_D_NORM}) AS fp
+      FROM documents),
+    dd AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT doc_id, lang, t,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dr
+        FROM base) WHERE dr = 1),
+    shl AS (SELECT doc_id, lang, list_distinct({_D_SHINGLES}) AS l FROM dd),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    drops AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+            >= 0.9),
+    kept AS (
+      SELECT doc_id, lang FROM dd
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM kept),
+    keyed AS (
+      SELECT doc_id, lang,
+             r * ({_MIX_SCALE} // CASE lang
+                 {" ".join(f"WHEN '{k}' THEN {v}"
+                           for k, v in _MIX_WEIGHTS.items())}
+                 ELSE 1 END) AS k
+      FROM ranked)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, lang, doc_id) AS BIGINT)
+             AS position,
+           lang, doc_id
+    FROM keyed
+    QUALIFY position <= 50
+    """,
+)
+def pipeline_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 composition proof — the NEW operators chained as one
+    lazy plan: exact dedup (min-id per normalized fingerprint) →
+    containment near-dup drop (subset-duplication survivors,
+    operators/dedup.py:ngram_containment_pairs, larger id loses) →
+    stride-scheduled mixture interleave of the survivors (first 50
+    positions). Complements pipeline_curate (dedup → quality → pack):
+    together they pin that every curation stage added this round
+    composes without materialization barriers — the containment
+    anti-join, the per-language rank window, and the schedule sort
+    plan as one Catalyst job.
+
+    Scale: each stage is its proven operator's plan — fingerprint agg,
+    shingle-keyed inverted-index join, lang-keyed window + global
+    schedule sort. Nothing super-linear appears by composing."""
+    from .operators.dedup import drop_exact_duplicates, ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = drop_exact_duplicates(docs)
+    drops = (
+        ngram_containment_pairs(deduped, threshold=0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = deduped.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )
+    wl = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    stride = F.lit(_MIX_SCALE) / F.create_map(
+        *[
+            x
+            for kk, v in _MIX_WEIGHTS.items()
+            for x in (F.lit(kk), F.lit(v))
+        ]
+    )[F.col("lang")]
+    keyed = kept.select(
+        "doc_id",
+        "lang",
+        (F.row_number().over(wl) * stride.cast("long")).alias("k"),
+    )
+    wg = W.orderBy("k", "lang", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(wg).cast("long"))
+        .filter(F.col("position") <= 50)
+        .select("position", "lang", "doc_id")
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
