@@ -98,6 +98,9 @@ HEADLINE = [
     "q_changepoint_cusum",
     "q_stats_linreg",
     "q_retention_cohort",
+    "q_gaps_islands",
+    "text_ngram_novelty",
+    "pipeline_curate_mix",
 ]
 
 
