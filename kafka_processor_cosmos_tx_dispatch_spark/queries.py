@@ -964,12 +964,25 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no URGENT-priority order. The
+    priority filter (vs the bare "no orders at all" form) exists because
+    the test data gives nearly every customer an order — the unfiltered
+    anti-join returned 0 rows at sf0.001 AND sf0.01, making its oracle
+    check an empty-vs-empty match (r8 verdict finding class #1/#7). The
+    filtered form returns 18/203/1986 rows at sf0.001/0.01/0.1, so the
+    anti-join path is actually value-checked. The filter lands on the
+    build side BEFORE the join (pushed to the orders scan), shrinking the
+    anti-join's right side ~5× — the shape you want at 100 TB too."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
@@ -8526,20 +8539,28 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, cnt AS n_events,
            CAST(cnt * u AS DOUBLE) / CAST(n AS DOUBLE) AS rel_freq
     FROM c CROSS JOIN s
-    WHERE cnt * u > 2 * n
+    WHERE cnt * u * 5 > 6 * n
     """,
 )
 def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT heavy hitters (users with >2× the mean event count) via
+    """EXACT heavy hitters (users with >1.2× the mean event count) via
     Misra–Gries sketch-guided pruning: pass 1 builds per-partition
     k-counter MG summaries whose survivor union provably contains every
-    key above frequency n/(k+1) (operators/sketches.py — k=2048 covers
-    the 2×-mean threshold while distinct users < 4096·sf-envelope);
-    pass 2 exact-counts ONLY the broadcast candidate set. At 100 TB
-    this replaces a full-domain groupBy shuffle with a
+    key above frequency n/(k+1) (operators/sketches.py — the 1.2×-mean
+    threshold is 1.2·n/u ≥ n/(k+1) whenever distinct keys u ≤ 1.2·(k+1)
+    ≈ 2459 at k=2048; the test envelope tops out at u=1500 and a larger
+    domain just means a proportionally larger k, still ≪ the key
+    domain); pass 2 exact-counts ONLY the broadcast candidate set. At
+    100 TB this replaces a full-domain groupBy shuffle with a
     cardinality-bounded one (≤ partitions·k candidate keys) plus a
     broadcast semi-join — the sketch prunes, the answer stays exact,
-    which is why the oracle is the plain exact query."""
+    which is why the oracle is the plain exact query.
+
+    Threshold history: r8 used 2×-mean, which yields 0 rows at EVERY
+    test scale factor (the driver green was an empty-vs-empty hash match
+    — r8 verdict finding #1). 1.2× yields 1/9/83 rows at sf0.001/0.01/
+    0.1. The comparison is kept all-integer (cnt·u·5 > 6·n) so Spark and
+    DuckDB agree bit-for-bit with no float threshold."""
     from .operators.sketches import misra_gries_candidates
 
     ev = load_table(spark, sf_dir, "events")
@@ -8555,7 +8576,7 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.crossJoin(F.broadcast(stats))
-        .filter(F.col("cnt") * F.col("u") > F.lit(2) * F.col("n"))
+        .filter(F.col("cnt") * F.col("u") * F.lit(5) > F.lit(6) * F.col("n"))
         .select(
             "user_id",
             F.col("cnt").alias("n_events"),

@@ -34,6 +34,33 @@ def duck(sf_dir):
     con.close()
 
 
+# Queries whose oracle legitimately returns 0 rows at the tiny sweep sf
+# but is nonempty at the driver's sf0.01 (verified in DuckDB): TPC-H Q7's
+# nation-pair × 2-year date filter simply has no qualifying lineitem at
+# 1/1000 scale. Anything else returning 0 rows is a VACUOUS oracle pair
+# (empty-vs-empty hash match proves nothing — r8 verdict finding #1:
+# q_heavy_hitters_mg was green at every sf with a 0-row answer) and must
+# be reworked, not whitelisted.
+_EMPTY_OK_AT_SWEEP_SF = {"q7_volume_shipping"}
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_answer_is_nonempty(name, duck):
+    """No registered query may be vacuously green: its oracle answer at
+    the sweep sf must have ≥1 row so the value-hash comparison actually
+    compares values. Pure-DuckDB (no Spark run), so the whole-registry
+    sweep stays cheap."""
+    if name in _EMPTY_OK_AT_SWEEP_SF:
+        pytest.skip("documented empty-at-sweep-sf; nonempty at sf0.01")
+    n = duck.execute(
+        f"SELECT COUNT(*) FROM ({_ORACLES[name]})"
+    ).fetchone()[0]
+    assert n >= 1, (
+        f"{name}: oracle returns 0 rows at the sweep sf — the driver's "
+        "hash check would match empty-vs-empty and prove nothing"
+    )
+
+
 def test_every_query_declares_an_oracle_or_is_known_rows_only():
     # Queries without oracle SQL get only the driver's weaker rows-only
     # check; keep that set explicit so additions are a conscious choice.
