@@ -108,14 +108,9 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def calibration(spark, sf_dir: str) -> dict:
-    """Fixed machine-state probe, reported alongside the query timings so
-    cross-round deltas are attributable: the same code on a slower disk /
-    busier box inflates every query uniformly (r5→r6 showed a ~+25%
-    across-the-board swing on identical untouched queries). Two numbers:
-    a parquet scan+agg (IO+decode bound) and a pure-compute spark.range
-    reduction (CPU bound). Compare THESE across rounds before reading
-    anything into per-query deltas."""
+def _probe_dfs(spark, sf_dir: str):
+    """The two machine-state probe plans: a parquet scan+agg (IO+decode
+    bound) and a pure-compute spark.range reduction (CPU bound)."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -125,14 +120,31 @@ def calibration(spark, sf_dir: str) -> dict:
     cpu = spark.range(50_000_000).agg(
         F.sum(F.col("id") * 3 % 7), F.count(F.lit(1))
     )
+    return scan, cpu
+
+
+def probe_box_state(spark, sf_dir: str, iters: int = 3) -> dict:
+    """One machine-state sample: min-of-iters for each probe plan.
+    Returns {"scan": sec, "cpu": sec}.
+
+    Why probes exist: the same code on a slower disk / busier box
+    inflates every query uniformly (r5→r6 showed a ~+25% across-the-board
+    swing on identical untouched queries). Why they are now INTERLEAVED
+    (one sample before each query group, r8 verdict #1): a single 0.08 s
+    probe cannot attribute a 60+ s suite on a shared box — load that
+    arrives mid-suite hits the later groups but not the probe. Per-group
+    samples let each query be normalized by the box state measured
+    seconds before it ran, and the spread across groups is itself the
+    noise signal (reported as calibration_spread)."""
+    scan, cpu = _probe_dfs(spark, sf_dir)
     out = {}
-    for name, df in (("calibration_scan_sec", scan), ("calibration_cpu_sec", cpu)):
+    for name, df in (("scan", scan), ("cpu", cpu)):
         dt = float("inf")
-        for _ in range(3):
+        for _ in range(iters):
             t0 = time.perf_counter()
             run_query(df)
             dt = min(dt, time.perf_counter() - t0)
-        out[name] = round(dt, 3)
+        out[name] = round(dt, 4)
     return out
 
 
@@ -341,30 +353,44 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     run_query(registry["q1_pricing_summary"](spark, sf_dir))
 
-    # min-of-3 by default: at sub-second per-query times, min-of-2 showed
-    # ±20-60% run-to-run swings on untouched queries (page-cache and JIT
-    # noise); the third sample stabilizes the floor for ~20s extra wall.
-    iters = max(1, int(os.environ.get("BENCH_ITERS", "3")))
+    # min-of-5 by default (r8 verdict #1: the builder's run and the
+    # driver's same-code rerun disagreed by ~28 normalized points under
+    # min-of-3 — at sub-second per-query times, page-cache/JIT/load noise
+    # needs more samples for either the min floor or the median to be
+    # stable enough that cross-round deltas mean anything).
+    iters = max(1, int(os.environ.get("BENCH_ITERS", "5")))
+    group_size = max(1, int(os.environ.get("BENCH_CAL_GROUP", "8")))
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
-    for name in names:
-        samples = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            run_query(registry[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        median = samples[len(samples) // 2]
-        # min-of-N drops JIT/scheduling noise; median carries the variance
-        # signal so cross-round deltas are attributable (r5 verdict #5)
-        timings[name] = round(samples[0], 3)
-        stats[name] = {
-            "min": round(samples[0], 3),
-            "median": round(median, 3),
-            "iters": iters,
-        }
+    group_cal: list[dict] = []
+    for gi in range(0, len(names), group_size):
+        # interleaved box-state sample: normalizes the queries measured
+        # in the seconds AFTER it, not minutes away (r8 verdict #1)
+        cal = probe_box_state(spark, sf_dir)
+        group_cal.append(cal)
+        for name in names[gi : gi + group_size]:
+            samples = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                run_query(registry[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            median = samples[len(samples) // 2]
+            # min-of-N drops JIT/scheduling noise; median carries the
+            # variance signal — BOTH bases are compared across rounds
+            # and sign-disagreements are flagged as noise
+            timings[name] = round(samples[0], 3)
+            stats[name] = {
+                "min": round(samples[0], 3),
+                "median": round(median, 3),
+                "iters": iters,
+                "cal_scan": cal["scan"],
+                "cal_cpu": cal["cpu"],
+            }
 
     total = round(sum(timings.values()), 3)
+    scans = sorted(c["scan"] for c in group_cal)
+    cpus = sorted(c["cpu"] for c in group_cal)
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -372,73 +398,21 @@ def main() -> None:
         "queries": timings,
         "queries_stats": stats,
         "sf": sf_num,
-        **calibration(spark, sf_dir),
+        # medians across the interleaved samples are the round's headline
+        # box-state numbers (backward-compatible keys); the spread is the
+        # within-run noise floor — if spread_pct is 20, no cross-round
+        # per-query delta under ~20% is attributable to code
+        "calibration_scan_sec": scans[len(scans) // 2],
+        "calibration_cpu_sec": cpus[len(cpus) // 2],
+        "calibration_groups": group_cal,
+        "calibration_spread_pct": round(
+            100.0 * max(scans[-1] / scans[0], cpus[-1] / cpus[0]) - 100.0, 1
+        ),
         **dispatch_throughput(spark),
         **streaming_throughput(spark),
         **streaming_decode_throughput(spark),
     }
-    prev = _load_previous_round()
-    if prev is not None:
-        prev_data, prev_round = prev
-        prev_queries = dict(prev_data.get("queries") or {})
-        prev_stats = dict(prev_data.get("queries_stats") or {})
-        # deltas on medians when the prior round recorded them (r6+),
-        # else on mins (r5 and earlier recorded min only); medians make
-        # cross-round deltas attributable instead of min-noise
-        if prev_stats:
-            cur_cmp = {n: s["median"] for n, s in stats.items()}
-            prev_cmp = {n: s.get("median") for n, s in prev_stats.items()}
-            detail["delta_basis"] = "median"
-        else:
-            cur_cmp = dict(timings)
-            prev_cmp = dict(prev_queries)
-            detail["delta_basis"] = "min"
-        # machine-state normalization (r6 verdict #3): if the prior round
-        # recorded the calibration probes, the ratio of this box-state to
-        # that box-state scales the raw delta — a uniform +20% with a
-        # +20% calibration ratio is load, not code
-        ratios = []
-        for k in ("calibration_scan_sec", "calibration_cpu_sec"):
-            pv, cv = prev_data.get(k), detail.get(k)
-            if pv and cv:
-                ratios.append(cv / pv)
-        cal_ratio = (
-            round((ratios[0] * ratios[-1]) ** 0.5, 4) if ratios else None
-        )
-        # compare totals over the SHARED query set only, so widening the
-        # headline list doesn't read as a regression
-        shared = [n for n in cur_cmp if prev_cmp.get(n)]
-        prev_shared = sum(prev_cmp[n] for n in shared)
-        if prev_shared:
-            cur_shared = sum(cur_cmp[n] for n in shared)
-            detail["delta_vs_prev_pct"] = round(
-                100.0 * (cur_shared - prev_shared) / prev_shared, 1
-            )
-            detail["delta_shared_queries"] = len(shared)
-            if cal_ratio:
-                detail["calibration_ratio_vs_prev"] = cal_ratio
-                detail["delta_vs_prev_pct_normalized"] = round(
-                    100.0 * (cur_shared / cal_ratio - prev_shared)
-                    / prev_shared,
-                    1,
-                )
-        detail["prev_round"] = prev_round
-        detail["delta_queries_pct"] = {
-            name: round(100.0 * (t - prev_cmp[name]) / prev_cmp[name], 1)
-            for name, t in cur_cmp.items()
-            if prev_cmp.get(name)
-        }
-        if cal_ratio:
-            detail["delta_queries_pct_normalized"] = {
-                name: round(
-                    100.0
-                    * (t / cal_ratio - prev_cmp[name])
-                    / prev_cmp[name],
-                    1,
-                )
-                for name, t in cur_cmp.items()
-                if prev_cmp.get(name)
-            }
+    _add_prev_round_deltas(detail, timings, stats)
     detail_path = _write_detail(detail, sf_num)
 
     # The driver captures only a ~2000-char stdout TAIL: r6's enriched
@@ -447,7 +421,10 @@ def main() -> None:
     # summary — per-query detail lives in the detail file above.
     compact_keys = (
         "metric value unit sf n_queries delta_basis delta_vs_prev_pct "
-        "delta_vs_prev_pct_normalized calibration_ratio_vs_prev "
+        "delta_vs_prev_pct_normalized delta_vs_prev_pct_min "
+        "delta_vs_prev_pct_median delta_vs_prev_pct_min_normalized "
+        "delta_vs_prev_pct_median_normalized noise_queries "
+        "calibration_ratio_vs_prev calibration_spread_pct "
         "delta_shared_queries prev_round calibration_scan_sec "
         "calibration_cpu_sec dispatch_rows_per_sec "
         "streaming_dispatch_rows_per_sec streaming_decode_rows_per_sec "
@@ -460,6 +437,142 @@ def main() -> None:
     assert len(line) < 1500, f"compact bench line {len(line)} chars"
     print(line)
     spark.stop()
+
+
+def _add_prev_round_deltas(
+    detail: dict, timings: dict, stats: dict
+) -> None:
+    """Cross-round deltas on BOTH bases (min and median), normalized
+    per-query by the interleaved box-state probes, with sign-disagreement
+    noise flags (r8 verdict #1: the official record and a same-code rerun
+    disagreed by ~28 normalized points under the old single-basis /
+    single-probe protocol — when the two bases disagree on a query's
+    direction, the delta is box noise and must say so).
+
+    Totals compare the SHARED query set only, so widening the headline
+    list never reads as a regression."""
+    prev = _load_previous_round()
+    if prev is None:
+        return
+    prev_data, prev_round = prev
+    prev_queries = dict(prev_data.get("queries") or {})
+    prev_stats = dict(prev_data.get("queries_stats") or {})
+    detail["prev_round"] = prev_round
+
+    # global box-state ratio (geomean of scan & cpu probe ratios): a
+    # uniform +20% with a +20% calibration ratio is load, not code
+    ratios = []
+    for k in ("calibration_scan_sec", "calibration_cpu_sec"):
+        pv, cv = prev_data.get(k), detail.get(k)
+        if pv and cv:
+            ratios.append(cv / pv)
+    cal_ratio = (
+        round((ratios[0] * ratios[-1]) ** 0.5, 4) if ratios else None
+    )
+    if cal_ratio:
+        detail["calibration_ratio_vs_prev"] = cal_ratio
+
+    def per_query_ratio(name: str) -> float | None:
+        # per-GROUP normalization when both rounds interleaved probes
+        # (r10+); falls back to the run-global ratio against older rounds
+        cur, prv = stats.get(name) or {}, prev_stats.get(name) or {}
+        if all(
+            d.get(k) for d in (cur, prv) for k in ("cal_scan", "cal_cpu")
+        ):
+            return (
+                (cur["cal_scan"] / prv["cal_scan"])
+                * (cur["cal_cpu"] / prv["cal_cpu"])
+            ) ** 0.5
+        return cal_ratio
+
+    bases: dict[str, dict] = {}
+    for basis in ("min", "median"):
+        cur_cmp = {n: s[basis] for n, s in stats.items()}
+        if prev_stats:
+            prev_cmp = {
+                n: s.get(basis) for n, s in prev_stats.items()
+            }
+        elif basis == "min":  # r5-and-earlier records carry min only
+            prev_cmp = dict(prev_queries)
+        else:
+            continue
+        shared = [n for n in cur_cmp if prev_cmp.get(n)]
+        prev_shared = sum(prev_cmp[n] for n in shared)
+        if not prev_shared:
+            continue
+        cur_shared = sum(cur_cmp[n] for n in shared)
+        entry = {
+            "delta_vs_prev_pct": round(
+                100.0 * (cur_shared - prev_shared) / prev_shared, 1
+            ),
+            "per_query_pct": {
+                n: round(
+                    100.0 * (cur_cmp[n] - prev_cmp[n]) / prev_cmp[n], 1
+                )
+                for n in shared
+            },
+        }
+        if cal_ratio:
+            norm_shared = sum(
+                cur_cmp[n] / (per_query_ratio(n) or 1.0) for n in shared
+            )
+            entry["delta_vs_prev_pct_normalized"] = round(
+                100.0 * (norm_shared - prev_shared) / prev_shared, 1
+            )
+            entry["per_query_pct_normalized"] = {
+                n: round(
+                    100.0
+                    * (cur_cmp[n] / (per_query_ratio(n) or 1.0)
+                       - prev_cmp[n])
+                    / prev_cmp[n],
+                    1,
+                )
+                for n in shared
+            }
+        bases[basis] = entry
+        detail["delta_shared_queries"] = len(shared)
+
+    if not bases:
+        return
+    detail["deltas"] = bases
+    # headline keys keep the historical names (median basis when
+    # available) so older tooling and round records stay comparable
+    head_basis = "median" if "median" in bases else "min"
+    head = bases[head_basis]
+    detail["delta_basis"] = head_basis
+    detail["delta_vs_prev_pct"] = head["delta_vs_prev_pct"]
+    detail["delta_queries_pct"] = head["per_query_pct"]
+    if "delta_vs_prev_pct_normalized" in head:
+        detail["delta_vs_prev_pct_normalized"] = head[
+            "delta_vs_prev_pct_normalized"
+        ]
+        detail["delta_queries_pct_normalized"] = head[
+            "per_query_pct_normalized"
+        ]
+    if "min" in bases and "median" in bases:
+        detail["delta_vs_prev_pct_min"] = bases["min"]["delta_vs_prev_pct"]
+        detail["delta_vs_prev_pct_median"] = bases["median"][
+            "delta_vs_prev_pct"
+        ]
+        if cal_ratio:
+            detail["delta_vs_prev_pct_min_normalized"] = bases["min"][
+                "delta_vs_prev_pct_normalized"
+            ]
+            detail["delta_vs_prev_pct_median_normalized"] = bases[
+                "median"
+            ]["delta_vs_prev_pct_normalized"]
+        # a per-query delta whose min-basis and median-basis directions
+        # DISAGREE is box noise, not attributable to code; <3% on both
+        # bases is flat either way and not worth flagging
+        noise = sorted(
+            n
+            for n, dmed in bases["median"]["per_query_pct"].items()
+            if n in bases["min"]["per_query_pct"]
+            and (dmin := bases["min"]["per_query_pct"][n]) * dmed < 0
+            and max(abs(dmin), abs(dmed)) >= 3.0
+        )
+        detail["delta_queries_noise"] = noise
+        detail["noise_queries"] = len(noise)
 
 
 def _write_detail(detail: dict, sf_num: float | None) -> str:
