@@ -101,6 +101,12 @@ HEADLINE = [
     "q_gaps_islands",
     "text_ngram_novelty",
     "pipeline_curate_mix",
+    # round-10 additions: the last r8 operator without a cross-round
+    # trend (sim_range_search, r8 verdict #5) and the new ExactSubstr
+    # dedup + BPE trainer loop, benched from their first round
+    "sim_range_search",
+    "dedup_exact_substring",
+    "text_bpe_train",
 ]
 
 

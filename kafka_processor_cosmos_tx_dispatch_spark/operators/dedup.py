@@ -732,3 +732,89 @@ def verify_pairs_editdist(
     return j.select(
         "doc_a", "doc_b", lev.alias("lev"), sim.alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring overlap (Lee et al. 2022 ExactSubstr, distributed)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_shingle_df: int = 64,
+) -> DataFrame:
+    """Verbatim ≥min_tokens-token cross-document overlap pairs — the
+    ExactSubstr primitive of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed for Spark.
+
+    Exactness: two documents contain the same verbatim run of ≥n tokens
+    IFF they share at least one n-token shingle, so the shingle
+    equi-join IS the decision procedure — unlike MinHash/SimHash there
+    is no probability in it. The paper builds a suffix array (a
+    single-machine construction); the inverted-index join is its
+    shuffle-native equivalent, and the LONGEST shared run falls out
+    relationally: matched shingle positions (pa, pb) lying on one
+    diagonal (pa − pb) with consecutive pa form a gaps-and-islands
+    run, and an L-token verbatim overlap is a run of L−n+1 shingles —
+    the "longest common extension" computed as a window + groupBy
+    instead of pointer-chasing.
+
+    Output: (doc_a, doc_b, n_anchors, overlap_tokens) per unordered pair
+    with doc_a < doc_b — n_anchors = matched shingle-position pairs,
+    overlap_tokens = longest verbatim run in tokens (= max island + n−1).
+
+    Scale: one df-count pass keeps only shingles with
+    2 ≤ df ≤ max_shingle_df before the self-join — singleton shingles
+    (the overwhelming majority of a real corpus) can never produce a
+    pair, and hot boilerplate (licence headers, templates) above the cap
+    would fan out quadratically at 100 TB; the cap is part of the
+    operator's definition and must be mirrored by any oracle. The join
+    keys on the shingle TEXT itself: exact, no hash-collision false
+    positives, and Spark hashes the join key internally anyway. Window
+    partitions on (pair, diagonal) — bounded by the pair's overlap, no
+    global sort.
+    """
+    toks = TX.tokens(F.col(text_col))
+    sh_arr = TX.word_shingles(toks, min_tokens)
+    sh = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(sh_arr).alias("pos", "shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+        .select("shingle")
+    )
+    anchored = sh.join(keep, "shingle")
+    m = (
+        anchored.alias("a")
+        .join(anchored.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("diag", F.col("pa") - F.col("pb"))
+        .withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_len").cast("long").alias("n_anchors"),
+        (F.max("run_len") + F.lit(min_tokens - 1))
+        .cast("long")
+        .alias("overlap_tokens"),
+    )

@@ -8417,6 +8417,50 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, threshold=0.9)
 
 
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, CAST(SUM(run_len) AS BIGINT) AS n_anchors,
+           CAST(MAX(run_len) + 7 AS BIGINT) AS overlap_tokens
+    FROM agg GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ≥8-token cross-document overlap — the Lee et al. 2022
+    ExactSubstr primitive the near-dup family (Jaccard/containment/
+    MinHash) statistically approximates but never decides exactly.
+    Shingle-anchored inverted-index self-join (sharing one 8-token
+    shingle ⇔ having a ≥8-token verbatim overlap) + relational
+    longest-common-extension: matched positions on one (pa−pb) diagonal
+    form gaps-and-islands runs, max run + 7 = the longest overlap in
+    tokens (operators/dedup.py:exact_substring_pairs). Boilerplate
+    shingles with doc-frequency > 64 are dropped pre-join (quadratic
+    fan-out guard at 100 TB; the cap is mirrored in the oracle)."""
+    from .operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+
+
 _BM25_TERMS = ("data", "vector", "query")
 
 

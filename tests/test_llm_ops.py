@@ -839,3 +839,41 @@ def test_skyline_random_sets_match_bruteforce(spark):
             ).collect()
         }
         assert got == frontier, (seed, got ^ frontier)
+
+
+def test_exact_substring_pairs_hand_corpus(spark):
+    """Pin the ExactSubstr contract on a hand corpus: (a) a verbatim
+    8-token run IS detected with the exact overlap length, (b) a 7-token
+    shared run is NOT a pair, (c) a shingle above the doc-frequency cap
+    anchors nothing, and (d) two separate shared runs report the LONGEST
+    as overlap_tokens with both counted in n_anchors."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    run10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 10 tokens
+    run7 = "s1 s2 s3 s4 s5 s6 s7"  # below min_tokens=8
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"  # in ALL docs -> df over cap
+    run8 = "u1 u2 u3 u4 u5 u6 u7 u8"  # second shared run for (d)
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} alpha {run10} beta {run8}"),
+            (1, f"gamma {run10} delta {boiler} epsilon {run8}"),
+            (2, f"{run7} zeta {boiler} eta unique2 words2 here2"),
+            (3, f"theta {run7} {boiler} iota unique3 words3 also3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in exact_substring_pairs(
+            docs, min_tokens=8, max_shingle_df=3
+        ).collect()
+    }
+    # (b)+(c): docs 2,3 share only run7 (<8 tokens) and boiler (df=4>cap)
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    # (a)+(d): longest run is the 10-token one; anchors = 3 shingles of
+    # run10 (positions 1..3 of a 10-token run) + 1 shingle of run8
+    assert r["overlap_tokens"] == 10
+    assert r["n_anchors"] == 4
