@@ -8946,6 +8946,154 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_ITERS = 4
+
+
+def _bpe_train_oracle(iters: int) -> str:
+    """Unrolled BPE-trainer oracle: iteration i counts adjacent symbol
+    pairs over the (i-1)-merged vocabulary, picks the (cnt DESC, pair
+    ASC) argmax, and applies it as a delimiter-wrapped replace — the
+    same unroll-the-loop oracle style as graph_pagerank."""
+
+    def pair_counts(src: str) -> str:
+        return (
+            "SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM ("
+            "SELECT f, unnest(list_transform(generate_series(1, len(s)-1),"
+            " i -> s[i] || ' ' || s[i+1])) AS pair FROM ("
+            "SELECT f, list_filter(string_split(e, '|'), c -> c <> '') AS s"
+            f" FROM {src})) GROUP BY pair"
+        )
+
+    ctes = [
+        "wf AS (SELECT w, COUNT(*) AS f FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w)",
+        "e0 AS (SELECT f, '|' || array_to_string("
+        "list_filter(string_split(w, ''), c -> c <> ''), '|') "
+        "|| '|</w>|' AS e FROM wf)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"p{i} AS ({pair_counts(f'e{i - 1}')})")
+        ctes.append(
+            f"b{i} AS (SELECT pair, cnt FROM p{i} "
+            "ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if i < iters:
+            ctes.append(
+                f"e{i} AS (SELECT f, replace(e, "
+                "'|' || replace(pair, ' ', '|') || '|', "
+                "'|' || replace(pair, ' ', '') || '|') AS e "
+                f"FROM e{i - 1} CROSS JOIN b{i})"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS it, pair AS merge_pair, cnt "
+        f"FROM b{i}"
+        for i in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@register("text_bpe_train", _bpe_train_oracle(_BPE_TRAIN_ITERS))
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINER loop — 4 unrolled iterations of (pair counts →
+    argmax → apply merge → recount), completing the family:
+    text_bpe_pair_counts is ONE iteration's statistic, text_bpe_encode
+    APPLIES a finished table, this LEARNS the table. Output: the merge
+    table itself, (it, merge_pair, cnt).
+
+    Each iteration is pure DataFrame algebra: the 1-row argmax
+    broadcast-crossJoins back onto the vocabulary and the merge applies
+    as a replace over the delimiter-wrapped symbol stream — the whole
+    4-iteration trainer is ONE lazy Catalyst plan, no driver-side
+    collect between iterations (the data-dependent merge pair rides in
+    a Column, not in Python). Same adjacent-repeat equivalence envelope
+    as text_bpe_encode (both engines share replace() semantics, so
+    oracle parity is exact regardless); pinned against a reference
+    Python BPE trainer in tests/test_llm_ops.py.
+
+    Scale: the corpus is touched ONCE (the word-frequency agg); every
+    iteration after that runs over the DISTINCT vocabulary — thousands
+    of rows at any corpus size (dictionary encoding, the
+    sentencepiece-at-scale pattern). The union's 4 branches repeat the
+    identical wf/e0 subtrees textually, but AQE's exchange reuse
+    collapses them at runtime (the executed plan carries ReusedExchange
+    nodes over the shared aggregates — verified on local[4]); a
+    many-hundred-merge production run would checkpoint the vocab table
+    once instead of relying on reuse."""
+    from functools import reduce
+
+    from .functions import exprs as EX
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    enc0 = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+            "|",
+        ),
+        F.lit("|</w>|"),
+    )
+    cur = wf.select("f", enc0.alias("e"))
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        syms = F.filter(
+            F.split(F.col("e"), r"\|"), lambda c: c != F.lit("")
+        )
+
+        def pair_list(s: F.Column) -> F.Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(s, i), F.element_at(s, i + 1)
+                ),
+            )
+
+        prs = df.select(
+            "f", F.explode(EX.bind(syms, pair_list)).alias("pair")
+        )
+        return prs.groupBy("pair").agg(
+            F.sum("f").cast("long").alias("cnt")
+        )
+
+    bests: list[DataFrame] = []
+    for it in range(1, _BPE_TRAIN_ITERS + 1):
+        best = (
+            pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(it).cast("int").alias("it"),
+                F.col("pair").alias("merge_pair"),
+                "cnt",
+            )
+        )
+        if it < _BPE_TRAIN_ITERS:
+            pat = F.concat(
+                F.lit("|"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("|")),
+                F.lit("|"),
+            )
+            rep = F.concat(
+                F.lit("|"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                F.lit("|"),
+            )
+            picked = best.select(pat.alias("__pat"), rep.alias("__rep"))
+            cur = cur.crossJoin(F.broadcast(picked)).select(
+                "f",
+                F.replace(
+                    F.col("e"), F.col("__pat"), F.col("__rep")
+                ).alias("e"),
+            )
+    return reduce(DataFrame.unionAll, bests)
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
 _MIX_SCALE = 840  # divisible by every weight → integer stride keys
 

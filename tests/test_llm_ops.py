@@ -877,3 +877,64 @@ def test_exact_substring_pairs_hand_corpus(spark):
     # run10 (positions 1..3 of a 10-token run) + 1 shingle of run8
     assert r["overlap_tokens"] == 10
     assert r["n_anchors"] == 4
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Pin text_bpe_train's learned merge table against a from-scratch
+    reference BPE trainer (Sennrich-style get_stats/merge loop with the
+    engine's deterministic tiebreak: count DESC, pair-string ASC) on a
+    toy corpus inside the adjacent-repeat equivalence envelope the
+    operator documents."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    import kafka_processor_cosmos_tx_dispatch_spark.queries as q
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cats eat fresh fish",
+        "that hat on the mat is flat",
+        "the theme of the thesis",
+    ]
+
+    def ref_bpe(texts: list[str], iters: int):
+        wf = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = {w: list(w) + ["</w>"] for w in wf}
+        merges = []
+        for _ in range(iters):
+            stats: Counter = Counter()
+            for w, f in wf.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    stats[f"{s[i]} {s[i + 1]}"] += f
+            pair, cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((pair, cnt))
+            a, b = pair.split(" ")
+            for w in vocab:
+                s, out, i = vocab[w], [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    expected = ref_bpe(corpus, 4)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = [
+            (r["merge_pair"], r["cnt"])
+            for r in q.queries()["text_bpe_train"](spark, d)
+            .orderBy("it")
+            .collect()
+        ]
+    assert got == expected

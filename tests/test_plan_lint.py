@@ -81,6 +81,7 @@ BNLJ_OK = {
     "text_bm25_rank",  # 1-row corpus-stats (N, Σdl, df_t) broadcast
     "q_heavy_hitters_mg",  # 1-row (n, u) threshold broadcast
     "q_changepoint_cusum",  # 1-row floor-mean target broadcast
+    "text_bpe_train",  # 1-row argmax merge-pair broadcast per iteration
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sim_range_search",  # same bounded-query broadcast, threshold filter
     "sim_knn_classify",  # same bounded-query broadcast + label vote
