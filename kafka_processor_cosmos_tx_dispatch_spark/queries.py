@@ -9162,6 +9162,66 @@ def sample_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_mixture_schedule",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang,
+             r * ({_MIX_SCALE} // CASE lang
+                 {" ".join(f"WHEN '{k}' THEN {v}"
+                           for k, v in _MIX_WEIGHTS.items())}
+                 ELSE 1 END) AS k
+      FROM ranked)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, lang, doc_id) AS BIGINT)
+             AS position,
+           lang, doc_id
+    FROM keyed
+    QUALIFY position <= 100
+    """,
+)
+def streaming_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture schedule maintained over a DOCUMENT stream
+    (streaming/incremental.py:incremental_mixture_schedule) — stride
+    scheduling where every arriving document gets its FINAL schedule
+    key at arrival (per-lang arrival rank × stride, counters carried
+    across micro-batches, batch-id-ledgered exactly-once), so a
+    training loader can consume "next by key" while ingest runs. The
+    oracle ranks per lang by doc_id — the stream's arrival order — and
+    equals the batch schedule under any ordered micro-batch split
+    (split-invariance pinned in tests/test_streaming.py); the batch
+    twin sample_mixture_schedule differs only in its md5 shuffle
+    order."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_mixture_schedule
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    keyed = incremental_mixture_schedule(
+        stream,
+        tempfile.mkdtemp(prefix="smix_"),
+        _MIX_WEIGHTS,
+        _MIX_SCALE,
+    )
+    wg = W.orderBy("k", "lang", "doc_id")
+    return (
+        keyed.withColumn(
+            "position", F.row_number().over(wg).cast("long")
+        )
+        .filter(F.col("position") <= 100)
+        .select("position", "lang", "doc_id")
+    )
+
+
+@register(
     "q_fuzzy_join_symdel",
     """
     WITH dirty AS (

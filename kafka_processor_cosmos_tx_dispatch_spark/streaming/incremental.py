@@ -529,3 +529,141 @@ def incremental_drift_counts(
             " DIV (p_ref + p_cur) AS BIGINT)"
         ).alias("chi2_milli"),
     )
+
+
+def make_mixture_schedule_batch(
+    state_dir: str, weights: dict, scale: int, latest: dict
+):
+    """foreachBatch body of incremental_mixture_schedule: stride
+    scheduling with CARRIED per-lang counters. Per batch: rank the
+    batch's docs per lang by doc_id (the stream's deterministic arrival
+    order), offset each rank by the lang's carried count, and emit the
+    final schedule key k = (carry + rank) · stride(lang). A document's
+    key is assigned ONCE, at arrival, and never revised — which is what
+    makes the schedule streamable: the global mixture order is just
+    "sort by k", and any ordered micro-batch split of the corpus yields
+    byte-identical keys (split-invariance pinned in
+    tests/test_streaming.py).
+
+    Exactly-once: the counter state is batch-id-ledgered (v{bid} dirs +
+    the `latest` ledger, recovering from disk via _scan_state — counts
+    are associative, not idempotent, so replays are SKIPPED like
+    make_daily_count_merge_batch); the keyed output is idempotent by
+    construction (overwrite into a b{bid}-named dir)."""
+    from pyspark.sql import Window as W
+
+    out_root = os.path.join(state_dir, "keyed")
+    counts_dir = os.path.join(state_dir, "counts")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(counts_dir)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: keys already written, counts folded
+        spark = bdf.sparkSession
+        wl = W.partitionBy("lang").orderBy("doc_id")
+        ranked = bdf.select(
+            "doc_id", "lang", F.row_number().over(wl).alias("r")
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is not None:
+            ranked = (
+                ranked.join(F.broadcast(carry), "lang", "left")
+                .withColumn(
+                    "r", F.col("r") + F.coalesce(F.col("seen"), F.lit(0))
+                )
+                .drop("seen")
+            )
+        weight = F.coalesce(
+            F.create_map(
+                *[
+                    x
+                    for k, v in weights.items()
+                    for x in (F.lit(k), F.lit(v))
+                ]
+            )[F.col("lang")],
+            F.lit(1),
+        )
+        keyed = ranked.select(
+            "doc_id",
+            "lang",
+            (F.col("r") * (F.lit(scale) / weight).cast("long"))
+            .cast("long")
+            .alias("k"),
+        )
+        keyed.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"b{bid}")
+        )
+        # full-outer merge with the carried counters: a lang ABSENT from
+        # this batch must keep its counter (a left-replace here silently
+        # reset absent langs' ranks — caught by the split-invariance
+        # test's single-lang middle batch)
+        counts = ranked.groupBy("lang").agg(
+            F.max("r").cast("long").alias("seen_new")
+        )
+        if carry is not None:
+            counts = carry.join(counts, "lang", "full_outer").select(
+                "lang",
+                F.coalesce("seen_new", "seen").cast("long").alias("seen"),
+            )
+        else:
+            counts = counts.select(
+                "lang", F.col("seen_new").cast("long").alias("seen")
+            )
+        path = os.path.join(counts_dir, f"v{bid}")
+        counts.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_mixture_schedule(
+    stream: DataFrame, state_dir: str, weights: dict, scale: int
+) -> DataFrame:
+    """Deterministic data-mixing schedule maintained over a DOCUMENT
+    stream — the streaming twin of queries.sample_mixture_schedule's
+    stride scheduling: every arriving document gets its final schedule
+    key immediately (per-lang arrival rank × stride), with per-lang
+    counters carried across micro-batches, so a training-data loader
+    can consume "next by key" while ingest is still running. Per-batch
+    cost is the batch's own rank window + a broadcast of the ≤|langs|
+    counter table — independent of corpus size; the counter state is
+    bounded by the language domain.
+
+    Returns the accumulated keyed table (doc_id, lang, k) after the
+    bounded stream drains."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_mixture_schedule_batch(
+                state_dir, weights, scale, {"bid": None, "path": None}
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_mixture_schedule: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(state_dir, "keyed", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not outs:
+        return spark.createDataFrame([], "doc_id long, lang string, k long")
+    return spark.read.parquet(*outs)

@@ -623,3 +623,49 @@ class TestIncrementalLshDedup:
             for r in spark.read.parquet(*outs).distinct().collect()
         }
         assert got == want
+
+
+class TestIncrementalMixtureSchedule:
+    def test_split_invariant_and_replay_skipped(self, spark, tmp_path):
+        """Any ORDERED micro-batch split of the corpus must assign every
+        document the same schedule key as the one-shot computation
+        (per-lang arrival rank × stride, carried counters), and a
+        replayed batch id must be skipped by the ledger — counters are
+        associative, not idempotent, so a re-fold would shift every
+        later rank."""
+        import glob
+
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_mixture_schedule_batch,
+        )
+
+        weights, scale = {"en": 4, "de": 2}, 840
+        docs = [(i, "en" if i % 3 else "de") for i in range(30)]
+        schema = "doc_id long, lang string"
+
+        def run(splits, workdir, replay_bid=None):
+            body = make_mixture_schedule_batch(
+                workdir, weights, scale, {"bid": None, "path": None}
+            )
+            for bid, rows in enumerate(splits):
+                body(spark.createDataFrame(rows, schema), bid)
+                if replay_bid == bid:
+                    body(spark.createDataFrame(rows, schema), bid)
+            outs = glob.glob(f"{workdir}/keyed/b*")
+            return {
+                r["doc_id"]: (r["lang"], r["k"])
+                for r in spark.read.parquet(*outs).collect()
+            }
+
+        one_shot = run([docs], str(tmp_path / "a"))
+        split = run(
+            [docs[:7], docs[7:8], docs[8:20], docs[20:]],
+            str(tmp_path / "b"),
+            replay_bid=2,
+        )
+        assert split == one_shot
+        # stride semantics: within a lang, keys are rank*stride
+        en_keys = sorted(k for lang, k in one_shot.values() if lang == "en")
+        assert en_keys[:3] == [210, 420, 630]
+        de_keys = sorted(k for lang, k in one_shot.values() if lang == "de")
+        assert de_keys[:3] == [420, 840, 1260]
