@@ -2520,7 +2520,7 @@ def dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(docs).select("doc_id")
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents") -> str:
     aggs = ",\n           ".join(
         f"min(h1 + {s} * h2) AS h{s}" for s in range(_MINHASH_K)
     )
@@ -2532,7 +2532,7 @@ def _minhash_sig_sql() -> str:
         for b in range(_MINHASH_BANDS)
     )
     return f"""
-    toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, {_D_TOKS} AS t FROM {src}),
     sh AS (SELECT DISTINCT doc_id, unnest({_D_SHINGLES}) AS s FROM toks),
     hs AS (SELECT doc_id,
                   ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
@@ -8459,6 +8459,98 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+
+
+@register(
+    "dedup_passage_lsh",
+    f"""
+    WITH toks0 AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    nn AS (SELECT doc_id, t,
+                  ((greatest(len(t) - 32, 0) + 31) // 32) + 1 AS n_chunks
+           FROM toks0),
+    cc AS (SELECT doc_id, t,
+                  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM nn),
+    passages AS (
+      SELECT doc_id * 1000 + chunk_idx AS doc_id,
+             array_to_string(
+               list_slice(t, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+               ' ') AS text
+      FROM cc),
+    {_minhash_sig_sql(src="passages")}
+    SELECT DISTINCT
+      a.doc_id // 1000 AS doc_a,
+      CAST(a.doc_id % 1000 AS INTEGER) AS chunk_a,
+      b.doc_id // 1000 AS doc_b,
+      CAST(b.doc_id % 1000 AS INTEGER) AS chunk_b
+    FROM banded a
+    JOIN ok ON a.band_key = ok.band_key
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.doc_id // 1000 <> b.doc_id // 1000
+    """,
+)
+def dedup_passage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-granularity near-dup: the granularity production curation
+    actually dedups at — a document that quotes one paragraph of
+    another is invisible to whole-document MinHash (the rest of the
+    text drowns the signature) but lights up when each 32-token
+    non-overlapping passage carries its own signature. Composition of
+    two existing operators: text_chunk_overlap's bound-once chunker
+    (stride = size, so sibling chunks never trivially self-collide) →
+    minhash_lsh_pairs over passages with a composite passage id
+    (doc_id·1000 + chunk_idx), cross-document pairs only.
+
+    Scale: chunking is a narrow Generate; the LSH self-join is the same
+    capped band-key equi-join as dedup_minhash_lsh_pairs — passage rows
+    are ~L/32× more numerous but each signature is over 32 tokens, so
+    the shuffle volume per corpus byte is unchanged."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    size = stride = 32
+
+    def chunks(t: F.Column) -> F.Column:
+        n_chunks = (
+            (F.greatest(F.size(t) - size, F.lit(0)) + (stride - 1))
+            .cast("long")
+            / stride
+        ).cast("long") + 1
+        return F.struct(
+            t.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
+        )
+
+    b = docs.select(
+        "doc_id", EX.bind(TX.tokens(F.col("text")), chunks).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.t").alias("t"),
+        F.explode("s.idx").alias("chunk_idx"),
+    )
+    sliced = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, size)
+    passages = b.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("pid"),
+        F.concat_ws(" ", sliced).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        passages,
+        id_col="pid",
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    da, db = F.expr("doc_a DIV 1000"), F.expr("doc_b DIV 1000")
+    return (
+        pairs.filter(da != db)
+        .select(
+            da.alias("doc_a"),
+            (F.col("doc_a") % 1000).cast("int").alias("chunk_a"),
+            db.alias("doc_b"),
+            (F.col("doc_b") % 1000).cast("int").alias("chunk_b"),
+        )
+        .distinct()
+    )
 
 
 _BM25_TERMS = ("data", "vector", "query")
