@@ -443,6 +443,73 @@ def main() -> None:
         lambda: run(power_iteration_top_component(vecs, rounds=3)),
     )
 
+    # exact-substring dedup at corpus scale: on a random-token corpus
+    # almost no 8-token shingle repeats, so the df-prune (2 ≤ df ≤ cap)
+    # should discard nearly the whole shingle stream BEFORE the
+    # self-join — the probe pins that the cost is the shingle scan +
+    # one count agg, not pair generation
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    probe(
+        "exact_substring_dedup",
+        args.docs,
+        lambda: run(exact_substring_pairs(docs, min_tokens=8)),
+    )
+
+    # passage-granularity LSH: ~2 passages/doc (60-token docs, 32-token
+    # chunks) — should track minhash_lsh's rows/s on the ~2× passage
+    # stream, since per-corpus-byte signature work is unchanged
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    def passage_lsh():
+        t = TX.tokens(F.col("text"))
+        n_chunks = (
+            (F.greatest(F.size(F.col("t")) - 32, F.lit(0)) + 31)
+            .cast("long")
+            / 32
+        ).cast("long") + 1
+        b = (
+            docs.select("doc_id", t.alias("t"))
+            .select(
+                "doc_id",
+                "t",
+                F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+            )
+        )
+        passages = b.select(
+            (F.col("doc_id") * 1000 + F.col("ci")).alias("pid"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("ci") * 32 + 1, 32)
+            ).alias("text"),
+        )
+        run(minhash_lsh_pairs(passages, id_col="pid"))
+
+    probe("passage_lsh_dedup", args.docs, passage_lsh)
+
+    # BPE trainer (4 unrolled iterations): cost should be ONE corpus
+    # scan (the wf agg, AQE-reused across the union's branches) + 4
+    # vocab-bounded iteration passes — runtime barely above the corpus
+    # scan, independent of iterations×corpus. Reuses the REGISTERED
+    # query via a sf_dir-shaped scratch layout so the probe measures
+    # the exact shipped plan.
+    bpe_dir = f"{WORKDIR}/bpe_sf"
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("probe")
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(f"{bpe_dir}/documents.parquet")
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import queries as _q
+
+    probe(
+        "bpe_train_4iters",
+        args.docs,
+        lambda: run(_q()["text_bpe_train"](spark, bpe_dir)),
+    )
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
