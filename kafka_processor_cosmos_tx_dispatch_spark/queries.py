@@ -8462,6 +8462,100 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_drop_substring",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    ov AS (SELECT doc_a, doc_b, MAX(run_len) + 7 AS overlap_tokens
+           FROM agg GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM ov JOIN lens la ON la.doc_id = ov.doc_a
+              JOIN lens lb ON lb.doc_id = ov.doc_b
+      WHERE 2 * overlap_tokens >= least(la.n_toks, lb.n_toks)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_drop_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step for exact-substring dedup: drop every document
+    whose longest VERBATIM overlap with another covers ≥ half the
+    shorter document (containment-by-verbatim-run — the deterministic
+    cousin of dedup_drop_near's statistical LSH gate), keeping one
+    canonical survivor (min doc_id) per overlap component. Same shape
+    as the rest of the drop family: exact pairs
+    (operators/dedup.py:exact_substring_pairs) → threshold → connected
+    components → one anti-join against the corpus; everything upstream
+    of the anti-join is cardinality-bounded by the qualifying pairs,
+    never the corpus."""
+    from .functions import text as TX
+    from .operators.dedup import (
+        connected_components_twolevel,
+        exact_substring_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+    lens = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_toks")
+    )
+    qual = (
+        pairs.join(
+            lens.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_toks").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_toks").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.lit(2) * F.col("overlap_tokens")
+            >= F.least(F.col("na"), F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components_twolevel(qual)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "dedup_passage_lsh",
     f"""
     WITH toks0 AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
