@@ -10023,15 +10023,19 @@ def queries() -> dict[str, QueryFn]:
         return {n: _QUERIES[n] for n in base}
     flagship = [n for n in ("dispatch_route",) if n in _QUERIES]
     rest = [n for n in base if n not in flagship]
-    # builder-flagged re-proof names: oracles fixed since their last
-    # (or never-had) driver check; front of the never-proved bucket so
-    # the fix lands inside this round's sample budget (r7: the two
-    # latent HUGEINT/DECIMAL oracle repairs, r6 verdict #1)
+    # builder-flagged re-proof names: semantics/oracles changed since
+    # their last driver check; front of the never-proved bucket so the
+    # fix lands inside this round's sample budget (r7: the two latent
+    # HUGEINT/DECIMAL oracle repairs; r10: q_heavy_hitters_mg's r8
+    # "proof" was an empty-vs-empty match — its threshold changed and
+    # the nonempty answer needs a real driver green). Unlike the r7
+    # names, q_heavy_hitters_mg IS in `proved`, so it's forced here
+    # unconditionally and excluded from bucket 4 below.
     priority = [
         n
         for n in ("q_table_checksum", "q_cogroup_reconcile")
         if n in _QUERIES and n not in proved
-    ]
+    ] + [n for n in ("q_heavy_hitters_mg",) if n in _QUERIES]
     never = [
         n
         for n in rest
@@ -10039,10 +10043,10 @@ def queries() -> dict[str, QueryFn]:
     ]
     ordered = (
         flagship
-        + [n for n in rest if n in errored]
+        + [n for n in rest if n in errored and n not in priority]
         + priority
         + never
-        + [n for n in rest if n in proved]
+        + [n for n in rest if n in proved and n not in priority]
     )
     return {n: _QUERIES[n] for n in ordered}
 
