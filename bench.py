@@ -107,6 +107,9 @@ HEADLINE = [
     "sim_range_search",
     "dedup_exact_substring",
     "text_bpe_train",
+    "dedup_drop_substring",
+    "dedup_passage_lsh",
+    "streaming_mixture_schedule",
 ]
 
 
@@ -356,8 +359,12 @@ def main() -> None:
         n for n in os.environ.get("BENCH_EXTRA", "").split(",") if n in registry
     ]
 
-    # warmup: JVM + parquet footer caches
+    # warmup: JVM + parquet footer caches; the discarded probe sample
+    # warms the PROBE plans too (their first compile measured ~2× the
+    # steady readings, which inflated group-1 normalization and the
+    # spread metric with codegen cost, not box state)
     run_query(registry["q1_pricing_summary"](spark, sf_dir))
+    probe_box_state(spark, sf_dir, iters=1)
 
     # min-of-5 by default (r8 verdict #1: the builder's run and the
     # driver's same-code rerun disagreed by ~28 normalized points under
@@ -395,8 +402,14 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
-    scans = sorted(c["scan"] for c in group_cal)
-    cpus = sorted(c["cpu"] for c in group_cal)
+    # spread over groups 2..N: group 1's probes read ~2× high in every
+    # observed run (JVM C2 tiering still in progress — unchanged by
+    # plan-level warmup), which is startup, not box state. Per-query
+    # normalization keeps group 1's own probe: cross-ROUND group-1
+    # ratios carry the same inflation on both sides and cancel.
+    steady_cal = group_cal[1:] or group_cal
+    scans = sorted(c["scan"] for c in steady_cal)
+    cpus = sorted(c["cpu"] for c in steady_cal)
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
