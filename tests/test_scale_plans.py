@@ -381,3 +381,36 @@ def test_zorder_prunes_rowgroups_on_nonleading_column(spark, sf_dir, tmp_path):
     assert s["numOutputRows"] == total
     # z-order: most row groups' user_id boxes miss the band entirely
     assert z["numOutputRows"] < total * 0.6, z
+
+
+def test_anti_join_pushes_filter_to_build_scan(spark, sf_dir):
+    """q_join_anti's priority filter must reach the orders parquet scan
+    as a pushed filter WITH column pruning (only the join key and the
+    filter column read) — the anti-join's build side shrinks ~5× before
+    any shuffle, which is the shape that matters at 100 TB."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["q_join_anti"](spark, sf_dir))
+    scan = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "orders" in line
+    )
+    assert "EqualTo(o_orderpriority,1-URGENT)" in scan, scan
+    assert "o_totalprice" not in scan  # pruned: only key + filter column
+
+
+def test_exact_substring_prunes_singletons_before_self_join(spark, sf_dir):
+    """dedup_exact_substring must place the df-count prune (2 ≤ df ≤ cap)
+    BETWEEN shingle generation and the self-join: the aggregate feeding
+    the semi-join filter appears below the join in the plan, so the
+    join's inputs are the capped shingle set, never the raw stream —
+    the guard that keeps 100 TB pair generation bounded."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["dedup_exact_substring"](spark, sf_dir))
+    # the count-distinct prune exists…
+    assert "count(distinct doc_id" in plan or "count(doc_id" in plan, plan
+    # …and no cartesian/BNLJ sneaks into the pair stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
