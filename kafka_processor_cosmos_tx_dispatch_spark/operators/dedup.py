@@ -777,6 +777,27 @@ def exact_substring_pairs(
     partitions on (pair, diagonal) — bounded by the pair's overlap, no
     global sort.
     """
+    runs = _substring_runs(docs, id_col, text_col, min_tokens, max_shingle_df)
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_len").cast("long").alias("n_anchors"),
+        (F.max("run_len") + F.lit(min_tokens - 1))
+        .cast("long")
+        .alias("overlap_tokens"),
+    )
+
+
+def _substring_runs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    max_shingle_df: int,
+) -> DataFrame:
+    """Shared anchor stage of the ExactSubstr family: one row per
+    maximal matched run — (doc_a, doc_b, diag, isl, run_len, start_a,
+    start_b), where a run of run_len consecutive shingles is a verbatim
+    overlap of run_len + n − 1 tokens starting at (0-based) shingle
+    positions start_a / start_b."""
     toks = TX.tokens(F.col(text_col))
     sh_arr = TX.word_shingles(toks, min_tokens)
     sh = (
@@ -806,15 +827,93 @@ def exact_substring_pairs(
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
+    return (
         m.withColumn("diag", F.col("pa") - F.col("pb"))
         .withColumn("isl", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "isl")
-        .agg(F.count(F.lit(1)).alias("run_len"))
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+        )
     )
-    return runs.groupBy("doc_a", "doc_b").agg(
-        F.sum("run_len").cast("long").alias("n_anchors"),
-        (F.max("run_len") + F.lit(min_tokens - 1))
-        .cast("long")
-        .alias("overlap_tokens"),
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_shingle_df: int = 64,
+) -> DataFrame:
+    """Per-document VERBATIM-overlap coverage — the REMOVE half of Lee
+    et al.'s ExactSubstr (the paper deletes the duplicated spans, not
+    whole documents; exact_substring_pairs is only the detector). For
+    every document: merge all cross-document overlap spans it
+    participates in (either side of any pair) into disjoint intervals,
+    and report span count, covered tokens, and integer-exact coverage.
+
+    Span merge is a second gaps-and-islands, at interval granularity:
+    spans sorted by (start, end); a span whose start exceeds the
+    running max end of everything before it opens a new island (one
+    window flag + running sum — no self-join, no UDF). Output columns
+    (doc_id, n_spans, covered_tokens, n_tokens, coverage_milli) are
+    all-integer: coverage_milli = covered·1000 DIV n_tokens, so both
+    engines agree bit-for-bit.
+
+    Scale: inherits the anchor stage's df-prune bounds; the interval
+    merge windows partition per doc over O(that doc's spans) rows."""
+    runs = _substring_runs(docs, id_col, text_col, min_tokens, max_shingle_df)
+    span_len = F.col("run_len") + F.lit(min_tokens - 1)
+    spans = (
+        runs.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + span_len - 1).alias("e"),
+        )
+        .unionAll(
+            runs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + span_len - 1).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    wo = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_isl",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = flagged.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias(
+            "covered_tokens"
+        ),
+    )
+    lens = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(TX.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return per_doc.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "covered_tokens",
+        "n_tokens",
+        F.expr("covered_tokens * 1000 DIV n_tokens").alias(
+            "coverage_milli"
+        ),
     )

@@ -8462,6 +8462,76 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run_len,
+                   MIN(pa) AS start_a, MIN(pb) AS start_b
+            FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    spans AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_a AS doc_id, start_a AS s,
+               start_a + run_len + 6 AS e FROM agg
+        UNION ALL
+        SELECT doc_b, start_b, start_b + run_len + 6 FROM agg)),
+    fl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM spans),
+    fi AS (
+      SELECT doc_id, s, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl),
+    mg AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+           FROM fi GROUP BY doc_id, isl),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(me - ms + 1) AS BIGINT) AS covered_tokens
+           FROM mg GROUP BY doc_id),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT doc_id, n_spans, covered_tokens, n_tokens,
+           CAST(covered_tokens * 1000 // n_tokens AS BIGINT)
+             AS coverage_milli
+    FROM pd JOIN lens USING (doc_id)
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-overlap COVERAGE — the REMOVE half of Lee
+    et al.'s ExactSubstr (the paper deletes duplicated spans, not
+    documents; dedup_exact_substring is the detector, this is the
+    actionable per-doc map of what to cut). All cross-document overlap
+    spans a document participates in (either side of any pair) merge
+    into disjoint intervals via a second gaps-and-islands at interval
+    granularity — a window flag + running sum, no self-join
+    (operators/dedup.py:exact_substring_spans). All-integer output
+    (coverage_milli = covered·1000 DIV n_tokens)."""
+    from .operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, min_tokens=8, max_shingle_df=64)
+
+
+@register(
     "dedup_drop_substring",
     f"""
     WITH RECURSIVE

@@ -938,3 +938,40 @@ def test_bpe_train_matches_reference_trainer(spark):
             .collect()
         ]
     assert got == expected
+
+
+def test_exact_substring_spans_merge_and_coverage(spark):
+    """Pin the span-merge contract: two overlapping verbatim runs in one
+    document merge into ONE interval; a disjoint run stays separate;
+    coverage counts merged tokens exactly once (all-integer milli)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    r1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"  # 10 tokens
+    r2 = "b1 b2 b3 b4 b5 b6 b7 b8"  # 8 tokens
+    # doc 0: r1 at pos 0..9 and r2 at pos 12..19 (gap of 2 -> 2 spans);
+    # doc 1 shares r1; doc 2 shares r2
+    docs = spark.createDataFrame(
+        [
+            (0, f"{r1} x0 y0 {r2}"),  # 20 tokens
+            (1, f"p1 p2 {r1} q1 q2 q3 q4 q5 q6 q7 q8"),  # 20 tokens
+            (2, f"{r2} z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"),  # 20 toks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(
+            docs, min_tokens=8, max_shingle_df=8
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # doc 0: spans [0,9] (10 toks, from r1) and [12,19] (8 toks, r2)
+    assert got[0]["n_spans"] == 2
+    assert got[0]["covered_tokens"] == 18
+    assert got[0]["n_tokens"] == 20
+    assert got[0]["coverage_milli"] == 900
+    # docs 1 and 2: one span each
+    assert got[1]["n_spans"] == 1 and got[1]["covered_tokens"] == 10
+    assert got[2]["n_spans"] == 1 and got[2]["covered_tokens"] == 8
