@@ -9477,6 +9477,84 @@ def streaming_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_BUDGET = 600  # whitespace tokens per source (trims at sf≥0.01)
+
+_DOMAIN_CAP_SQL = f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len({_D_TOKS}) AS BIGINT) AS n_toks
+               FROM documents),
+    c AS (SELECT doc_id, source, n_toks,
+                 SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_toks
+          FROM t)
+    SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= {_CAP_BUDGET}
+    """
+
+
+@register("sample_domain_cap", _DOMAIN_CAP_SQL)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget quota (domain capping): admit each
+    source's documents in deterministic doc_id order until the source's
+    cumulative whitespace-token count crosses the budget, then stop —
+    the "no single domain may exceed X tokens of the mix" rule every
+    production pretraining recipe applies to Common-Crawl-sized sources
+    before mixing (the hard-cap complement of sample_temperature_weights'
+    soft reweighting). Prefix semantics: tokens of documents past the
+    cap still count toward the cumulative, so the admit decision is a
+    pure function of arrival order — which is exactly what makes the
+    same rule enforceable at INGEST time by the streaming twin
+    (streaming_domain_cap) with carried counters.
+
+    Scale: one window over a source-keyed shuffle — the partition key is
+    the domain itself, so a 100 TB corpus shuffles once on source; the
+    running sum is a single pass per partition. Skewed sources (one
+    domain = half the corpus) are the data's own skew: the cap cuts
+    exactly those partitions short, and AQE splits the oversized
+    pre-filter partitions. No collect, no second pass."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    ).withColumn("cum_toks", F.sum("n_toks").over(wc))
+    return toks.filter(F.col("cum_toks") <= _CAP_BUDGET)
+
+
+@register("streaming_domain_cap", _DOMAIN_CAP_SQL)
+def streaming_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain cap enforced over a DOCUMENT stream
+    (streaming/incremental.py:incremental_domain_cap) — per-source token
+    counters carried across micro-batches, batch-id-ledgered
+    exactly-once, each document admitted or dropped ONCE at arrival and
+    never revised. The oracle is the batch twin's window SQL: under any
+    ordered micro-batch split the carried counter equals the batch
+    running sum (split-invariance pinned in tests/test_streaming.py),
+    so the admitted set is byte-identical."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_domain_cap
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    return incremental_domain_cap(
+        stream, tempfile.mkdtemp(prefix="sdcap_"), _CAP_BUDGET
+    ).select("doc_id", "source", "n_toks", "cum_toks")
+
+
 @register(
     "q_fuzzy_join_symdel",
     """

@@ -667,3 +667,146 @@ def incremental_mixture_schedule(
     if not outs:
         return spark.createDataFrame([], "doc_id long, lang string, k long")
     return spark.read.parquet(*outs)
+
+
+def make_domain_cap_batch(state_dir: str, budget: int, latest: dict):
+    """foreachBatch body of incremental_domain_cap: per-source token
+    budget enforcement with CARRIED per-source token counters — the
+    streaming twin of queries.sample_domain_cap's prefix-quota.
+
+    Per batch: token-count each document (whitespace tokens, the same
+    functions/text.py tokenizer as the batch twin), running-sum per
+    source in doc_id order (the stream's deterministic arrival order),
+    offset by the source's carried total, and ADMIT the document iff
+    its cumulative total stays within the budget. The admit decision is
+    made ONCE, at arrival, and never revised — prefix semantics: a
+    source that crosses its budget stops admitting, exactly like the
+    batch window. Tokens of dropped documents still count toward the
+    cumulative (that is what makes the decision final and the schedule
+    split-invariant: the counter depends only on arrivals, not on
+    admissions).
+
+    Exactly-once: counters are batch-id-ledgered (v{bid} dirs + replay
+    skip — token totals are associative, not idempotent); admitted rows
+    are idempotent by construction (overwrite into b{bid} dirs).
+
+    Scale: per-batch cost is one window over the batch itself plus a
+    broadcast of the ≤|sources| counter table — independent of corpus
+    size; state is bounded by the source domain, not the data."""
+    from pyspark.sql import Window as W
+
+    from ..functions import text as TX
+
+    out_root = os.path.join(state_dir, "admitted")
+    counts_dir = os.path.join(state_dir, "counts")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(counts_dir)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: admissions already written
+        spark = bdf.sparkSession
+        wc = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        toks = bdf.select(
+            "doc_id",
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        ).withColumn("cum_batch", F.sum("n_toks").over(wc))
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is not None:
+            toks = (
+                toks.join(F.broadcast(carry), "source", "left")
+                .withColumn(
+                    "cum_toks",
+                    F.col("cum_batch") + F.coalesce("seen_toks", F.lit(0)),
+                )
+                .drop("seen_toks")
+            )
+        else:
+            toks = toks.withColumn("cum_toks", F.col("cum_batch"))
+        admitted = toks.filter(F.col("cum_toks") <= budget).select(
+            "doc_id", "source", "n_toks", "cum_toks"
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"b{bid}")
+        )
+        # full-outer counter merge: a source ABSENT from this batch must
+        # keep its counter (same bug class the mixture schedule's
+        # split-invariance test caught — a left-replace resets it)
+        counts = toks.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("new_toks")
+        )
+        if carry is not None:
+            counts = carry.join(counts, "source", "full_outer").select(
+                "source",
+                (
+                    F.coalesce("seen_toks", F.lit(0))
+                    + F.coalesce("new_toks", F.lit(0))
+                )
+                .cast("long")
+                .alias("seen_toks"),
+            )
+        else:
+            counts = counts.select(
+                "source", F.col("new_toks").cast("long").alias("seen_toks")
+            )
+        path = os.path.join(counts_dir, f"v{bid}")
+        counts.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_domain_cap(
+    stream: DataFrame, state_dir: str, budget: int
+) -> DataFrame:
+    """Per-source token-budget quota maintained over a DOCUMENT stream —
+    admit each arriving document iff its source's cumulative token count
+    (carried across micro-batches) stays within `budget`. The streaming
+    twin of queries.sample_domain_cap: any ordered micro-batch split of
+    the corpus admits exactly the documents the batch window keeps
+    (split-invariance pinned in tests/test_streaming.py).
+
+    Returns the accumulated admitted table
+    (doc_id, source, n_toks, cum_toks) after the bounded stream drains."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_domain_cap_batch(
+                state_dir, budget, {"bid": None, "path": None}
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_domain_cap: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(state_dir, "admitted", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not outs:
+        return spark.createDataFrame(
+            [], "doc_id long, source string, n_toks long, cum_toks long"
+        )
+    return spark.read.parquet(*outs)

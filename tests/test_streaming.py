@@ -669,3 +669,65 @@ class TestIncrementalMixtureSchedule:
         assert en_keys[:3] == [210, 420, 630]
         de_keys = sorted(k for lang, k in one_shot.values() if lang == "de")
         assert de_keys[:3] == [420, 840, 1260]
+
+
+class TestIncrementalDomainCap:
+    def test_split_invariant_prefix_semantics_and_replay(self, spark, tmp_path):
+        """Any ORDERED micro-batch split must admit exactly the documents
+        the batch window keeps (carried per-source token counters), a
+        replayed batch id must be skipped (counters are associative),
+        and a source ABSENT from a middle batch must keep its counter."""
+        import glob
+
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_domain_cap_batch,
+        )
+
+        # srcA docs are 3 tokens each, srcB 5 tokens each; budget 12 →
+        # srcA admits 4 docs (12 tokens), srcB admits 2 (10; the third
+        # would hit 15 > 12 and everything after is dropped too)
+        docs = [
+            (i, "tok " * (3 if i % 2 == 0 else 5), "srcA" if i % 2 == 0 else "srcB")
+            for i in range(14)
+        ]
+        schema = "doc_id long, text string, source string"
+
+        def run(splits, workdir, replay_bid=None):
+            body = make_domain_cap_batch(
+                workdir, 12, {"bid": None, "path": None}
+            )
+            for bid, rows in enumerate(splits):
+                body(spark.createDataFrame(rows, schema), bid)
+                if replay_bid == bid:
+                    body(spark.createDataFrame(rows, schema), bid)
+            outs = glob.glob(f"{workdir}/admitted/b*")
+            return {
+                r["doc_id"]: (r["source"], r["n_toks"], r["cum_toks"])
+                for r in spark.read.parquet(*outs).collect()
+            }
+
+        one_shot = run([docs], str(tmp_path / "a"))
+        assert sorted(one_shot) == [0, 1, 2, 3, 4, 6]  # 4×srcA + 2×srcB
+        assert one_shot[6] == ("srcA", 3, 12)  # exactly-at-budget kept
+        # middle batch contains ONLY srcA docs — srcB's counter must
+        # survive it (full-outer merge), and bid=2 replays are skipped
+        split = run(
+            [docs[:3], [docs[4], docs[6]], [docs[3], docs[5]] + docs[7:]],
+            str(tmp_path / "b"),
+            replay_bid=2,
+        )
+        assert split == one_shot
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            sample_domain_cap,
+            streaming_domain_cap,
+        )
+
+        want = {
+            tuple(r) for r in sample_domain_cap(spark, sf_dir).collect()
+        }
+        got = {
+            tuple(r) for r in streaming_domain_cap(spark, sf_dir).collect()
+        }
+        assert got == want
