@@ -1142,3 +1142,88 @@ def embedding_near_dup_pairs(
                 )
 
     return tiled.mapInPandas(gen, "vec_a long, vec_b long, cos_sim double")
+
+
+def mutual_knn_margin(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Margin-scored mutual nearest neighbors between two embedding sets
+    — the bitext-mining primitive (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining"): a pair (a, b) is emitted iff b is a's top-1
+    cosine neighbor in B AND a is b's top-1 in A, scored by the ratio
+    margin  2k·cos(a,b) / (Σ top-k cos(a,·) + Σ top-k cos(b,·))  which
+    penalizes hubs (vectors near everything score margins ≈ 1).
+
+    Execution: side A broadcasts against a streaming side B (the
+    brute_force_topk shape), every pair scored ONCE with the in-row
+    fixed-point cosine, then TWO rank windows over the same scored
+    relation (partition by a; partition by b) — no second scoring pass.
+    The top-k sums are built from rank-pivoted columns added in fixed
+    left-to-right order, so the doubles are bit-identical to the SQL
+    oracle (float SUM() order is engine-defined; a pivoted expression
+    tree is not).
+
+    Scale: exact mining is quadratic by definition — at 100 TB this
+    operator runs per-IVF-cell (compose with ivf_topk's cell assignment
+    to bound each side, the standard sharded-FAISS mining recipe); the
+    windows shuffle pair rows on each side's id, never vectors. The
+    margin formula and mutuality test are unchanged under cell sharding
+    whenever both members share a cell, which is the recall the IVF
+    partitioning already accepts for top-k."""
+    a = _with_norm(
+        side_a.select(
+            F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec")
+        ),
+        "a_vec",
+    ).withColumnRenamed("__norm", "a_norm")
+    b = _with_norm(
+        widen(side_b).select(
+            F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec")
+        ),
+        "b_vec",
+    ).withColumnRenamed("__norm", "b_norm")
+    dot = V.dot_fixed(F.col("a_vec"), F.col("b_vec"))
+    sim = V.cosine_fixed(dot, F.col("a_norm"), F.col("b_norm"))
+    scored = b.join(F.broadcast(a), F.lit(True)).select(
+        "vec_a", "vec_b", sim.alias("cos_sim")
+    )
+    w_ab = W.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    w_ba = W.partitionBy("vec_b").orderBy(F.desc("cos_sim"), F.asc("vec_a"))
+    ranked = scored.select(
+        "vec_a",
+        "vec_b",
+        "cos_sim",
+        F.row_number().over(w_ab).alias("r_ab"),
+        F.row_number().over(w_ba).alias("r_ba"),
+    )
+
+    def _pivot_sum(rank_col: str) -> F.Column:
+        terms = [
+            F.max(F.when(F.col(rank_col) == i, F.col("cos_sim")))
+            for i in range(1, k + 1)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    sum_a = ranked.groupBy("vec_a").agg(_pivot_sum("r_ab").alias("s_a"))
+    sum_b = ranked.groupBy("vec_b").agg(_pivot_sum("r_ba").alias("s_b"))
+    mutual = ranked.filter((F.col("r_ab") == 1) & (F.col("r_ba") == 1))
+    return (
+        mutual.join(sum_a, "vec_a")
+        .join(sum_b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos_sim",
+            (
+                (F.lit(float(2 * k)) * F.col("cos_sim"))
+                / (F.col("s_a") + F.col("s_b"))
+            ).alias("margin"),
+        )
+    )

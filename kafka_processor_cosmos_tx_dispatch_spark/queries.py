@@ -3506,6 +3506,72 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+@register(
+    "sim_mutual_knn",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(CAST(floor(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat a JOIN flat b ON a.pos = b.pos
+      WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT vec_a, vec_b,
+             (d / {_FIXED}) / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b),
+    ranked AS (
+      SELECT vec_a, vec_b, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_a
+               ORDER BY cos_sim DESC, vec_b) AS r_ab,
+             ROW_NUMBER() OVER (PARTITION BY vec_b
+               ORDER BY cos_sim DESC, vec_a) AS r_ba
+      FROM scored),
+    suma AS (
+      SELECT vec_a,
+             MAX(CASE WHEN r_ab = 1 THEN cos_sim END)
+           + MAX(CASE WHEN r_ab = 2 THEN cos_sim END)
+           + MAX(CASE WHEN r_ab = 3 THEN cos_sim END)
+           + MAX(CASE WHEN r_ab = 4 THEN cos_sim END) AS s_a
+      FROM ranked GROUP BY vec_a),
+    sumb AS (
+      SELECT vec_b,
+             MAX(CASE WHEN r_ba = 1 THEN cos_sim END)
+           + MAX(CASE WHEN r_ba = 2 THEN cos_sim END)
+           + MAX(CASE WHEN r_ba = 3 THEN cos_sim END)
+           + MAX(CASE WHEN r_ba = 4 THEN cos_sim END) AS s_b
+      FROM ranked GROUP BY vec_b)
+    SELECT r.vec_a, r.vec_b, r.cos_sim,
+           (8.0 * r.cos_sim) / (s_a + s_b) AS margin
+    FROM ranked r
+    JOIN suma USING (vec_a) JOIN sumb USING (vec_b)
+    WHERE r.r_ab = 1 AND r.r_ba = 1
+    """,
+)
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor mining between two embedding
+    sets (even vec_ids vs odd — the two "languages"): the bitext-mining /
+    cross-corpus alignment primitive (operators/similarity.py:
+    mutual_knn_margin). Every pair is scored once with the fixed-point
+    cosine, ranked by two windows over the same relation, and a pair
+    survives iff each member is the other's top-1; the ratio margin
+    2k·cos / (Σ top-k cos each side) demotes hub vectors. The top-k sums
+    are rank-pivoted fixed expression trees, not float SUM()s, so both
+    engines add identical doubles in identical order."""
+    from .operators.similarity import mutual_knn_margin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_knn_margin(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+    )
+
+
 # ---- text analysis --------------------------------------------------------
 
 _SW = {  # must stay identical to functions/text.py STOPWORDS

@@ -975,3 +975,54 @@ def test_exact_substring_spans_merge_and_coverage(spark):
     # docs 1 and 2: one span each
     assert got[1]["n_spans"] == 1 and got[1]["covered_tokens"] == 10
     assert got[2]["n_spans"] == 1 and got[2]["covered_tokens"] == 8
+
+
+def test_mutual_knn_margin_matches_numpy(spark):
+    """Mutual top-1 set and margin scores vs a numpy brute-force mining
+    of the same fixed-point cosines (k=2 so the top-k sums exercise the
+    pivot), including a hub vector that must be margin-demoted."""
+    import numpy as np
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        mutual_knn_margin,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(6, 8)).astype("float32")
+    B = rng.normal(size=(6, 8)).astype("float32")
+    B[5] = 0.05 * rng.normal(size=8).astype("float32")  # near-zero hub-ish
+    rows_a = [(i, [float(x) for x in A[i]]) for i in range(6)]
+    rows_b = [(10 + i, [float(x) for x in B[i]]) for i in range(6)]
+    schema = "vec_id long, embedding array<float>"
+    k = 2
+
+    def fixed_cos(u, v):
+        s = float(1 << 20)
+        d = sum(int(np.floor(float(x) * float(y) * s)) for x, y in zip(u, v))
+        nu = sum(int(np.floor(float(x) * float(x) * s)) for x in u)
+        nv = sum(int(np.floor(float(y) * float(y) * s)) for y in v)
+        return (d / s) / np.sqrt((nu / s) * (nv / s))
+
+    cos = np.array(
+        [[fixed_cos(A[i], B[j]) for j in range(6)] for i in range(6)]
+    )
+    want = {}
+    for i in range(6):
+        j = int(np.lexsort((np.arange(6), -cos[i]))[0])
+        if int(np.lexsort((np.arange(6), -cos[:, j]))[0]) != i:
+            continue
+        s_a = sum(sorted(cos[i], reverse=True)[:k])
+        s_b = sum(sorted(cos[:, j], reverse=True)[:k])
+        want[(i, 10 + j)] = 2 * k * cos[i, j] / (s_a + s_b)
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["margin"]
+        for r in mutual_knn_margin(
+            spark.createDataFrame(rows_a, schema),
+            spark.createDataFrame(rows_b, schema),
+            k=k,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for pair in want:
+        assert abs(got[pair] - want[pair]) < 1e-9, pair

@@ -83,6 +83,7 @@ BNLJ_OK = {
     "q_changepoint_cusum",  # 1-row floor-mean target broadcast
     "text_bpe_train",  # 1-row argmax merge-pair broadcast per iteration
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
+    "sim_mutual_knn",  # bounded side-A broadcast vs side-B corpus (exact miner)
     "sim_range_search",  # same bounded-query broadcast, threshold filter
     "sim_knn_classify",  # same bounded-query broadcast + label vote
     "sim_maxsim_multivector",  # bounded token-set broadcast vs corpus
