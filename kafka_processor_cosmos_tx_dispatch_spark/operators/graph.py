@@ -308,3 +308,82 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+HITS_SCALE = 1_000_000_000  # 10^9 fixed-point hub/authority units
+# 10^9 (not PageRank's 10^12) because the normalization step multiplies
+# a raw score (≤ total mass ≈ SCALE) by SCALE before the floor divide:
+# 10^9·10^9 = 10^18 stays inside int64; 10^12 would overflow.
+
+
+def hits(
+    edges: DataFrame,
+    rounds: int = 2,
+    reliable: bool | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg hubs & authorities) over
+    `edges(src, dst)`: per round, authority(v) = Σ_{u→v} hub(u) then
+    hub(u) = Σ_{u→v} authority(v), each half-step sum-normalized back to
+    SCALE total mass with int64 floor division — so scores are exact
+    integers, no float accumulation order to diverge between engines,
+    and the DuckDB oracle is the same rounds unrolled as CTEs
+    (L1/sum normalization instead of the classical L2: same fixed point
+    direction, but closed under integer arithmetic — sqrt would leave
+    the exact-integer contract).
+
+    On a bipartite purchase graph (customers→suppliers) authorities
+    rank suppliers by weighted demand and hubs rank customers by how
+    much of that demand they originate — the link-analysis quality
+    signal crawl-based corpus curation uses next to PageRank.
+
+    Scale: each half-step is one edges⋈scores equi-join + a keyed agg
+    (shuffle on node key, same as pagerank); the normalization total is
+    a 1-row aggregate broadcast — no extra shuffle. Scores are
+    checkpointed every round by default: each round references the
+    previous scores twice (authority + hub updates), so unmaterialized
+    rounds double recomputed work per level (the pagerank-dangling
+    lesson, operators/iterative.py). Returns (node, hub, auth)."""
+    reliable = resolve_reliable(edges.sparkSession, reliable)
+    edges = materialize(edges, reliable, strip=False)
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        reliable,
+        strip=False,
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    hubs = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{HITS_SCALE} DIV n").alias("h")
+    )
+    auth = None
+    for i in range(rounds):
+        a_raw = nodes.join(
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_in")),
+            nodes.node == F.col("dst"),
+            "left",
+        ).select("node", F.coalesce("a_in", F.lit(0)).alias("a"))
+        at = a_raw.agg(F.sum("a").alias("t"))
+        auth = a_raw.crossJoin(F.broadcast(at)).select(
+            "node", F.expr(f"(a * {HITS_SCALE}) DIV t").alias("a")
+        )
+        h_raw = nodes.join(
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_out")),
+            nodes.node == F.col("src"),
+            "left",
+        ).select("node", F.coalesce("h_out", F.lit(0)).alias("h"))
+        ht = h_raw.agg(F.sum("h").alias("t"))
+        hubs = h_raw.crossJoin(F.broadcast(ht)).select(
+            "node", F.expr(f"(h * {HITS_SCALE}) DIV t").alias("h")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            hubs = materialize(hubs, reliable)
+            auth = materialize(auth, reliable)
+    return hubs.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )

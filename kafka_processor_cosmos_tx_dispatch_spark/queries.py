@@ -2750,6 +2750,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, rounds=3)
 
 
+_HITS_SCALE = 1_000_000_000  # operators/graph.py HITS_SCALE
+
+
+def _hits_iter(k: int, prev: str) -> str:
+    """One unrolled HITS round as DuckDB CTEs: authority then hub, each
+    sum-normalized to SCALE with int64 floor division."""
+    return f"""
+    ar{k} AS (
+      SELECT n_.node, COALESCE(SUM(h.h), 0) AS a
+      FROM nodes n_
+      LEFT JOIN edges e ON e.dst = n_.node
+      LEFT JOIN {prev} h ON h.node = e.src
+      GROUP BY n_.node),
+    at{k} AS (SELECT SUM(a) AS t FROM ar{k}),
+    a{k} AS (SELECT node, (a * {_HITS_SCALE}) // t AS a
+             FROM ar{k} CROSS JOIN at{k}),
+    hr{k} AS (
+      SELECT n_.node, COALESCE(SUM(a.a), 0) AS h
+      FROM nodes n_
+      LEFT JOIN edges e ON e.src = n_.node
+      LEFT JOIN a{k} a ON a.node = e.dst
+      GROUP BY n_.node),
+    ht{k} AS (SELECT SUM(h) AS t FROM hr{k}),
+    h{k} AS (SELECT node, (h * {_HITS_SCALE}) // t AS h
+             FROM hr{k} CROSS JOIN ht{k})"""
+
+
+@register(
+    "graph_hits",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS (SELECT node, {_HITS_SCALE} // nn.n AS h
+           FROM nodes CROSS JOIN nn),
+    {_hits_iter(1, "h0")},
+    {_hits_iter(2, "h1")}
+    SELECT h2.node, h2.h AS hub, a2.a AS auth
+    FROM h2 JOIN a2 ON h2.node = a2.node
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py:hits, 2 rounds) over
+    the same customer→supplier purchase graph as graph_pagerank — the
+    third iterative link-analysis operator. All arithmetic is int64
+    fixed-point with sum (L1) normalization per half-step, so both
+    engines produce identical integers; the oracle unrolls the same two
+    rounds as CTEs. On this bipartite graph authorities land on
+    suppliers (demand-weighted) and hubs on customers."""
+    from .operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, rounds=2)
+
+
 def _pr_iter_dangling(k: int, prev: str) -> str:
     """One unrolled dangling-mass PageRank iteration as DuckDB CTEs:
     dm{k} = the uniform share of rank mass held by sink nodes under

@@ -218,3 +218,40 @@ def test_k_core_converge_empty_result(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "s1 long, s2 long")
     assert k_core(edges, k=5, converge=True).count() == 0
+
+
+def test_hits_hand_graph_matches_integer_reference(spark):
+    """HITS on a known bipartite graph vs a pure-Python int64 reference
+    of the same fixed-point recurrence (sum-normalized half-steps):
+    authority must concentrate on the co-cited sink, hubs on the node
+    citing both sinks."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        HITS_SCALE,
+        hits,
+    )
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 12)]
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: HITS_SCALE // len(nodes) for n in nodes}
+    for _ in range(2):
+        a_raw = {
+            n: sum(h[s] for s, d in edges if d == n) for n in nodes
+        }
+        t = sum(a_raw.values())
+        a = {n: a_raw[n] * HITS_SCALE // t for n in nodes}
+        h_raw = {
+            n: sum(a[d] for s, d in edges if s == n) for n in nodes
+        }
+        t = sum(h_raw.values())
+        h = {n: h_raw[n] * HITS_SCALE // t for n in nodes}
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), rounds=2
+        ).collect()
+    }
+    assert got == {n: (h[n], a[n]) for n in nodes}
+    # node 10 is cited by BOTH strong hubs → top authority; node 1 cites
+    # both popular sinks → top hub
+    assert max(got, key=lambda n: got[n][1]) == 10
+    assert max(got, key=lambda n: got[n][0]) == 1

@@ -30,6 +30,7 @@ EAGER = {
     "q_source_schema_evolution",  # warehouse writes on call
     "graph_pagerank",
     "graph_pagerank_dangling",
+    "graph_hits",  # per-round score materialization (hits loop)
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
@@ -137,6 +138,7 @@ EAGER_PYTHON_OK = {
 EAGER_BNLJ_OK = {
     "graph_pagerank",  # 1-row node-count aggregate crossJoin (graph.py:75)
     "graph_pagerank_dangling",  # 1-row dangling-mass aggregate crossJoin
+    "graph_hits",  # 1-row normalization-total crossJoin per half-step
     "q_gap_fill_locf",  # 1-row ts-bounds aggregate crossJoin
     "q_sketch_countmin",  # 1-row sketch-table broadcast into the probe
     "sample_temperature_weights",  # 1-row normalization aggregate
