@@ -110,6 +110,14 @@ HEADLINE = [
     "dedup_drop_substring",
     "dedup_passage_lsh",
     "streaming_mixture_schedule",
+    # round-10 second wave: domain capping (batch + streaming twins),
+    # margin-based mutual-kNN mining, and HITS — benched from their
+    # first round so every operator carries a trend
+    "sample_domain_cap",
+    "streaming_domain_cap",
+    "sim_mutual_knn",
+    "graph_hits",
+    "sim_diversify_mmr",
 ]
 
 

@@ -1227,3 +1227,146 @@ def mutual_knn_margin(
             ).alias("margin"),
         )
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein):
+    from each query's top-`k_candidates` cosine neighbors, greedily
+    select `k_select` by  score = λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s)  — the diversity-aware selection used for dedup-aware
+    retrieval and diverse few-shot example picking. The first pick is
+    pure relevance (empty selected set); every later step penalizes
+    similarity to anything already chosen.
+
+    Execution: candidate generation IS brute_force_topk (broadcast
+    queries, streaming corpus — swap in the IVF/LSH variants at scale);
+    candidate-pair similarities are computed once on the ≤k² bounded
+    pair set per query; the greedy loop is `k_select` unrolled argmax
+    windows — bounded plan depth, no driver collect. All similarities
+    are fixed-point-derived doubles and λ-arithmetic is one mul/sub
+    expression, so scores are bit-identical to the SQL oracle.
+
+    Scale: everything after candidate generation is O(|Q|·k²) rows —
+    independent of corpus size. Returns (query_id, position,
+    neighbor_id, score)."""
+    from .iterative import materialize, resolve_reliable
+
+    reliable = resolve_reliable(corpus.sparkSession, None)
+    # cand and pair are referenced by EVERY unrolled greedy step (cand
+    # ~2x/step, pair 1x/step): without materialization Catalyst carries
+    # ~9 copies of the brute-force candidate subplan and re-executes it
+    # per step. Both relations are bounded (|Q|*k and |Q|*k^2 rows), so
+    # one eager checkpoint each makes the loop plan depth O(k_select).
+    cand = materialize(
+        brute_force_topk(
+            queries, corpus, id_col, vec_col, k=k_candidates
+        ).select("query_id", "neighbor_id", F.col("cos_sim").alias("rel")),
+        reliable,
+        strip=False,
+    )
+    vecs = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+    ).withColumnRenamed("__norm", "cnorm")
+    cv = cand.join(vecs, cand.neighbor_id == vecs.cid).select(
+        "query_id", "neighbor_id", "rel", "cvec", "cnorm"
+    )
+    a = cv.select(
+        "query_id",
+        F.col("neighbor_id").alias("c1"),
+        F.col("cvec").alias("v1"),
+        F.col("cnorm").alias("n1"),
+    )
+    b = cv.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("c2"),
+        F.col("cvec").alias("v2"),
+        F.col("cnorm").alias("n2"),
+    )
+    pair = materialize(
+        a.join(b, (a.query_id == b.qb) & (a.c1 != b.c2)).select(
+            "query_id",
+            "c1",
+            "c2",
+            V.cosine_fixed(
+                V.dot_fixed(F.col("v1"), F.col("v2")),
+                F.col("n1"),
+                F.col("n2"),
+            ).alias("sim"),
+        ),
+        reliable,
+        strip=False,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cid"))
+    first = (
+        cand.select(
+            "query_id",
+            F.col("neighbor_id").alias("cid"),
+            (F.lit(lam) * F.col("rel")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cid", "score", F.lit(1).alias("position"))
+    )
+    selected = first
+    for pos in range(2, k_select + 1):
+        sel_keys = selected.select(
+            F.col("query_id").alias("qs"), F.col("cid").alias("cs")
+        )
+        pen = (
+            pair.join(
+                sel_keys,
+                (pair.query_id == F.col("qs")) & (pair.c2 == F.col("cs")),
+            )
+            .groupBy(
+                pair.query_id.alias("qp"), pair.c1.alias("cp")
+            )
+            .agg(F.max("sim").alias("pen"))
+        )
+        step = (
+            cand.join(
+                sel_keys,
+                (cand.query_id == F.col("qs"))
+                & (cand.neighbor_id == F.col("cs")),
+                "left_anti",
+            )
+            .join(
+                pen,
+                (cand.query_id == F.col("qp"))
+                & (cand.neighbor_id == F.col("cp")),
+            )
+            .select(
+                cand.query_id.alias("query_id"),
+                F.col("neighbor_id").alias("cid"),
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("pen")
+                ).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cid", "score", F.lit(pos).alias("position")
+            )
+        )
+        # selected is referenced by the NEXT step's anti-join and
+        # penalty max (and by the final union): materialize per step so
+        # step k's plan reads a checkpoint instead of re-deriving steps
+        # 1..k-1's argmax windows (plan size would otherwise be O(2^k))
+        selected = materialize(selected.unionByName(step), reliable)
+    return selected.select(
+        "query_id",
+        "position",
+        F.col("cid").alias("neighbor_id"),
+        "score",
+    )

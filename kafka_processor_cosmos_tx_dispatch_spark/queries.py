@@ -3572,6 +3572,122 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+def _mmr_step(k: int) -> str:
+    """One unrolled MMR greedy step as DuckDB CTEs: penalty = max sim to
+    the selected-so-far set, score = 0.75·rel − 0.25·penalty, argmax per
+    query with cid tiebreak. λ = 0.75 on purpose: both 0.75 and 0.25 are
+    exact dyadic doubles, so the λ-arithmetic is bit-identical in every
+    engine (0.7/0.3 would round differently from 1−λ)."""
+    prev_sel = f"sel{k - 1}"
+    return f"""
+    pen{k} AS (
+      SELECT p.query_id, p.c1, MAX(p.sim) AS pen
+      FROM pair p JOIN {prev_sel} s
+        ON p.query_id = s.query_id AND p.c2 = s.cid
+      GROUP BY p.query_id, p.c1),
+    s{k}_sc AS (
+      SELECT c.query_id, c.neighbor_id AS cid,
+             0.75 * c.rel - 0.25 * p.pen AS score
+      FROM cand c JOIN pen{k} p
+        ON p.query_id = c.query_id AND p.c1 = c.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} s
+                        WHERE s.query_id = c.query_id
+                          AND s.cid = c.neighbor_id)),
+    s{k} AS (
+      SELECT query_id, cid, score, {k} AS position FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, cid) AS rn
+        FROM s{k}_sc) WHERE rn = 1),
+    sel{k} AS (SELECT query_id, cid FROM {prev_sel}
+               UNION ALL SELECT query_id, cid FROM s{k})"""
+
+
+@register(
+    "sim_diversify_mmr",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 5
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id, cos_sim AS rel FROM (
+        SELECT query_id, neighbor_id,
+               (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+                 AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+                   DESC, neighbor_id) AS rn
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id)
+      WHERE rn <= 20),
+    cids AS (SELECT DISTINCT neighbor_id AS cid FROM cand),
+    flatc AS (SELECT f.* FROM flat f JOIN cids ON f.vec_id = cids.cid),
+    pd AS (
+      SELECT x.vec_id AS c1, y.vec_id AS c2,
+             SUM(CAST(floor(CAST(x.v AS DOUBLE)*CAST(y.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flatc x JOIN flatc y ON x.pos = y.pos AND x.vec_id <> y.vec_id
+      GROUP BY 1, 2),
+    pair AS (
+      SELECT a.query_id, a.neighbor_id AS c1, b.neighbor_id AS c2,
+             (pd.d / {_FIXED}) / sqrt((n1.n / {_FIXED}) * (n2.n / {_FIXED}))
+               AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+        AND a.neighbor_id <> b.neighbor_id
+      JOIN pd ON pd.c1 = a.neighbor_id AND pd.c2 = b.neighbor_id
+      JOIN norms n1 ON n1.vec_id = a.neighbor_id
+      JOIN norms n2 ON n2.vec_id = b.neighbor_id),
+    s1 AS (
+      SELECT query_id, cid, score, 1 AS position FROM (
+        SELECT query_id, neighbor_id AS cid, 0.75 * rel AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY 0.75 * rel DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT query_id, cid FROM s1),
+    {_mmr_step(2)},
+    {_mmr_step(3)},
+    {_mmr_step(4)},
+    {_mmr_step(5)}
+    SELECT query_id, CAST(position AS INTEGER) AS position,
+           cid AS neighbor_id, score
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+          UNION ALL SELECT * FROM s5)
+    """,
+)
+def sim_diversify_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval
+    (operators/similarity.py:mmr_rerank): top-20 exact candidates per
+    query (vec_id < 5), then 5 greedy unrolled selection steps —
+    score = 0.75·rel − 0.25·max-sim-to-selected. The diversity-aware
+    selection layer retrieval and few-shot-example pickers put on top
+    of ANN, here as pure relational algebra: each step is a bounded
+    argmax window over the O(k²) candidate-pair relation."""
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        mmr_rerank(
+            emb.filter(F.col("vec_id") < 5),
+            emb,
+            k_candidates=20,
+            k_select=5,
+            lam=0.75,
+        )
+        .select(
+            "query_id",
+            F.col("position").cast("int").alias("position"),
+            "neighbor_id",
+            "score",
+        )
+    )
+
+
 @register(
     "sim_mutual_knn",
     f"""

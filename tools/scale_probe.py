@@ -510,6 +510,49 @@ def main() -> None:
         lambda: run(_q()["text_bpe_train"](spark, bpe_dir)),
     )
 
+    # per-source token-budget domain cap: one window over a source-keyed
+    # shuffle — rows/s should track the plain tokenize scan, independent
+    # of the number of sources (64 here)
+    cap_dir = f"{WORKDIR}/cap_sf"
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.concat(F.lit("s"), F.col("doc_id") % 64)
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(f"{cap_dir}/documents.parquet")
+    probe(
+        "domain_cap",
+        args.docs,
+        lambda: run(_q()["sample_domain_cap"](spark, cap_dir)),
+    )
+
+    # mutual-kNN margin mining is quadratic in the side sizes BY DESIGN
+    # (exact miner; the scale path shards it per IVF cell) — probe at a
+    # fixed 4k×4k to pin the pair-scoring throughput (pairs/s), not to
+    # claim linear corpus scaling
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        mutual_knn_margin,
+    )
+
+    mk_n = 8_000
+    mk = _vecs(spark, mk_n)
+    probe(
+        "mutual_knn_4k_x_4k",
+        (mk_n // 2) * (mk_n // 2),
+        lambda: run(
+            mutual_knn_margin(
+                mk.filter(F.col("vec_id") % 2 == 0),
+                mk.filter(F.col("vec_id") % 2 == 1),
+                k=4,
+            )
+        ),
+    )
+
+    # HITS (2 rounds): per half-step one edges⋈scores equi-join + keyed
+    # agg — should track pagerank_3rounds' edges/s on the same graph
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import hits
+
+    probe("hits_2rounds", n_edges, lambda: run(hits(edges, rounds=2)))
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
