@@ -118,6 +118,7 @@ HEADLINE = [
     "sim_mutual_knn",
     "graph_hits",
     "sim_diversify_mmr",
+    "sample_perplexity_buckets",
 ]
 
 

@@ -8263,6 +8263,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_perplexity_buckets",
+    """
+    WITH docs_arr AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    bg AS (
+      SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS b
+      FROM docs_arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    bc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    lm AS (
+      SELECT bg.doc_id, COUNT(*) AS nb,
+             CAST(SUM(bc.c * 1000000 // uc.c) AS BIGINT) AS fp
+      FROM bg JOIN bc USING (b) JOIN uc ON uc.w = bg.w1
+      GROUP BY bg.doc_id),
+    scored AS (
+      SELECT d.doc_id, d.lang, lm.fp // lm.nb AS avg_fp
+      FROM documents d JOIN lm ON lm.doc_id = d.doc_id),
+    tiled AS (
+      SELECT doc_id, lang, avg_fp,
+             NTILE(3) OVER (PARTITION BY lang
+               ORDER BY avg_fp DESC, doc_id) AS tile
+      FROM scored)
+    SELECT doc_id, lang, CAST(avg_fp AS BIGINT) AS avg_fp,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(CASE WHEN tile <= 2 THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM tiled
+    """,
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, rank documents by language-model fluency and
+    split into NTILE(3) buckets — the head+middle survive (`kept`), the
+    tail is the noise CCNet drops. The LM is the self-trained bigram
+    model of text_bigram_lm_score (that query's plan IS the scoring
+    subtree here — integer fixed-point mass, no log-float accumulation),
+    with per-doc mean mass avg_fp = fp DIV n_bigrams, exact int64.
+
+    Scale: scoring is the vocab-bounded broadcast-agg of the LM query;
+    the bucketing adds ONE lang-partitioned window (same shuffle key as
+    the mixture/stratified family). NTILE over (score, doc_id) is fully
+    deterministic — no rand() stream to diverge between engines."""
+    lm = text_bigram_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(lm, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("lm_fp DIV n_bigrams").alias("avg_fp"),
+    )
+    wt = W.partitionBy("lang").orderBy(F.desc("avg_fp"), F.asc("doc_id"))
+    tiled = scored.withColumn("tile", F.ntile(3).over(wt))
+    return tiled.select(
+        "doc_id",
+        "lang",
+        F.col("avg_fp").cast("long").alias("avg_fp"),
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.when(F.col("tile") <= 2, 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # round-8 widening: radius retrieval, late-interaction scoring, regression
 # / diversity stats, link-prediction + BFS graph ops, BM25 ranking,

@@ -1105,3 +1105,25 @@ def test_mmr_rerank_matches_greedy_reference(spark):
     # below a less-relevant-but-diverse candidate)
     picks = [got[p][0] for p in sorted(got)]
     assert picks != cand[:ks]
+
+
+def test_perplexity_buckets_partition_properties(spark, sf_dir):
+    """Per language: NTILE(3) bucket sizes differ by ≤1, every head
+    score ≥ every tail score, and kept == (bucket != tail)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        sample_perplexity_buckets,
+    )
+
+    rows = sample_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert r["kept"] == (1 if r["bucket"] in ("head", "middle") else 0)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r["bucket"] == b)
+                 for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        heads = [r["avg_fp"] for r in rs if r["bucket"] == "head"]
+        tails = [r["avg_fp"] for r in rs if r["bucket"] == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails), lang
