@@ -119,6 +119,7 @@ HEADLINE = [
     "graph_hits",
     "sim_diversify_mmr",
     "sample_perplexity_buckets",
+    "pipeline_curate_cap",
 ]
 
 

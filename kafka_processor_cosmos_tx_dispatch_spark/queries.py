@@ -8184,6 +8184,50 @@ def sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_lm(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lm_fp) for the given documents relation — the
+    corpus-self-trained integer-fixed-point bigram LM shared by
+    text_bigram_lm_score, sample_perplexity_buckets and
+    pipeline_curate_cap (the LM trains on whatever corpus the caller
+    passes: the full table for the standalone score, the deduped
+    survivors inside the curation pipeline)."""
+    arr = docs.select("doc_id", F.split("text", " ").alias("a"))
+    # CASE guard: sequence(1, 0) is the DESCENDING array [1, 0], so a
+    # single-token document would evaluate element_at(a, 0) and die
+    # under ANSI — the oracle's generate_series(1, 0) is simply empty.
+    # Empty array -> explode drops the doc, matching the oracle.
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN"
+                " filter(transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                " concat(element_at(a, i), ' ', element_at(a, i + 1)) AS b,"
+                " element_at(a, i + 1) AS w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '')"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.b")
+    uc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    return (
+        bg.join(F.broadcast(bc), "b")
+        .join(F.broadcast(uc), F.col("w1") == F.col("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("bc * 1000000 DIV uc")).alias("lm_fp"),
+        )
+    )
+
+
 @register(
     "text_bigram_lm_score",
     """
@@ -8225,42 +8269,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scoring never shuffles the corpus itself. Bigrams come from
     an index-aware HOF over the split array (no self-join, no
     posexplode alignment shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    arr = docs.select("doc_id", F.split("text", " ").alias("a"))
-    # CASE guard: sequence(1, 0) is the DESCENDING array [1, 0], so a
-    # single-token document would evaluate element_at(a, 0) and die
-    # under ANSI — the oracle's generate_series(1, 0) is simply empty.
-    # Empty array -> explode drops the doc, matching the oracle.
-    bg = arr.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(a) >= 2 THEN"
-                " filter(transform(sequence(1, size(a) - 1),"
-                " i -> struct(element_at(a, i) AS w1,"
-                " concat(element_at(a, i), ' ', element_at(a, i + 1)) AS b,"
-                " element_at(a, i + 1) AS w2)),"
-                " p -> p.w1 <> '' AND p.w2 <> '')"
-                " ELSE array() END"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.b")
-    uc = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("uc"))
-    )
-    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
-    return (
-        bg.join(F.broadcast(bc), "b")
-        .join(F.broadcast(uc), F.col("w1") == F.col("w"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.expr("bc * 1000000 DIV uc")).alias("lm_fp"),
-        )
-    )
+    return _bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -10362,6 +10371,103 @@ def pipeline_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("position", F.row_number().over(wg).cast("long"))
         .filter(F.col("position") <= 50)
         .select("position", "lang", "doc_id")
+    )
+
+
+_PIPE_CAP_BUDGET = 400  # tokens per source after dedup + tail-drop
+
+
+@register(
+    "pipeline_curate_cap",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, md5({_D_NORM}) AS fp
+      FROM documents),
+    dd AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dr
+        FROM base) WHERE dr = 1),
+    docs_arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM dd),
+    bg AS (
+      SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS b
+      FROM docs_arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM dd)
+      WHERE w <> '' GROUP BY w),
+    bc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    lm AS (
+      SELECT bg.doc_id, COUNT(*) AS nb,
+             CAST(SUM(bc.c * 1000000 // uc.c) AS BIGINT) AS fp
+      FROM bg JOIN bc USING (b) JOIN uc ON uc.w = bg.w1
+      GROUP BY bg.doc_id),
+    tiled AS (
+      SELECT d.doc_id, d.lang, d.source, d.text,
+             NTILE(3) OVER (PARTITION BY d.lang
+               ORDER BY lm.fp // lm.nb DESC, d.doc_id) AS tile
+      FROM dd d JOIN lm ON lm.doc_id = d.doc_id),
+    kept AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_D_TOKS}) AS BIGINT) AS n_toks
+      FROM tiled WHERE tile <= 2),
+    c AS (
+      SELECT doc_id, lang, source, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_toks
+      FROM kept)
+    SELECT doc_id, lang, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= {_PIPE_CAP_BUDGET}
+    """,
+)
+def pipeline_curate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 composition proof — THIS round's operators chained as
+    one lazy plan: exact dedup (min-id per normalized fingerprint) →
+    CCNet tail-drop (the self-trained bigram LM now trains on the
+    DEDUPED corpus — the order production pipelines use, since dup
+    clusters would otherwise dominate the LM counts) → per-source
+    token-budget cap of the fluent survivors. Complements
+    pipeline_curate (… → pack) and pipeline_curate_mix (… → mixture):
+    the third pipeline ending, quota enforcement.
+
+    Scale: fingerprint agg → vocab-bounded LM broadcast-aggs →
+    lang-keyed NTILE window → source-keyed prefix-sum window. Four
+    shuffles on four different bounded keys, no stage super-linear, no
+    materialization barrier between stages."""
+    from .functions import text as TX
+    from .operators.dedup import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    dd = drop_exact_duplicates(docs)
+    lm = _bigram_lm(dd)
+    scored = dd.join(lm, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.expr("lm_fp DIV n_bigrams").alias("avg_fp"),
+    )
+    wt = W.partitionBy("lang").orderBy(F.desc("avg_fp"), F.asc("doc_id"))
+    kept = (
+        scored.withColumn("tile", F.ntile(3).over(wt))
+        .filter(F.col("tile") <= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return kept.withColumn("cum_toks", F.sum("n_toks").over(wc)).filter(
+        F.col("cum_toks") <= _PIPE_CAP_BUDGET
     )
 
 
