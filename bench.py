@@ -120,6 +120,7 @@ HEADLINE = [
     "sim_diversify_mmr",
     "sample_perplexity_buckets",
     "pipeline_curate_cap",
+    "sample_kcenter_coreset",
 ]
 
 

@@ -1370,3 +1370,87 @@ def mmr_rerank(
         F.col("cid").alias("neighbor_id"),
         "score",
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    diversity-first subset picker (Gonzalez' 2-approximation, the
+    "k-Center-Greedy" of active-learning/coreset curation): start from
+    the min-id vector, then repeatedly pick the vector FURTHEST from
+    everything selected so far (here: smallest max-cosine), so the
+    selected set spreads over the embedding space instead of clustering
+    in its densest region.
+
+    Execution uses the incremental-penalty identity
+    pen_i(c) = max(pen_{i-1}(c), cos(c, pick_{i-1})): the state is one
+    (vec_id, vec, norm, pen, taken) relation, and each step is (1) a
+    bounded argmin (ORDER BY pen, vec_id LIMIT 1), (2) a 1-row
+    broadcast of the pick, (3) a NARROW map updating pen with one
+    in-row fixed-point cosine — no shuffle at all inside the loop, no
+    pairwise matrix ever materialized. pen starts at the -2.0 sentinel
+    (below any cosine), so the first argmin is the min-id start and no
+    NULL-max semantics differ between engines; the sentinel surfaces as
+    NULL cover_cos via nullif.
+
+    Scale: k narrow passes over a co-partitioned state relation +
+    k single-row broadcasts; state is checkpointed per step
+    (references compound otherwise). Linear in |corpus|·k. Returns
+    (position, vec_id, cover_cos) where cover_cos is the pick's
+    max-cosine to the previously selected set (its coverage radius in
+    similarity terms; NULL for the seed pick)."""
+    from .iterative import materialize, resolve_reliable
+
+    reliable = resolve_reliable(corpus.sparkSession, None)
+    state = materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("nrm", V.norm_sq_fixed(F.col("vec")))
+        .withColumn("pen", F.lit(-2.0))
+        .withColumn("taken", F.lit(False)),
+        reliable,
+        strip=False,
+    )
+    picks = None
+    for pos in range(1, k + 1):
+        pick = (
+            state.filter(~F.col("taken"))
+            .orderBy(F.asc("pen"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("pid"),
+                F.col("vec").alias("pvec"),
+                F.col("nrm").alias("pnrm"),
+                F.col("pen").alias("ppen"),
+            )
+        )
+        out = pick.select(
+            F.lit(pos).alias("position"),
+            F.col("pid").alias("vec_id"),
+            F.nullif(F.col("ppen"), F.lit(-2.0)).alias("cover_cos"),
+        )
+        picks = out if picks is None else picks.unionByName(out)
+        if pos < k:
+            cos = V.cosine_fixed(
+                V.dot_fixed(F.col("vec"), F.col("pvec")),
+                F.col("nrm"),
+                F.col("pnrm"),
+            )
+            state = materialize(
+                state.crossJoin(F.broadcast(pick)).select(
+                    "vec_id",
+                    "vec",
+                    "nrm",
+                    F.greatest(F.col("pen"), cos).alias("pen"),
+                    (F.col("taken") | (F.col("vec_id") == F.col("pid"))).alias(
+                        "taken"
+                    ),
+                ),
+                reliable,
+            )
+    return picks

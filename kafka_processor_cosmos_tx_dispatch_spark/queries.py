@@ -3572,6 +3572,82 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45)
 
 
+def _kcenter_step(i: int) -> str:
+    """One unrolled k-center greedy step as DuckDB CTEs: pick the
+    smallest-penalty untaken vector (ties → min vec_id), then fold
+    cos(·, pick) into every penalty with GREATEST — the incremental
+    identity pen_i(c) = max(pen_{i-1}(c), cos(c, pick_i))."""
+    prev = f"st{i - 1}"
+    picked_prev = f"picked{i - 1}"
+    not_taken = (
+        f"WHERE vec_id NOT IN (SELECT vid FROM {picked_prev})"
+        if i > 1
+        else ""
+    )
+    picked_def = (
+        f"SELECT vid FROM {picked_prev} UNION ALL SELECT vid FROM p{i}"
+        if i > 1
+        else f"SELECT vid FROM p{i}"
+    )
+    return f"""
+    p{i} AS MATERIALIZED (SELECT vec_id AS vid, pen AS ppen FROM {prev}
+             {not_taken}
+             ORDER BY pen ASC, vec_id ASC LIMIT 1),
+    picked{i} AS ({picked_def}),
+    d{i} AS MATERIALIZED (
+      SELECT f.vec_id,
+             SUM(CAST(floor(CAST(f.v AS DOUBLE)*CAST(g.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat f CROSS JOIN p{i}
+      JOIN flat g ON g.pos = f.pos AND g.vec_id = p{i}.vid
+      GROUP BY f.vec_id),
+    st{i} AS MATERIALIZED (
+      SELECT s.vec_id,
+             GREATEST(s.pen,
+               (d{i}.d / {_FIXED})
+                 / sqrt((na.n / {_FIXED}) * (nb.n / {_FIXED}))) AS pen
+      FROM {prev} s
+      JOIN d{i} ON d{i}.vec_id = s.vec_id
+      JOIN norms na ON na.vec_id = s.vec_id
+      CROSS JOIN p{i}
+      JOIN norms nb ON nb.vec_id = p{i}.vid)"""
+
+
+@register(
+    "sample_kcenter_coreset",
+    f"""
+    WITH {_D_FLAT},
+    st0 AS (SELECT vec_id, CAST(-2.0 AS DOUBLE) AS pen FROM embeddings),
+    {_kcenter_step(1)},
+    {_kcenter_step(2)},
+    {_kcenter_step(3)},
+    {_kcenter_step(4)},
+    {_kcenter_step(5)},
+    {_kcenter_step(6)}
+    SELECT position, vec_id, cover_cos FROM (
+      SELECT 1 AS position, vid AS vec_id, NULLIF(ppen, -2.0) AS cover_cos
+        FROM p1
+      UNION ALL SELECT 2, vid, NULLIF(ppen, -2.0) FROM p2
+      UNION ALL SELECT 3, vid, NULLIF(ppen, -2.0) FROM p3
+      UNION ALL SELECT 4, vid, NULLIF(ppen, -2.0) FROM p4
+      UNION ALL SELECT 5, vid, NULLIF(ppen, -2.0) FROM p5
+      UNION ALL SELECT 6, vid, NULLIF(ppen, -2.0) FROM p6)
+    """,
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset of the embedding table
+    (operators/similarity.py:kcenter_coreset, k=6): diversity-first
+    subset selection — each pick is the vector least similar to
+    everything already chosen. The state relation carries an
+    incrementally-maxed penalty, so the plan is k narrow passes with
+    1-row broadcasts, never a pairwise matrix; the oracle unrolls the
+    same incremental identity as CTEs."""
+    from .operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=6)
+
+
 def _mmr_step(k: int) -> str:
     """One unrolled MMR greedy step as DuckDB CTEs: penalty = max sim to
     the selected-so-far set, score = 0.75·rel − 0.25·penalty, argmax per

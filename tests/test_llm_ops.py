@@ -1127,3 +1127,56 @@ def test_perplexity_buckets_partition_properties(spark, sf_dir):
         tails = [r["avg_fp"] for r in rs if r["bucket"] == "tail"]
         if heads and tails:
             assert min(heads) >= max(tails), lang
+
+
+def test_kcenter_coreset_matches_greedy_reference(spark):
+    """k-center picks and coverage scores vs a plain-Python greedy on
+    the same fixed-point cosines, plus the diversity property: the
+    second pick must be the LEAST similar vector to the seed, not its
+    nearest neighbor."""
+    import numpy as np
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(12, 6)).astype("float32")
+    X[1] = X[0] + 0.01 * rng.normal(size=6).astype("float32")  # near-dup of seed
+    rows = [(i, [float(x) for x in X[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = 5
+
+    def fixed_cos(u, v):
+        s = float(1 << 20)
+        d = sum(int(np.floor(float(x) * float(y) * s)) for x, y in zip(u, v))
+        nu = sum(int(np.floor(float(x) * float(x) * s)) for x in u)
+        nv = sum(int(np.floor(float(y) * float(y) * s)) for y in v)
+        return (d / s) / np.sqrt((nu / s) * (nv / s))
+
+    pen = {i: -2.0 for i in range(12)}
+    taken, want = set(), {}
+    for pos in range(1, k + 1):
+        pick = min(
+            (i for i in range(12) if i not in taken),
+            key=lambda i: (pen[i], i),
+        )
+        want[pos] = (pick, None if pen[pick] == -2.0 else pen[pick])
+        taken.add(pick)
+        for i in range(12):
+            pen[i] = max(pen[i], fixed_cos(X[i], X[pick]))
+
+    got = {
+        r["position"]: (r["vec_id"], r["cover_cos"])
+        for r in kcenter_coreset(df, k=k).collect()
+    }
+    assert set(got) == set(want)
+    for pos in want:
+        assert got[pos][0] == want[pos][0], pos
+        if want[pos][1] is None:
+            assert got[pos][1] is None
+        else:
+            assert abs(got[pos][1] - want[pos][1]) < 1e-9, pos
+    # seed is min-id (0); its planted near-dup (1) must NOT be pick 2
+    assert got[1][0] == 0
+    assert got[2][0] != 1

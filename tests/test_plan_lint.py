@@ -32,6 +32,7 @@ EAGER = {
     "graph_pagerank_dangling",
     "graph_hits",  # per-round score materialization (hits loop)
     "sim_diversify_mmr",  # cand/pair/selected checkpoints between greedy steps
+    "sample_kcenter_coreset",  # per-step state checkpoints (k-center loop)
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
@@ -141,6 +142,7 @@ EAGER_BNLJ_OK = {
     "graph_pagerank_dangling",  # 1-row dangling-mass aggregate crossJoin
     "graph_hits",  # 1-row normalization-total crossJoin per half-step
     "sim_diversify_mmr",  # bounded query-set broadcast (brute_force_topk stage)
+    "sample_kcenter_coreset",  # 1-row pick broadcast per greedy step
     "q_gap_fill_locf",  # 1-row ts-bounds aggregate crossJoin
     "q_sketch_countmin",  # 1-row sketch-table broadcast into the probe
     "sample_temperature_weights",  # 1-row normalization aggregate
