@@ -121,6 +121,7 @@ HEADLINE = [
     "sample_perplexity_buckets",
     "pipeline_curate_cap",
     "sample_kcenter_coreset",
+    "graph_ppr",
 ]
 
 

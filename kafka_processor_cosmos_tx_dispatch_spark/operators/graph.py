@@ -387,3 +387,94 @@ def hits(
     return hubs.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    reliable: bool | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank (damping 0.85) over `edges(src, dst)` with
+    teleport restricted to `seeds(node)` — rank mass flows outward from
+    a trusted seed set instead of uniformly, which is the
+    TrustRank-style quality-propagation primitive crawl curation uses
+    to score hosts by proximity to known-good seeds (and, inverted, to
+    find spam neighborhoods).
+
+    Same int64 fixed-point contract as pagerank: initial rank
+    SCALE DIV |seeds| on seeds (0 elsewhere), per-round teleport
+    (15·SCALE) DIV (100·|seeds|) to seeds only, contribution
+    (85·r) DIV (100·outdeg) along edges, dangling mass dropped (the
+    documented base-pagerank simplification). Ranks are exact integers;
+    the oracle unrolls identical CTEs.
+
+    Scale: identical plan shape to pagerank — per round one
+    edges⋈ranks equi-join + dst-keyed agg; the seed set is a broadcast
+    flag join (bounded). Returns (node, r) — nodes unreachable from the
+    seeds hold rank 0."""
+    reliable = resolve_reliable(edges.sparkSession, reliable)
+    edges = materialize(edges, reliable, strip=False)
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        reliable,
+        strip=False,
+    )
+    seed_nodes = materialize(
+        nodes.join(
+            seeds.select(F.col("node").alias("node")).distinct(), "node"
+        ),
+        reliable,
+        strip=False,
+    )
+    ns = seed_nodes.agg(F.count(F.lit(1)).alias("ns"))
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+        "node",
+        "left",
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    ranks = flagged.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.when(F.col("is_seed"), F.expr(f"{RANK_SCALE} DIV ns"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    outd = materialize(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")),
+        reliable,
+        strip=False,
+    )
+    flagged = materialize(flagged, reliable, strip=False)
+    for i in range(rounds):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outd, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * r) DIV (100 * d)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            flagged.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("is_seed"),
+                        F.expr(f"{15 * RANK_SCALE // 100} DIV ns"),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            ranks = materialize(ranks, reliable)
+    return ranks

@@ -2750,6 +2750,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, rounds=3)
 
 
+def _ppr_iter(k: int, prev: str) -> str:
+    """One unrolled personalized-PageRank iteration: teleport mass goes
+    to SEED nodes only; everything else matches _pr_iter."""
+    return f"""
+    i{k} AS (
+      SELECT n_.node,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN 150000000000 // ns.ns ELSE 0 END
+               + COALESCE(SUM((85 * p.r) // (100 * od.d)), 0) AS r
+      FROM nodes n_
+      CROSS JOIN ns
+      LEFT JOIN seeds sd ON sd.node = n_.node
+      LEFT JOIN edges e ON e.dst = n_.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outd od ON od.src = e.src
+      GROUP BY n_.node, ns.ns, sd.node)"""
+
+
+@register(
+    "graph_ppr",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 50 = 0),
+    ns AS (SELECT COUNT(*) AS ns FROM seeds),
+    outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT n_.node,
+                  CASE WHEN sd.node IS NOT NULL
+                       THEN 1000000000000 // ns.ns ELSE 0 END AS r
+           FROM nodes n_ CROSS JOIN ns
+           LEFT JOIN seeds sd ON sd.node = n_.node),
+    {_ppr_iter(1, "r0")},
+    {_ppr_iter(2, "i1")},
+    {_ppr_iter(3, "i2")}
+    SELECT node, CAST(r AS BIGINT) AS r FROM i3
+    """,
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded) PageRank
+    (operators/graph.py:personalized_pagerank, 3 rounds): teleport
+    restricted to the seed customers (custkey % 50 = 0) — the
+    TrustRank-style quality propagation crawl curation runs from
+    known-good seed hosts. Same int64 fixed-point contract and plan
+    shape as graph_pagerank; the oracle unrolls the seeded teleport as
+    CASE on a broadcast seed flag. Nodes unreachable from seeds hold
+    rank 0 (suppliers two hops out retain mass only via seed
+    customers' purchases — the proximity signal)."""
+    from .operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 50 == 0
+    )
+    return personalized_pagerank(edges, seeds, rounds=3)
+
+
 _HITS_SCALE = 1_000_000_000  # operators/graph.py HITS_SCALE
 
 

@@ -255,3 +255,42 @@ def test_hits_hand_graph_matches_integer_reference(spark):
     # both popular sinks → top hub
     assert max(got, key=lambda n: got[n][1]) == 10
     assert max(got, key=lambda n: got[n][0]) == 1
+
+
+def test_personalized_pagerank_hand_graph(spark):
+    """Seeded PageRank on a known graph vs a pure-Python int64
+    reference: mass must flow only from the seed, and a node unreachable
+    from the seed must hold rank 0 even when it has in-edges."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        RANK_SCALE,
+        personalized_pagerank,
+    )
+
+    # 1 -> 2 -> 3; 4 -> 3 (4 is NOT reachable from the seed 1)
+    edges = [(1, 2), (2, 3), (4, 3)]
+    seeds = [1]
+    nodes = sorted({n for e in edges for n in e})
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {n: (RANK_SCALE // len(seeds) if n in seeds else 0) for n in nodes}
+    for _ in range(3):
+        nr = {}
+        for n in nodes:
+            tp = (15 * RANK_SCALE // 100) // len(seeds) if n in seeds else 0
+            inflow = sum(
+                (85 * r[s]) // (100 * outd[s]) for s, d in edges if d == n
+            )
+            nr[n] = tp + inflow
+        r = nr
+    got = {
+        row["node"]: row["r"]
+        for row in personalized_pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            spark.createDataFrame([(s,) for s in seeds], "node long"),
+            rounds=3,
+        ).collect()
+    }
+    assert got == r
+    assert got[4] == 0  # has out-edges only; never reachable from seed
+    assert got[1] > 0 and got[3] > 0

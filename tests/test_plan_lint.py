@@ -31,6 +31,7 @@ EAGER = {
     "graph_pagerank",
     "graph_pagerank_dangling",
     "graph_hits",  # per-round score materialization (hits loop)
+    "graph_ppr",  # per-round materialization (personalized pagerank loop)
     "sim_diversify_mmr",  # cand/pair/selected checkpoints between greedy steps
     "sample_kcenter_coreset",  # per-step state checkpoints (k-center loop)
     "graph_k_core",  # per-round edge materialization (k_core loop)
@@ -141,6 +142,7 @@ EAGER_BNLJ_OK = {
     "graph_pagerank",  # 1-row node-count aggregate crossJoin (graph.py:75)
     "graph_pagerank_dangling",  # 1-row dangling-mass aggregate crossJoin
     "graph_hits",  # 1-row normalization-total crossJoin per half-step
+    "graph_ppr",  # 1-row seed-count aggregate crossJoin
     "sim_diversify_mmr",  # bounded query-set broadcast (brute_force_topk stage)
     "sample_kcenter_coreset",  # 1-row pick broadcast per greedy step
     "q_gap_fill_locf",  # 1-row ts-bounds aggregate crossJoin
