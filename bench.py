@@ -122,6 +122,7 @@ HEADLINE = [
     "pipeline_curate_cap",
     "sample_kcenter_coreset",
     "graph_ppr",
+    "streaming_heavy_hitters",
 ]
 
 

@@ -10025,6 +10025,26 @@ def streaming_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_toks", "cum_toks")
 
 
+@register("streaming_heavy_hitters", _ORACLE["q_heavy_hitters_mg"])
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters maintained over the EVENT stream
+    (streaming/incremental.py:incremental_heavy_hitters) — a carried
+    k-counter Misra–Gries sketch absorbs each micro-batch's count delta
+    (weighted Agarwal merge, batch-id-ledgered exactly-once, ≤k rows of
+    state at all times, anytime superset guarantee), and the final
+    candidate set is exact-recounted against the archived per-batch
+    deltas. The answer — and therefore the oracle — is the batch twin
+    q_heavy_hitters_mg's exact >1.2×-mean query."""
+    import tempfile
+
+    from .streaming.incremental import incremental_heavy_hitters
+
+    stream = _events_stream(spark, sf_dir)
+    return incremental_heavy_hitters(
+        stream.select("user_id"), tempfile.mkdtemp(prefix="shh_"), k=2048
+    )
+
+
 @register(
     "q_fuzzy_join_symdel",
     """

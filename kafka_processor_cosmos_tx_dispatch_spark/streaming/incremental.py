@@ -810,3 +810,156 @@ def incremental_domain_cap(
             [], "doc_id long, source string, n_toks long, cum_toks long"
         )
     return spark.read.parquet(*outs)
+
+
+def make_heavy_hitter_batch(state_dir: str, k: int, latest: dict):
+    """foreachBatch body of incremental_heavy_hitters: carried k-counter
+    Misra–Gries sketch over a keyed stream + per-batch count deltas.
+
+    Per batch: (1) the batch's exact per-key partial counts are written
+    as an archive delta (the pre-aggregated, mergeable form — each delta
+    is bounded by the batch's own distinct keys, never the global
+    domain); (2) the carried sketch absorbs the delta with the weighted
+    Agarwal et al. merge — full-outer count sum, then if over k keys
+    subtract the (k+1)-th largest from everything and drop ≤0. The
+    sequential fold keeps the classical MG guarantee: cumulative
+    subtracted mass ≤ n_total/(k+1), so any key with global frequency
+    above n/(k+1) SURVIVES in the carried sketch at every point in the
+    stream — an anytime approximate heavy-hitter answer with a
+    deterministic superset guarantee.
+
+    Exactly-once: sketch versions are batch-id-ledgered (replays
+    skipped — count folds are associative, not idempotent); deltas are
+    idempotent b{bid} overwrites. The sketch never exceeds k rows; no
+    driver-side state at all."""
+    archive = os.path.join(state_dir, "deltas")
+    counts_dir = os.path.join(state_dir, "sketch")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(counts_dir)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return
+        spark = bdf.sparkSession
+        delta = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(archive, f"b{bid}")
+        )
+        delta = spark.read.parquet(os.path.join(archive, f"b{bid}"))
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is not None:
+            merged = carry.join(delta, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce(carry["cnt"], F.lit(0))
+                    + F.coalesce(delta["cnt"], F.lit(0))
+                )
+                .cast("long")
+                .alias("cnt"),
+            )
+        else:
+            merged = delta
+        # weighted MG prune: subtract the (k+1)-th largest count from
+        # everything iff the sketch is over capacity (deterministic
+        # tiebreak so the cut value is stable across replans)
+        cut_stats = (
+            merged.orderBy(F.desc("cnt"), F.asc("user_id"))
+            .limit(k + 1)
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.min("cnt").alias("mn"),
+            )
+        )
+        pruned = (
+            merged.crossJoin(F.broadcast(cut_stats))
+            .select(
+                "user_id",
+                (
+                    F.col("cnt")
+                    - F.when(F.col("m") > k, F.col("mn")).otherwise(F.lit(0))
+                ).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        path = os.path.join(counts_dir, f"v{bid}")
+        pruned.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_heavy_hitters(
+    stream: DataFrame, state_dir: str, k: int = 2048
+) -> DataFrame:
+    """EXACT heavy hitters (>1.2× mean key frequency) over a bounded
+    stream — the streaming twin of queries.q_heavy_hitters_mg: a carried
+    Misra–Gries sketch (bounded k state, anytime superset guarantee)
+    prunes, then ONE exact recount of the final candidate set against
+    the archived per-batch count deltas verifies. The deltas are
+    pre-aggregated partials, so the recount is a candidate-semi-joined
+    sum over mergeable summaries, never a rescan of raw events; the
+    global stats (n, distinct keys) come from the same deltas, exactly.
+
+    Scale: per-batch cost is one keyed partial agg + a ≤k-row sketch
+    merge; the final recount shuffles only candidate keys. The answer
+    equals the batch query's (and its oracle's) whenever the key domain
+    satisfies the same u ≤ 1.2·(k+1) envelope documented there."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_heavy_hitter_batch(state_dir, k, {"bid": None, "path": None})
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_heavy_hitters: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    _, sketch_path = _scan_state(os.path.join(state_dir, "sketch"))
+    outs = [
+        p
+        for p in glob.glob(os.path.join(state_dir, "deltas", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if sketch_path is None or not outs:
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, rel_freq double"
+        )
+    cand = spark.read.parquet(sketch_path).select("user_id")
+    deltas = spark.read.parquet(*outs)
+    stats = deltas.agg(
+        F.sum("cnt").alias("n"), F.count_distinct("user_id").alias("u")
+    )
+    counts = (
+        deltas.join(F.broadcast(cand), "user_id", "leftsemi")
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("cnt") * F.col("u") * F.lit(5) > F.lit(6) * F.col("n"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("n_events"),
+            (
+                (F.col("cnt") * F.col("u")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("rel_freq"),
+        )
+    )

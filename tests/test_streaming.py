@@ -731,3 +731,65 @@ class TestIncrementalDomainCap:
             tuple(r) for r in streaming_domain_cap(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestIncrementalHeavyHitters:
+    def test_carried_sketch_survives_eviction_and_recount_is_exact(
+        self, spark, tmp_path
+    ):
+        """Tiny k forces eviction in EVERY merge; the carried sketch must
+        still retain the true heavy keys (superset guarantee under the
+        sequential Agarwal fold), the final recount must equal the exact
+        >1.2×-mean answer, the sketch must never exceed k rows, and a
+        replayed batch id must be skipped."""
+        import glob
+
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+            make_heavy_hitter_batch,
+        )
+
+        # 100×A, 60×B, then 12 singletons — exact answer at u=14,
+        # n=172: threshold cnt·14·5 > 6·172 → cnt > 14.7 → {A, B}
+        rows = [(1,)] * 100 + [(2,)] * 60 + [(i,) for i in range(10, 22)]
+        schema = "user_id long"
+        k = 3
+
+        def run(splits, workdir, replay_bid=None):
+            latest = {"bid": None, "path": None}
+            body = make_heavy_hitter_batch(workdir, k, latest)
+            for bid, chunk in enumerate(splits):
+                body(spark.createDataFrame(chunk, schema), bid)
+                if replay_bid == bid:
+                    body(spark.createDataFrame(chunk, schema), bid)
+            _, sketch = _scan_state(f"{workdir}/sketch")
+            cand = {r["user_id"] for r in spark.read.parquet(sketch).collect()}
+            assert len(cand) <= k
+            outs = glob.glob(f"{workdir}/deltas/b*")
+            deltas = spark.read.parquet(*outs)
+            n = deltas.agg(F.sum("cnt")).collect()[0][0]
+            assert n == len(rows)  # replay did not double-fold
+            return cand
+
+        # interleave so no single batch is one-key-only
+        import random
+
+        rng = random.Random(5)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        cand = run(
+            [shuffled[:50], shuffled[50:90], shuffled[90:]],
+            str(tmp_path / "hh"),
+            replay_bid=1,
+        )
+        assert {1, 2} <= cand  # true heavies survived every eviction
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            q_heavy_hitters_mg,
+            streaming_heavy_hitters,
+        )
+
+        want = {tuple(r) for r in q_heavy_hitters_mg(spark, sf_dir).collect()}
+        got = {tuple(r) for r in streaming_heavy_hitters(spark, sf_dir).collect()}
+        assert got == want and len(got) >= 1
