@@ -2856,7 +2856,7 @@ def _hits_iter(k: int, prev: str) -> str:
            FROM nodes CROSS JOIN nn),
     {_hits_iter(1, "h0")},
     {_hits_iter(2, "h1")}
-    SELECT h2.node, h2.h AS hub, a2.a AS auth
+    SELECT h2.node, CAST(h2.h AS BIGINT) AS hub, CAST(a2.a AS BIGINT) AS auth
     FROM h2 JOIN a2 ON h2.node = a2.node
     """,
 )
