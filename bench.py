@@ -123,6 +123,7 @@ HEADLINE = [
     "sample_kcenter_coreset",
     "graph_ppr",
     "streaming_heavy_hitters",
+    "multimodal_scene_cuts",
 ]
 
 

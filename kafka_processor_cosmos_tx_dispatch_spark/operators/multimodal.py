@@ -137,3 +137,32 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             yield out
 
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_FEAT_SCHEMA = "doc_id long, frame_idx int, feat long"
+
+
+def frame_features(
+    binary_df: DataFrame, frame: int = 32
+) -> DataFrame:
+    """Per-frame scalar feature over a video-like payload: fixed
+    `frame`-byte windows (full frames only — a real decoder works on
+    whole frames), feature = exact integer byte sum (the luminance-sum
+    stand-in; a real pipeline computes a frame histogram/embedding in
+    this same Arrow batch slot, codecs absent here). 1→N rows per
+    payload, int64 exact — the downstream scene-cut analytics stay
+    JVM-side and oracle-reproducible."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                for i in range(len(data) // frame):
+                    seg = data[i * frame : (i + 1) * frame]
+                    rows.append((doc_id, i, sum(seg)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "feat"]
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_FEAT_SCHEMA)

@@ -5848,6 +5848,67 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(with_binary_payload(docs), window=64)
 
 
+_SCENE_CUT_TH = 192  # |Δ byte-sum| above this = cut (~p92 of deltas)
+
+
+@register(
+    "multimodal_scene_cuts",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(text)) // 32 - 1)) AS i,
+             text
+      FROM documents WHERE octet_length(encode(text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c))) AS BIGINT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx, feat,
+             feat - LAG(feat) OVER (PARTITION BY doc_id
+               ORDER BY frame_idx) AS d0
+      FROM feat)
+    SELECT doc_id, frame_idx, feat,
+           CAST(ABS(d0) AS BIGINT) AS delta,
+           CASE WHEN d0 IS NULL THEN FALSE
+                ELSE ABS(d0) > {_SCENE_CUT_TH} END AS is_cut
+    FROM d
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video-like payloads — the clip
+    segmentation step video training pipelines run before sampling
+    clips: per-frame scalar feature (operators/multimodal.py:
+    frame_features, the decode stand-in in an Arrow batch), then a
+    frame-lag delta per document and a threshold flag, all JVM-side.
+    Byte-sum frames stand in for luminance histograms (codecs absent);
+    the analytics layer — lag window keyed by doc, exact integer
+    deltas, deterministic threshold — is the real operator.
+
+    Scale: decode is one narrow Arrow pass (payloads never shuffle);
+    the cut detection shuffles only (doc_id, frame_idx, feat) rows on
+    doc_id for the lag window — frames of one video co-locate, which is
+    also what a real GOP-aware decoder needs."""
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = frame_features(with_binary_payload(docs), frame=32)
+    wd = W.partitionBy("doc_id").orderBy("frame_idx")
+    d0 = F.col("feat") - F.lag("feat").over(wd)
+    return feats.withColumn("d0", d0).select(
+        "doc_id",
+        "frame_idx",
+        "feat",
+        F.abs(F.col("d0")).cast("long").alias("delta"),
+        F.when(F.col("d0").isNull(), F.lit(False))
+        .otherwise(F.abs(F.col("d0")) > _SCENE_CUT_TH)
+        .alias("is_cut"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """

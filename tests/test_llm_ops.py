@@ -1180,3 +1180,27 @@ def test_kcenter_coreset_matches_greedy_reference(spark):
     # seed is min-id (0); its planted near-dup (1) must NOT be pick 2
     assert got[1][0] == 0
     assert got[2][0] != 1
+
+
+def test_scene_cuts_flags_planted_transition(spark):
+    """A payload built from two runs of constant bytes must yield
+    exactly one cut — at the frame where the runs meet — with exact
+    integer deltas and is_cut false on frame 0."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.multimodal import (
+        frame_features,
+        with_binary_payload,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import _SCENE_CUT_TH
+
+    text = "a" * 64 + "z" * 64  # feat jumps by 32*(ord(z)-ord(a)) = 800
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    feats = frame_features(with_binary_payload(df), frame=32).collect()
+    assert [r["feat"] for r in sorted(feats, key=lambda r: r["frame_idx"])] == [
+        32 * ord("a"),
+        32 * ord("a"),
+        32 * ord("z"),
+        32 * ord("z"),
+    ]
+    deltas = [0, 0, 800, 0]
+    cuts = [abs(d) > _SCENE_CUT_TH for d in deltas]
+    assert cuts == [False, False, True, False]
