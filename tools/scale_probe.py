@@ -553,6 +553,63 @@ def main() -> None:
 
     probe("hits_2rounds", n_edges, lambda: run(hits(edges, rounds=2)))
 
+    # personalized PageRank: same per-round join+agg as pagerank plus a
+    # broadcast seed flag — edges/s should track pagerank_3rounds
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    ppr_seeds = spark.range(0, 100_000, 50).select(F.col("id").alias("node"))
+    probe(
+        "ppr_3rounds",
+        n_edges,
+        lambda: run(personalized_pagerank(edges, ppr_seeds, rounds=3)),
+    )
+
+    # streaming heavy hitters: fold the event stream through 4 carried
+    # MG merges + the final candidate recount — per-batch cost is the
+    # batch's keyed partial agg; total should track a plain groupBy
+    from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+        make_heavy_hitter_batch,
+    )
+
+    def stream_hh():
+        import shutil as _sh
+
+        workdir = f"{WORKDIR}/shh"
+        _sh.rmtree(workdir, ignore_errors=True)
+        body = make_heavy_hitter_batch(workdir, 2048, {"bid": None, "path": None})
+        ev = _events(spark, args.events).select("event_id", "user_id")
+        for bid in range(4):
+            body(
+                ev.filter(F.col("event_id") % 4 == bid).select("user_id"),
+                bid,
+            )
+
+    probe("streaming_heavy_hitters_4batches", args.events, stream_hh)
+
+    # scene cuts: one Arrow frame-feature pass + a doc-keyed lag window
+    # — rows/s should track the other multimodal Arrow passes
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.multimodal import (
+        frame_features,
+        with_binary_payload,
+    )
+    from pyspark.sql import Window as _W
+
+    def scene_cuts():
+        feats = frame_features(with_binary_payload(docs), frame=32)
+        wd = _W.partitionBy("doc_id").orderBy("frame_idx")
+        d0 = F.col("feat") - F.lag("feat").over(wd)
+        run(
+            feats.withColumn("d0", d0).select(
+                "doc_id",
+                "frame_idx",
+                F.abs(F.col("d0")).alias("delta"),
+            )
+        )
+
+    probe("scene_cuts", args.docs, scene_cuts)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
