@@ -124,6 +124,7 @@ HEADLINE = [
     "graph_ppr",
     "streaming_heavy_hitters",
     "multimodal_scene_cuts",
+    "q_join_dpp",
 ]
 
 

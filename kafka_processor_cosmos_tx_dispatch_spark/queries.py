@@ -7959,6 +7959,69 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_dpp",
+    f"""
+    WITH f AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             l_extendedprice, l_discount
+      FROM lineitem),
+    y AS (
+      SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS ship_year
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01')
+    SELECT f.ship_year, COUNT(*) AS n,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM f JOIN y USING (ship_year)
+    GROUP BY f.ship_year
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: lineitem lives hive-partitioned by
+    ship year; the join's dim side (years with urgent 1995 orders) is
+    only known at runtime, so no static filter can prune — Catalyst
+    inserts a DynamicPruningExpression into the fact scan that reuses
+    the broadcast join's build side as a partition filter, and the scan
+    lists ONE year directory out of seven (plan-pinned in
+    tests/test_scale_plans.py). This is the partition-level analogue of
+    the bloom prefilter query, and the single most important scan
+    optimization for star joins at 100 TB: the fact side's I/O is
+    bounded by the dim filter's selectivity, decided per run, for free.
+
+    Scale: the dim aggregates to a handful of distinct years →
+    broadcast; the fact scan prunes before I/O. The warehouse write is
+    per-sf-dir, once (overwrite), like the other layout queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = f"{warehouse}/dpp_lineitem_{sf_dir.strip('/').split('/')[-1]}"
+    li.select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+        "l_discount",
+    ).write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(F.year("o_orderdate").cast("int").alias("ship_year"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "graph_jaccard_neighbors",
     """
     WITH cs AS (

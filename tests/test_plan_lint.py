@@ -28,6 +28,7 @@ EAGER = {
     "q_source_orc_roundtrip",  # warehouse writes on call
     "q_source_partition_prune",  # warehouse writes on call
     "q_source_schema_evolution",  # warehouse writes on call
+    "q_join_dpp",  # warehouse write on call (partitioned fact layout)
     "graph_pagerank",
     "graph_pagerank_dangling",
     "graph_hits",  # per-round score materialization (hits loop)

