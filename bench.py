@@ -125,6 +125,7 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "multimodal_scene_cuts",
     "q_join_dpp",
+    "q_benford_audit",
 ]
 
 

@@ -7959,6 +7959,82 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_benford_audit",
+    """
+    WITH c0 AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    dg AS (
+      SELECT CASE
+             WHEN c >= 1000000000 THEN c // 1000000000
+             WHEN c >= 100000000 THEN c // 100000000
+             WHEN c >= 10000000 THEN c // 10000000
+             WHEN c >= 1000000 THEN c // 1000000
+             WHEN c >= 100000 THEN c // 100000
+             WHEN c >= 10000 THEN c // 10000
+             WHEN c >= 1000 THEN c // 1000
+             WHEN c >= 100 THEN c // 100
+             WHEN c >= 10 THEN c // 10
+             ELSE c END AS digit
+      FROM c0),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY digit),
+    t AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT CAST(digit AS INTEGER) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS exp_share,
+           CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+           CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+             - CAST(CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS deviation
+    FROM obs CROSS JOIN t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit over order totals — the
+    classic numeric-integrity screen (fabricated or unit-mangled values
+    drift from log10(1+1/d)). The first digit is extracted with an
+    integer magnitude CASE over exact cents (no log10, no string
+    formatting — floats never touch the digit), expected shares are
+    pasted full-precision literals (identical parse in both engines),
+    and the output is PER-DIGIT (share + deviation, one IEEE
+    divide/subtract each) — no float aggregation whose order could
+    differ. Scale: one map + a 9-key agg; the total is a 1-row
+    broadcast."""
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("long")
+    digit = F.expr(
+        """CASE
+             WHEN c >= 1000000000 THEN c DIV 1000000000
+             WHEN c >= 100000000 THEN c DIV 100000000
+             WHEN c >= 10000000 THEN c DIV 10000000
+             WHEN c >= 1000000 THEN c DIV 1000000
+             WHEN c >= 100000 THEN c DIV 100000
+             WHEN c >= 10000 THEN c DIV 10000
+             WHEN c >= 1000 THEN c DIV 1000
+             WHEN c >= 100 THEN c DIV 100
+             WHEN c >= 10 THEN c DIV 10
+             ELSE c END"""
+    )
+    exp_share = F.expr("CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END").cast("double")
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(cents.alias("c"))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = obs.agg(F.sum("n_obs").alias("n"))
+    obs_share = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    return obs.crossJoin(F.broadcast(t)).select(
+        F.col("digit").cast("int").alias("digit"),
+        "n_obs",
+        exp_share.alias("exp_share"),
+        obs_share.alias("obs_share"),
+        (obs_share - exp_share).alias("deviation"),
+    )
+
+
+@register(
     "q_join_dpp",
     f"""
     WITH f AS (
