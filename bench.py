@@ -126,6 +126,9 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "q_join_dpp",
     "q_benford_audit",
+    "sample_softdedup_weights",
+    "multimodal_audio_vad_spans",
+    "pipeline_clip_extract",
 ]
 
 

@@ -5339,6 +5339,52 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_softdedup_weights",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_D_NORM}) AS fingerprint FROM documents),
+    g AS (
+      SELECT fingerprint, COUNT(*) AS n_copies FROM fp GROUP BY 1)
+    SELECT fp.doc_id, g.n_copies,
+           CAST(1000000 // g.n_copies AS BIGINT) AS weight_fp,
+           CAST(1000000 // g.n_copies AS DOUBLE) / 1000000.0 AS weight
+    FROM fp JOIN g USING (fingerprint)
+    """,
+)
+def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, every document gets a
+    training weight 1/|its exact-dup cluster| so each distinct content
+    contributes unit mass — the reweighting alternative to hard dedup
+    (soft-dedup ablations show it preserves diversity the drop loses,
+    and it is the only option when the loader cannot delete rows). The
+    weight rides as exact integer fixed-point (10^6 DIV n_copies) with
+    the double view derived by ONE division, bit-identical across
+    engines.
+
+    Scale: one fingerprint hash-agg (map-side combinable) + one
+    fingerprint-keyed join back — both sides partition on the same key,
+    no second shuffle. Composes with sample_temperature_weights (weight
+    product) and text_pack_sequences (weighted budgets) unchanged."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id",
+        TX.content_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    g = with_fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    wfp = F.expr("1000000 DIV n_copies")
+    return with_fp.join(g, "fingerprint").select(
+        "doc_id",
+        "n_copies",
+        wfp.cast("long").alias("weight_fp"),
+        (wfp.cast("double") / F.lit(1000000.0)).alias("weight"),
+    )
+
+
+@register(
     "sample_stratified",
     """
     SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
@@ -5848,6 +5894,97 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(with_binary_payload(docs), window=64)
 
 
+_VAD_TH = 9850  # mean-square-per-sample activity threshold (~median)
+
+
+@register(
+    "multimodal_audio_vad_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(generate_series(0,
+        CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+        AS win, text
+      FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(win AS INTEGER) AS win,
+             substr(text, win * 64 + 1, 64) AS s
+      FROM w),
+    e AS (
+      SELECT doc_id, win,
+             CAST(list_sum(list_transform(string_split(s, ''),
+               c -> ord(c) * ord(c))) AS BIGINT) AS ssq,
+             CAST(length(s) AS BIGINT) AS n
+      FROM seg),
+    act AS (
+      SELECT doc_id, win, ssq,
+             win - ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY win) AS island
+      FROM e WHERE ssq > {_VAD_TH} * n)
+    SELECT doc_id,
+           CAST(MIN(win) AS INTEGER) AS span_start,
+           CAST(MAX(win) AS INTEGER) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ssq) AS BIGINT) AS ssq_total
+    FROM act GROUP BY doc_id, island
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_audio_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style span extraction over audio-like payloads —
+    the segmentation step speech training pipelines run to cut silence
+    and keep contiguous speech: windowed integer energy (exact
+    sum-of-squares, the float RMS never gates anything), an all-integer
+    activity threshold (mean square > TH), and a gaps-and-islands merge
+    of adjacent active windows into spans (≥2 windows). Composes the
+    audio-energy windowing with the islands idiom; a real pipeline
+    swaps the byte-energy for decoded PCM energy in the same Arrow
+    slot.
+
+    Scale: windows are generated in-row (no shuffle), the only shuffle
+    is the doc-keyed islands window + span agg — frames of one clip
+    co-locate, same as scene cuts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_wins = (
+        F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
+    )
+    seg = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "win",
+        F.substring(F.col("text"), F.col("win") * 64 + 1, 64).alias("s"),
+    )
+    ssq = F.aggregate(
+        F.split(F.col("s"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(c == "", F.lit(0)).otherwise(F.ascii(c) * F.ascii(c)),
+    )
+    e = seg.select(
+        "doc_id",
+        "win",
+        ssq.alias("ssq"),
+        F.length("s").cast("long").alias("n"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("win")
+    act = e.filter(F.col("ssq") > F.lit(_VAD_TH) * F.col("n")).withColumn(
+        "island", F.col("win") - F.row_number().over(wd)
+    )
+    return (
+        act.groupBy("doc_id", "island")
+        .agg(
+            F.min("win").cast("int").alias("span_start"),
+            F.max("win").cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("ssq").alias("ssq_total"),
+        )
+        .filter(F.col("n_windows") >= 2)
+        .drop("island")
+    )
+
+
 _SCENE_CUT_TH = 192  # |Δ byte-sum| above this = cut (~p92 of deltas)
 
 
@@ -5906,6 +6043,92 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("d0").isNull(), F.lit(False))
         .otherwise(F.abs(F.col("d0")) > _SCENE_CUT_TH)
         .alias("is_cut"),
+    )
+
+
+@register(
+    "pipeline_clip_extract",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(text)) // 32 - 1)) AS i,
+             text
+      FROM documents WHERE octet_length(encode(text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c))) AS BIGINT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx,
+             feat - LAG(feat) OVER (PARTITION BY doc_id
+               ORDER BY frame_idx) AS d0
+      FROM feat),
+    sc AS (
+      SELECT doc_id, frame_idx,
+             SUM(CASE WHEN d0 IS NOT NULL
+                       AND ABS(d0) > {_SCENE_CUT_TH} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS scene_id
+      FROM d),
+    scenes AS (
+      SELECT doc_id, scene_id,
+             CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+             CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames
+      FROM sc GROUP BY doc_id, scene_id)
+    SELECT doc_id, CAST(rn AS INTEGER) AS clip_rank,
+           start_frame, end_frame, n_frames
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY n_frames DESC, start_frame) AS rn
+      FROM scenes)
+    WHERE rn <= 2
+    """,
+)
+def pipeline_clip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal composition: scene-cut detection → scene
+    assembly → clip selection, one lazy plan — the "pick the k longest
+    coherent clips per video" step that turns raw footage into training
+    clips. Scene ids are a running sum of cut flags (the islands idiom
+    on change-points instead of gaps), scenes aggregate per (doc,
+    scene), and a per-doc rank keeps the 2 longest (start-frame
+    tiebreak). Everything after the Arrow frame-feature pass is three
+    windows/aggs on the SAME doc-keyed shuffle."""
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = frame_features(with_binary_payload(docs), frame=32)
+    wd = W.partitionBy("doc_id").orderBy("frame_idx")
+    d0 = F.col("feat") - F.lag("feat").over(wd)
+    cut = (
+        F.when(
+            d0.isNotNull() & (F.abs(d0) > _SCENE_CUT_TH), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    wcum = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sc = feats.withColumn("scene_id", F.sum(cut).over(wcum))
+    scenes = sc.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        F.desc("n_frames"), F.asc("start_frame")
+    )
+    return (
+        scenes.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "doc_id",
+            F.col("rn").cast("int").alias("clip_rank"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+        )
     )
 
 
