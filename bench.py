@@ -129,6 +129,7 @@ HEADLINE = [
     "sample_softdedup_weights",
     "multimodal_audio_vad_spans",
     "pipeline_clip_extract",
+    "sample_epoch_repeats",
 ]
 
 

@@ -5338,6 +5338,74 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(kept, "n_tokens", budget=512, range_size=64)
 
 
+_EPOCHS = {  # per-lang epoch factor as exact rational (num, den)
+    "en": (5, 2),  # 2.5 epochs
+    "de": (3, 2),  # 1.5
+    "fr": (1, 1),  # 1.0
+    "es": (1, 2),  # 0.5 — deterministic half subsample
+    "zh": (2, 1),  # 2.0
+}
+
+
+@register(
+    "sample_epoch_repeats",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents),
+    cp AS (
+      SELECT doc_id, lang,
+             CASE lang
+               {" ".join(f"WHEN '{k}' THEN {p} // {q} + CASE WHEN (r - 1) % {q} < {p} % {q} THEN 1 ELSE 0 END"
+                         for k, (p, q) in _EPOCHS.items())}
+               ELSE 1 END AS copies
+      FROM ranked)
+    SELECT doc_id, lang, CAST(i AS INTEGER) AS copy_idx
+    FROM cp, unnest(generate_series(1, copies)) AS t(i)
+    """,
+)
+def sample_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition schedule: each language's documents
+    appear ⌈e⌉ or ⌊e⌋ times so the average equals the recipe's epoch
+    factor EXACTLY (en 2.5, de 1.5, fr 1.0, zh 2.0, es 0.5 — a factor
+    below 1 is a deterministic subsample). This is the "N epochs of
+    source X" knob of production pretraining mixes, with none of the
+    sampling variance: ranks come from the stable md5 shuffle, and a
+    rank-r document of a p/q-epoch language gets p DIV q extra copies
+    plus one more iff (r−1) mod q < p mod q — integer arithmetic both
+    engines share, mean exactly p/q over any q consecutive ranks.
+
+    Scale: one lang-keyed rank window + an in-row explode of ≤⌈e⌉
+    copy indices — output size is the token budget the recipe chose,
+    there is no shuffle after the rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    copies_expr = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {p} DIV {q}"
+        f" + (CASE WHEN (r - 1) % {q} < {p} % {q} THEN 1 ELSE 0 END)"
+        for k, (p, q) in _EPOCHS.items()
+    ) + " ELSE 1 END"
+    cp = docs.select(
+        "doc_id", "lang", F.row_number().over(wl).alias("r")
+    ).withColumn("copies", F.expr(copies_expr))
+    # sequence(1, 0) is DESCENDING in Spark (the _bigram_lm lesson):
+    # guard the zero-copy (subsampled-out) documents to an empty array
+    # so explode drops them, matching generate_series(1, 0) = empty
+    idx = F.when(
+        F.col("copies") >= 1,
+        F.sequence(F.lit(1), F.col("copies").cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    return cp.select(
+        "doc_id",
+        "lang",
+        F.explode(idx).alias("copy_idx"),
+    ).withColumn("copy_idx", F.col("copy_idx").cast("int"))
+
+
 @register(
     "sample_softdedup_weights",
     f"""

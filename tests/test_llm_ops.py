@@ -1204,3 +1204,30 @@ def test_scene_cuts_flags_planted_transition(spark):
     deltas = [0, 0, 800, 0]
     cuts = [abs(d) > _SCENE_CUT_TH for d in deltas]
     assert cuts == [False, False, True, False]
+
+
+def test_epoch_repeats_mean_is_exact_rational(spark, sf_dir):
+    """Per language, total copies must equal the exact rational epoch
+    mass: n·(p DIV q) + number of ranks with (r−1) mod q < p mod q —
+    i.e. |copies·q − n·p| < q — and the sub-1.0 language (es) must be a
+    strict subsample (fewer rows out than in)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        _EPOCHS,
+        sample_epoch_repeats,
+    )
+
+    out = sample_epoch_repeats(spark, sf_dir).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+    n_by_lang = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lang, (p, q) in _EPOCHS.items():
+        n = n_by_lang[lang]
+        assert abs(got.get(lang, 0) * q - n * p) < q, (lang, got.get(lang), n)
+    assert got["es"] < n_by_lang["es"]
