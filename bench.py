@@ -130,6 +130,7 @@ HEADLINE = [
     "multimodal_audio_vad_spans",
     "pipeline_clip_extract",
     "sample_epoch_repeats",
+    "sim_recall_at_k",
 ]
 
 

@@ -3612,6 +3612,93 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_recall_at_k",
+    f"""
+    WITH {_D_FLAT},
+    {_lsh_bucket_sql()},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 10
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY s.cos_sim DESC, s.neighbor_id) AS rn
+        FROM scored s
+        JOIN buckets bq ON bq.vec_id = s.query_id
+        JOIN buckets bc ON bc.vec_id = s.neighbor_id
+          AND bc.bucket = bq.bucket)
+      WHERE rn <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id
+      AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation IN the engine: recall@5 of the
+    LSH-bucketed index against the exact brute-force baseline, per
+    query — the measurement every approximate-retrieval deployment runs
+    before trusting an index, here as a join of the two top-k result
+    relations (ground truth LEFT JOIN approximate, hit-count per
+    query). The approximate side's candidate set is the same-bucket
+    subset of the exact scored relation, so the oracle shares one
+    scoring CTE for both.
+
+    Scale: both result sets are |Q|·k rows regardless of corpus size —
+    the recall join is trivially bounded; evaluating a new index config
+    costs one extra candidate-generation pass, not a second corpus
+    scan."""
+    from .operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = lsh_bucketed_topk(q, emb, dims=64, n_planes=4, k=5).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("aq"))
+            & (exact.neighbor_id == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("an").alias("n_hit"),
+            (
+                F.count("an").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
     "sim_embedding_near_dup",
     """
     WITH q AS (

@@ -90,6 +90,7 @@ BNLJ_OK = {
     "q_changepoint_cusum",  # 1-row floor-mean target broadcast
     "text_bpe_train",  # 1-row argmax merge-pair broadcast per iteration
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
+    "sim_recall_at_k",  # same bounded-query broadcast on both result sides
     "sim_mutual_knn",  # bounded side-A broadcast vs side-B corpus (exact miner)
     "sim_range_search",  # same bounded-query broadcast, threshold filter
     "sim_knn_classify",  # same bounded-query broadcast + label vote
