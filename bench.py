@@ -131,6 +131,7 @@ HEADLINE = [
     "pipeline_clip_extract",
     "sample_epoch_repeats",
     "sim_recall_at_k",
+    "dedup_cluster_histogram",
 ]
 
 

@@ -2690,6 +2690,71 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_twolevel(pairs)
 
 
+@register(
+    "dedup_cluster_histogram",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    comp_all AS (
+      SELECT doc_id, component FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size
+              FROM comp_all GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY: the near-dup cluster-size distribution —
+    "how much of the corpus sits in duplicate clusters of size s" — the
+    first chart every dedup report shows (it decides the dedup
+    strategy: a fat head of giant clusters wants exact-hash first, a
+    long tail of pairs wants LSH). Clusters come from the proven
+    MinHash→LSH→connected-components chain; documents in no pair at all
+    are size-1 clusters via an anti-join union, so Σ n_docs equals the
+    corpus size exactly.
+
+    Scale: everything after CC is two keyed aggs over (doc, component)
+    rows; the anti-join is a semi-join-shaped fingerprint lookup."""
+    from .operators.dedup import (
+        connected_components_twolevel,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    comp_all = comp.select("doc_id", "component").unionByName(singles)
+    sizes = comp_all.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
 def _pr_iter(k: int, prev: str) -> str:
     """One unrolled PageRank iteration as a DuckDB CTE."""
     return f"""

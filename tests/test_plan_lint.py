@@ -22,6 +22,7 @@ from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
 # re-running them here would double the suite's runtime for no new signal.
 EAGER = {
     "dedup_connected_components",
+    "dedup_cluster_histogram",  # CC union-find rounds run on call
     "q_bucketed_join_agg",  # warehouse writes on call
     "q_source_csv_roundtrip",  # warehouse writes on call
     "q_source_jsonl_roundtrip",  # warehouse writes on call
@@ -141,6 +142,7 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
 # Arrow-batched Python stages inside eager operators, by design:
 EAGER_PYTHON_OK = {
     "dedup_connected_components",  # partition-local union-find (mapInPandas)
+    "dedup_cluster_histogram",  # same union-find stage
 }
 # Bounded-broadcast nested-loop stages inside eager operators:
 EAGER_BNLJ_OK = {
