@@ -132,6 +132,7 @@ HEADLINE = [
     "sample_epoch_repeats",
     "sim_recall_at_k",
     "dedup_cluster_histogram",
+    "q_stats_ab_ttest",
 ]
 
 

@@ -8402,6 +8402,100 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stats_ab_ttest",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type),
+    a AS (SELECT n, s, ss FROM g WHERE event_type = 'purchase'),
+    b AS (SELECT n, s, ss FROM g WHERE event_type = 'click'),
+    m AS (
+      SELECT a.n AS n1, b.n AS n2,
+             a.s / CAST(a.n AS DOUBLE) AS m1,
+             b.s / CAST(b.n AS DOUBLE) AS m2,
+             (a.ss - (a.s * a.s) / CAST(a.n AS DOUBLE))
+               / CAST(a.n - 1 AS DOUBLE) AS v1,
+             (b.ss - (b.s * b.s) / CAST(b.n AS DOUBLE))
+               / CAST(b.n - 1 AS DOUBLE) AS v2
+      FROM a CROSS JOIN b)
+    SELECT n1, n2, m1, m2, v1, v2,
+           (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE)
+                            + v2 / CAST(n2 AS DOUBLE)) AS t_welch,
+           ((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+            * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+           / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                / CAST(n1 - 1 AS DOUBLE)
+              + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                / CAST(n2 - 1 AS DOUBLE)) AS df_welch
+    FROM m
+    """,
+)
+def q_stats_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between purchase and click values —
+    the A/B significance gate (unequal variances, Welch–Satterthwaite
+    df). Sums and sums-of-squares ride DECIMAL (2dp inputs ⇒ 4dp
+    squares, both exact and order-free); every downstream mean /
+    variance / t / df is a fixed IEEE expression tree over those exact
+    aggregates — sqrt is correctly-rounded by IEEE 754, so unlike
+    exp/log it is safe in hashed outputs. Scale: one map-side
+    combinable agg per group, then 1-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+            F.sum(dec * dec).cast("double").alias("ss"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    b = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    m = a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1").cast("double")).alias("m1"),
+        (F.col("s2") / F.col("n2").cast("double")).alias("m2"),
+        (
+            (F.col("ss1") - (F.col("s1") * F.col("s1")) / F.col("n1").cast("double"))
+            / (F.col("n1") - 1).cast("double")
+        ).alias("v1"),
+        (
+            (F.col("ss2") - (F.col("s2") * F.col("s2")) / F.col("n2").cast("double"))
+            / (F.col("n2") - 1).cast("double")
+        ).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1").cast("double")
+    se2 = F.col("v2") / F.col("n2").cast("double")
+    return m.select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        "v1",
+        "v2",
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_welch"),
+        (
+            ((se1 + se2) * (se1 + se2))
+            / (
+                se1 * se1 / (F.col("n1") - 1).cast("double")
+                + se2 * se2 / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("df_welch"),
+    )
+
+
+@register(
     "q_benford_audit",
     """
     WITH c0 AS (
