@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_recall_at_k",
     "dedup_cluster_histogram",
     "q_stats_ab_ttest",
+    "sample_split_by_cluster",
 ]
 
 

@@ -2755,6 +2755,81 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_split_by_cluster",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    comp_all AS (
+      SELECT doc_id, component FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp))
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substring(md5(CAST(component AS VARCHAR)),
+                      1, 8))::BIGINT % 10 < 8 THEN 'train'
+                WHEN ('0x' || substring(md5(CAST(component AS VARCHAR)),
+                      1, 8))::BIGINT % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp_all
+    """,
+)
+def sample_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split key is the near-dup
+    CLUSTER, not the document — so a document and its near-duplicates
+    can never straddle train and test (the contamination a plain
+    per-doc hash split silently permits whenever the corpus has
+    near-dups, which is always). 80/10/10 by md5 of the cluster id —
+    the same deterministic hash-split contract as sample_hash_split,
+    one level up. Singleton docs are their own cluster via the
+    anti-join union, so every document gets exactly one split label.
+
+    Scale: the split adds ONE hash projection to the CC output — the
+    cost is the dedup clustering the pipeline already ran."""
+    from .operators.dedup import (
+        connected_components_twolevel,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    comp_all = comp.select("doc_id", "component").unionByName(singles)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return comp_all.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def _pr_iter(k: int, prev: str) -> str:
     """One unrolled PageRank iteration as a DuckDB CTE."""
     return f"""

@@ -1231,3 +1231,32 @@ def test_epoch_repeats_mean_is_exact_rational(spark, sf_dir):
         n = n_by_lang[lang]
         assert abs(got.get(lang, 0) * q - n * p) < q, (lang, got.get(lang), n)
     assert got["es"] < n_by_lang["es"]
+
+
+def test_split_by_cluster_never_straddles_near_dups(spark, sf_dir):
+    """Every near-dup pair must land in the SAME split (the property a
+    per-doc hash split violates), and all three splits must be
+    nonempty at the test sf."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        _LSH_MAX_BUCKET,
+        _MINHASH_BANDS,
+        _MINHASH_K,
+        sample_split_by_cluster,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in sample_split_by_cluster(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    ).collect()
+    assert pairs, "test corpus should contain near-dup pairs"
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    assert {"train", "val", "test"} <= set(split.values())

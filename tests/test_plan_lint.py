@@ -23,6 +23,7 @@ from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
 EAGER = {
     "dedup_connected_components",
     "dedup_cluster_histogram",  # CC union-find rounds run on call
+    "sample_split_by_cluster",  # same CC stage feeding the split hash
     "q_bucketed_join_agg",  # warehouse writes on call
     "q_source_csv_roundtrip",  # warehouse writes on call
     "q_source_jsonl_roundtrip",  # warehouse writes on call
@@ -144,6 +145,7 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
 EAGER_PYTHON_OK = {
     "dedup_connected_components",  # partition-local union-find (mapInPandas)
     "dedup_cluster_histogram",  # same union-find stage
+    "sample_split_by_cluster",  # same union-find stage
 }
 # Bounded-broadcast nested-loop stages inside eager operators:
 EAGER_BNLJ_OK = {
