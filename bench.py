@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "q_stats_ab_ttest",
     "sample_split_by_cluster",
+    "q_timeseries_ohlc",
 ]
 
 

@@ -5414,6 +5414,63 @@ def q_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_timeseries_ohlc",
+    """
+    WITH r AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+             event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+               event_type ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts),
+               event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT bucket_epoch, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM r GROUP BY bucket_epoch, event_type
+    """,
+)
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per hour per event type)
+    — the candlestick resample every metrics/financial pipeline runs.
+    First/last are NOT min_by/max_by (tie order is engine-defined):
+    both engines rank by (ts, event_id) fully deterministically and
+    pivot rank-1 rows with a MAX(CASE), so open/close are exact picked
+    values, and high/low are plain extrema — no float arithmetic at
+    all.
+
+    Scale: one shuffle on (hour, type) shared by the two rank windows
+    and the aggregation — the bucket key is the series key, so series
+    stay co-located; map-side the Expand-free plan carries only
+    (bucket, type, value, ranks)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.date_trunc("hour", F.col("ts"))
+    wa = W.partitionBy(b, F.col("event_type")).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = W.partitionBy(b, F.col("event_type")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.select(
+        F.unix_timestamp(b).alias("bucket_epoch"),
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("bucket_epoch", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+
+
+@register(
     "q_time_bucket_rollup",
     """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
