@@ -135,6 +135,7 @@ HEADLINE = [
     "q_stats_ab_ttest",
     "sample_split_by_cluster",
     "q_timeseries_ohlc",
+    "q_rfm_segmentation",
 ]
 
 

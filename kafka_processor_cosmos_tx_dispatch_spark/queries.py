@@ -5414,6 +5414,86 @@ def q_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT MAX(last_order) AS anchor FROM base),
+    scored AS (
+      SELECT custkey,
+             CAST(anchor - last_order AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM base CROSS JOIN mx),
+    tiled AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS m
+      FROM scored)
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           'R' || r || 'F' || f || 'M' || m AS segment
+    FROM tiled
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    anchored to the corpus max date so the answer is reproducible),
+    frequency, monetary (decimal-exact spend), each quartiled with
+    NTILE(4) and fused into the classic 'R1F2M1' segment code. Tile 1
+    is always the BEST quartile (most recent / most frequent / highest
+    spend), tiebreak custkey — both engines tile identically.
+
+    Scale: one customer-keyed agg (map-side combinable), a 1-row
+    anchor broadcast, then three global NTILE windows. The global sort
+    is the price of exact quantile ranks; approximate tiles at 100 TB
+    would swap in percentile_approx cut points (q_histogram_equiheight
+    pattern) without changing the output contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC_PRICE))
+        .cast("double")
+        .alias("monetary"),
+    )
+    mx = base.agg(F.max("last_order").alias("anchor"))
+    scored = base.crossJoin(F.broadcast(mx)).select(
+        "custkey",
+        F.datediff(F.col("anchor"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("custkey")))
+    f = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("custkey")))
+    tiled = scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+    )
+    return tiled.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), F.col("r"), F.lit("F"), F.col("f"),
+            F.lit("M"), F.col("m"),
+        ),
+    )
+
+
+@register(
     "q_timeseries_ohlc",
     """
     WITH r AS (

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "q_sketch_merge_hll",  # 1-row merged-sketch estimate
     "q_benford_audit",  # 1-row digit-total aggregate broadcast
     "q_stats_ab_ttest",  # 1-row group-aggregate crossJoin (two arms)
+    "q_rfm_segmentation",  # 1-row anchor-date aggregate crossJoin
     "q_join_cross",  # deliberate cross join of two bounded dims
 }
 
