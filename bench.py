@@ -136,6 +136,8 @@ HEADLINE = [
     "sample_split_by_cluster",
     "q_timeseries_ohlc",
     "q_rfm_segmentation",
+    "q_normalize_zscore",
+    "multimodal_video_keyframes",
 ]
 
 

@@ -5414,6 +5414,54 @@ def q_sketch_merge_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_normalize_zscore",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - g.s / CAST(g.n AS DOUBLE))
+             / sqrt((g.ss - (g.s * g.s) / CAST(g.n AS DOUBLE))
+                    / CAST(g.n - 1 AS DOUBLE)) AS z
+    FROM events e JOIN g USING (event_type)
+    """,
+)
+def q_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-standardization
+    map every ML prep pipeline applies, as a two-pass plan: group
+    moments from decimal-exact sums (one map-side-combinable agg over
+    the 5-value type domain, broadcast back), then a row-local
+    (x−μ)/σ with a fixed IEEE expression tree (sqrt is
+    correctly-rounded). The moments join is a broadcast: the stats
+    table is |groups| rows, the data never shuffles.
+
+    Scale: two narrow passes over the events scan, zero data shuffles
+    — the exact shape that survives 100 TB (contrast: a window-based
+    z-score shuffles every row on the group key)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (
+        F.col("ss") - (F.col("s") * F.col("s")) / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    return ev.join(F.broadcast(g), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("value") - mean) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
     "q_rfm_segmentation",
     """
     WITH base AS (
@@ -6560,6 +6608,87 @@ def pipeline_clip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_frame",
             "end_frame",
             "n_frames",
+        )
+    )
+
+
+@register(
+    "multimodal_video_keyframes",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(text)) // 32 - 1)) AS i,
+             text
+      FROM documents WHERE octet_length(encode(text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c)))  AS BIGINT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx,
+             ABS(feat - LAG(feat) OVER (PARTITION BY doc_id
+               ORDER BY frame_idx)) AS delta,
+             CASE WHEN COALESCE(ABS(feat - LAG(feat)
+                    OVER (PARTITION BY doc_id ORDER BY frame_idx)), 0)
+                    > {_SCENE_CUT_TH} THEN 1 ELSE 0 END AS cut
+      FROM feat),
+    sc AS (
+      SELECT doc_id, frame_idx, delta,
+             SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS scene_id
+      FROM d)
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           frame_idx AS keyframe_idx,
+           CAST(delta AS BIGINT) AS kf_delta,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY doc_id, scene_id) AS n_frames,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+               ORDER BY delta DESC NULLS LAST, frame_idx) AS rn
+      FROM sc)
+    WHERE rn = 1
+    """,
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per scene — the representative-frame pick
+    that turns scene segments into a thumbnail/embedding budget: within
+    each scene (running-sum ids over threshold cuts, same machinery as
+    pipeline_clip_extract), the keyframe is the frame of maximum
+    feature change (the most visually informative), deterministic
+    tiebreak on frame index; a single-frame scene keeps its only frame
+    with NULL delta. All windows share the one doc-keyed shuffle."""
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = frame_features(with_binary_payload(docs), frame=32)
+    wd = W.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("feat") - F.lag("feat").over(wd))
+    d = feats.select(
+        "doc_id",
+        "frame_idx",
+        delta.alias("delta"),
+        F.when(
+            F.coalesce(delta, F.lit(0)) > _SCENE_CUT_TH, F.lit(1)
+        ).otherwise(F.lit(0)).alias("cut"),
+    )
+    wcum = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sc = d.withColumn("scene_id", F.sum("cut").over(wcum)).drop("cut")
+    ws = W.partitionBy("doc_id", "scene_id")
+    wr = ws.orderBy(F.desc_nulls_last("delta"), F.asc("frame_idx"))
+    return (
+        sc.withColumn("n_frames", F.count(F.lit(1)).over(ws))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("scene_id").cast("long").alias("scene_id"),
+            F.col("frame_idx").alias("keyframe_idx"),
+            F.col("delta").cast("long").alias("kf_delta"),
+            F.col("n_frames").cast("long").alias("n_frames"),
         )
     )
 
