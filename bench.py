@@ -138,6 +138,7 @@ HEADLINE = [
     "q_rfm_segmentation",
     "q_normalize_zscore",
     "multimodal_video_keyframes",
+    "streaming_ohlc",
 ]
 
 

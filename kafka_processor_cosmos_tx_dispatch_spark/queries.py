@@ -5598,6 +5598,27 @@ def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_ohlc", _ORACLE["q_timeseries_ohlc"])
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles maintained over the EVENT stream
+    (streaming/incremental.py:incremental_ohlc): the canonical
+    non-commutative aggregate made mergeable by carrying the extremal
+    order keys — each batch's partial holds min/max struct(ts,
+    event_id, value) per candle, and the cross-batch merge is
+    least/greatest of those structs, so ANY batch split (ordered or
+    not) converges to the batch twin's answer. Oracle =
+    q_timeseries_ohlc's exact query."""
+    import tempfile
+
+    from .streaming.incremental import incremental_ohlc
+
+    stream = _events_stream(spark, sf_dir)
+    return incremental_ohlc(
+        stream.select("ts", "event_id", "event_type", "value"),
+        tempfile.mkdtemp(prefix="sohlc_"),
+    )
+
+
 @register(
     "q_time_bucket_rollup",
     """

@@ -963,3 +963,131 @@ def incremental_heavy_hitters(
             ).alias("rel_freq"),
         )
     )
+
+
+def make_ohlc_merge_batch(state_dir: str, latest: dict):
+    """foreachBatch body of incremental_ohlc: per-bucket OHLC partials
+    merged across micro-batches. OHLC is the canonical NON-commutative
+    aggregate — open/close depend on event order — but it is mergeable
+    once the partial carries its extremal ORDER KEYS: each batch
+    aggregates min/max of struct(ts, event_id, value) per (bucket,
+    type) (struct comparison = lexicographic, so the min struct IS the
+    first event and its value the open), and the cross-batch merge is
+    just least/greatest of the carried structs plus sum/max/min for
+    n/high/low. Any ordered or UNORDERED batch split yields the same
+    state — the merge never assumes arrival order.
+
+    Exactly-once: state versions are batch-id-ledgered like every
+    incremental operator here (sums are associative, not idempotent)."""
+    counts_dir = os.path.join(state_dir, "state")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(counts_dir)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return
+        spark = bdf.sparkSession
+        part = (
+            bdf.select(
+                F.unix_timestamp(
+                    F.date_trunc("hour", F.col("ts"))
+                ).alias("bucket_epoch"),
+                "event_type",
+                F.struct("ts", "event_id", "value").alias("k"),
+                "value",
+            )
+            .groupBy("bucket_epoch", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("k").alias("first_k"),
+                F.max("k").alias("last_k"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+            )
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is not None:
+            c = carry.select(
+                "bucket_epoch",
+                "event_type",
+                F.col("n").alias("cn"),
+                F.col("first_k").alias("cf"),
+                F.col("last_k").alias("cl"),
+                F.col("high").alias("ch"),
+                F.col("low").alias("clo"),
+            )
+            merged = c.join(
+                part, ["bucket_epoch", "event_type"], "full_outer"
+            ).select(
+                "bucket_epoch",
+                "event_type",
+                (
+                    F.coalesce("cn", F.lit(0)) + F.coalesce("n", F.lit(0))
+                ).cast("long").alias("n"),
+                F.least(
+                    F.coalesce("cf", "first_k"), F.coalesce("first_k", "cf")
+                ).alias("first_k"),
+                F.greatest(
+                    F.coalesce("cl", "last_k"), F.coalesce("last_k", "cl")
+                ).alias("last_k"),
+                F.greatest(
+                    F.coalesce("ch", "high"), F.coalesce("high", "ch")
+                ).alias("high"),
+                F.least(
+                    F.coalesce("clo", "low"), F.coalesce("low", "clo")
+                ).alias("low"),
+            )
+        else:
+            merged = part
+        path = os.path.join(counts_dir, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_ohlc(stream: DataFrame, state_dir: str) -> DataFrame:
+    """OHLC candles maintained over the event stream — the streaming
+    twin of queries.q_timeseries_ohlc, via order-key-carrying mergeable
+    partials (see make_ohlc_merge_batch). Returns the final candle
+    table after the bounded stream drains; per-batch cost is one keyed
+    partial agg + a state-sized merge, state is bounded by the number
+    of live (bucket, type) series."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_ohlc_merge_batch(state_dir, {"bid": None, "path": None})
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("incremental_ohlc: stream did not finish in 300s")
+    spark = stream.sparkSession
+    _, path = _scan_state(os.path.join(state_dir, "state"))
+    if path is None:
+        return spark.createDataFrame(
+            [],
+            "bucket_epoch long, event_type string, n long,"
+            " open double, high double, low double, close double",
+        )
+    st = spark.read.parquet(path)
+    return st.select(
+        "bucket_epoch",
+        "event_type",
+        "n",
+        F.col("first_k.value").alias("open"),
+        "high",
+        "low",
+        F.col("last_k.value").alias("close"),
+    )

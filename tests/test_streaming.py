@@ -793,3 +793,66 @@ class TestIncrementalHeavyHitters:
         want = {tuple(r) for r in q_heavy_hitters_mg(spark, sf_dir).collect()}
         got = {tuple(r) for r in streaming_heavy_hitters(spark, sf_dir).collect()}
         assert got == want and len(got) >= 1
+
+
+class TestIncrementalOhlc:
+    def test_unordered_split_invariance_and_replay(self, spark, tmp_path):
+        """OHLC state must converge to the one-shot answer under an
+        UNORDERED batch split (the merge carries order keys, it never
+        assumes arrival order), and a replayed batch must be skipped."""
+        import datetime as dt
+        import glob
+
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+            make_ohlc_merge_batch,
+        )
+
+        base = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            (base + dt.timedelta(minutes=m), i, "click", float(v))
+            for i, (m, v) in enumerate(
+                [(0, 5.0), (10, 9.0), (20, 1.0), (30, 7.0), (59, 4.0),
+                 (61, 8.0), (70, 2.0)]
+            )
+        ]
+        schema = "ts timestamp, event_id long, event_type string, value double"
+
+        def run(splits, workdir, replay_bid=None):
+            latest = {"bid": None, "path": None}
+            body = make_ohlc_merge_batch(workdir, latest)
+            for bid, chunk in enumerate(splits):
+                body(spark.createDataFrame(chunk, schema), bid)
+                if replay_bid == bid:
+                    body(spark.createDataFrame(chunk, schema), bid)
+            _, path = _scan_state(f"{workdir}/state")
+            out = {}
+            for r in spark.read.parquet(path).collect():
+                out[(r["bucket_epoch"], r["event_type"])] = (
+                    r["n"],
+                    r["first_k"]["value"],
+                    r["last_k"]["value"],
+                    r["high"],
+                    r["low"],
+                )
+            return out
+
+        one = run([rows], str(tmp_path / "a"))
+        # reversed + interleaved split: order keys must still find the
+        # true open (minute 0, value 5.0) and close (minute 59, 4.0)
+        shuffled = [rows[4], rows[1]], [rows[6], rows[0], rows[3]], [rows[2], rows[5]]
+        split = run(list(shuffled), str(tmp_path / "b"), replay_bid=1)
+        assert split == one
+        h1 = one[(int(base.timestamp()), "click")]
+        assert h1 == (5, 5.0, 4.0, 9.0, 1.0)
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            q_timeseries_ohlc,
+            streaming_ohlc,
+        )
+
+        want = {tuple(r) for r in q_timeseries_ohlc(spark, sf_dir).collect()}
+        got = {tuple(r) for r in streaming_ohlc(spark, sf_dir).collect()}
+        # column order differs (n before open in both) — compare keyed
+        assert got == want
