@@ -139,6 +139,7 @@ HEADLINE = [
     "q_normalize_zscore",
     "multimodal_video_keyframes",
     "streaming_ohlc",
+    "multimodal_audio_snr_gate",
 ]
 
 

@@ -6486,6 +6486,109 @@ def multimodal_audio_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_snr_gate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(generate_series(0,
+        CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+        AS win, text
+      FROM documents),
+    e AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, win * 64 + 1, 64), ''),
+               c -> ord(c) * ord(c))) AS BIGINT) AS ssq,
+             CAST(length(substr(text, win * 64 + 1, 64)) AS BIGINT) AS n
+      FROM w),
+    g AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN 1 ELSE 0 END)
+               AS active_windows,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN 0 ELSE 1 END)
+               AS silent_windows,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN ssq ELSE 0 END)
+               AS active_ssq,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN 0 ELSE ssq END)
+               AS silent_ssq,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN n ELSE 0 END)
+               AS active_n,
+             SUM(CASE WHEN ssq > {_VAD_TH} * n THEN 0 ELSE n END)
+               AS silent_n
+      FROM e GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(active_windows AS BIGINT) AS active_windows,
+           CAST(silent_windows AS BIGINT) AS silent_windows,
+           CAST(CASE WHEN silent_ssq > 0 AND active_n > 0
+                THEN ((active_ssq * 1000000) // active_n)
+                     // (CASE WHEN silent_n > 0
+                         THEN silent_ssq // silent_n ELSE 1 END)
+                ELSE -1 END AS BIGINT) AS snr_fp,
+           CAST(CASE WHEN active_windows * 5 >= 2 * (active_windows
+                + silent_windows) THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM g
+    """,
+)
+def multimodal_audio_snr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gate: per-payload signal-to-noise proxy — mean
+    active-window energy over mean silent-window energy (the VAD
+    threshold splits the windows), all-integer fixed-point (10^6-scaled
+    DIV chain, -1 sentinel when a side is empty), plus the keep rule
+    speech curation applies (≥40%% of windows active — clips that are
+    mostly silence are dropped before they waste tokenizer/encoder
+    budget). One in-row window explode + one doc-keyed agg; no Python,
+    no shuffle beyond the agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_wins = (
+        F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
+    )
+    seg = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("win") * 64 + 1, 64).alias("s"),
+    )
+    ssq = F.aggregate(
+        F.split(F.col("s"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(c == "", F.lit(0)).otherwise(F.ascii(c) * F.ascii(c)),
+    )
+    e = seg.select(
+        "doc_id",
+        ssq.alias("ssq"),
+        F.length("s").cast("long").alias("n"),
+    )
+    act = F.col("ssq") > F.lit(_VAD_TH) * F.col("n")
+    g = e.groupBy("doc_id").agg(
+        F.sum(F.when(act, 1).otherwise(0)).alias("active_windows"),
+        F.sum(F.when(act, 0).otherwise(1)).alias("silent_windows"),
+        F.sum(F.when(act, F.col("ssq")).otherwise(0)).alias("active_ssq"),
+        F.sum(F.when(act, 0).otherwise(F.col("ssq"))).alias("silent_ssq"),
+        F.sum(F.when(act, F.col("n")).otherwise(0)).alias("active_n"),
+        F.sum(F.when(act, 0).otherwise(F.col("n"))).alias("silent_n"),
+    )
+    snr = F.expr(
+        "CASE WHEN silent_ssq > 0 AND active_n > 0"
+        " THEN ((active_ssq * 1000000) DIV active_n)"
+        " DIV (CASE WHEN silent_n > 0"
+        " THEN silent_ssq DIV silent_n ELSE 1 END)"
+        " ELSE -1 END"
+    )
+    return g.select(
+        "doc_id",
+        F.col("active_windows").cast("long").alias("active_windows"),
+        F.col("silent_windows").cast("long").alias("silent_windows"),
+        snr.cast("long").alias("snr_fp"),
+        F.expr(
+            "CASE WHEN active_windows * 5 >= 2 *"
+            " (active_windows + silent_windows) THEN 1 ELSE 0 END"
+        ).cast("int").alias("kept"),
+    )
+
+
 _SCENE_CUT_TH = 192  # |Δ byte-sum| above this = cut (~p92 of deltas)
 
 
