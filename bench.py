@@ -140,6 +140,7 @@ HEADLINE = [
     "multimodal_video_keyframes",
     "streaming_ohlc",
     "multimodal_audio_snr_gate",
+    "dedup_source_matrix",
 ]
 
 
