@@ -141,6 +141,7 @@ HEADLINE = [
     "streaming_ohlc",
     "multimodal_audio_snr_gate",
     "dedup_source_matrix",
+    "text_decontaminate_exact",
 ]
 
 

@@ -10144,6 +10144,84 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontaminate_exact",
+    f"""
+    WITH toks AS (SELECT doc_id, {{TOKS}} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    pairs AS (SELECT doc_a, doc_b,
+                     CAST(MAX(run_len) + 7 AS BIGINT) AS overlap_tokens
+              FROM agg GROUP BY doc_a, doc_b),
+    straddle AS (
+      SELECT CASE WHEN doc_a % 97 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+             CASE WHEN doc_a % 97 = 0 THEN doc_a ELSE doc_b END AS bench_id,
+             overlap_tokens
+      FROM pairs WHERE (doc_a % 97 = 0) <> (doc_b % 97 = 0))
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_partners,
+           CAST(MAX(overlap_tokens) AS BIGINT) AS max_overlap_tokens,
+           CAST(CASE WHEN MAX(overlap_tokens) >= 13 THEN 1 ELSE 0 END
+                AS INTEGER) AS contaminated
+    FROM straddle GROUP BY doc_id
+    """.replace("{TOKS}", _D_TOKS),
+)
+def text_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by VERBATIM overlap — the Lee et al.
+    ExactSubstr primitive pointed at eval leakage instead of dedup:
+    training documents that share a ≥8-token verbatim run with any
+    held-out benchmark document (here: doc_id % 97 = 0 plays the
+    benchmark), with the standard ≥13-token contamination flag
+    (the n-gram-Jaccard `text_contamination` catches paraphrase-level
+    leakage; this catches the exact-copy kind that actually inflates
+    benchmarks). Per train doc: how many benchmark partners, the
+    longest verbatim overlap, and the flag.
+
+    Scale: identical machinery to dedup_exact_substring (df-capped
+    shingle inverted index + diagonal islands); production would
+    shingle ONLY the benchmark side and semi-join the corpus stream
+    against that tiny index — same plan, one side bounded."""
+    from .operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+    bench_a = F.col("doc_a") % 97 == 0
+    bench_b = F.col("doc_b") % 97 == 0
+    straddle = pairs.filter(bench_a != bench_b).select(
+        F.when(bench_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_id"
+        ),
+        F.when(bench_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "bench_id"
+        ),
+        "overlap_tokens",
+    )
+    return straddle.groupBy("doc_id").agg(
+        F.count_distinct("bench_id").alias("n_bench_partners"),
+        F.max("overlap_tokens").alias("max_overlap_tokens"),
+        F.when(F.max("overlap_tokens") >= 13, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+@register(
     "dedup_exact_substring",
     f"""
     WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
