@@ -142,6 +142,7 @@ HEADLINE = [
     "multimodal_audio_snr_gate",
     "dedup_source_matrix",
     "text_decontaminate_exact",
+    "dedup_pair_explain",
 ]
 
 

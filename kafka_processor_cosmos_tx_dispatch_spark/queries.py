@@ -2691,6 +2691,139 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_pair_explain",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    j AS (
+      SELECT p.doc_a, p.doc_b, ta.t AS ta, tb.t AS tb,
+             len(ta.t) AS na, len(tb.t) AS nb,
+             least(len(ta.t), len(tb.t)) AS mn
+      FROM pairs p
+      JOIN t ta ON ta.doc_id = p.doc_a
+      JOIN t tb ON tb.doc_id = p.doc_b),
+    ex AS (
+      SELECT doc_a, doc_b, na, nb, mn, ta, tb,
+             list_position(list_transform(generate_series(1, mn),
+               i -> ta[i] = tb[i]), false) AS ppos,
+             list_position(list_transform(generate_series(1, mn),
+               i -> ta[na + 1 - i] = tb[nb + 1 - i]), false) AS spos,
+             len(list_intersect(
+               list_distinct(list_transform(generate_series(1, na - 2),
+                 i -> concat_ws(' ', ta[i], ta[i+1], ta[i+2]))),
+               list_distinct(list_transform(generate_series(1, nb - 2),
+                 i -> concat_ws(' ', tb[i], tb[i+1], tb[i+2]))))) AS inter,
+             len(list_distinct(list_transform(generate_series(1, na - 2),
+                 i -> concat_ws(' ', ta[i], ta[i+1], ta[i+2])))) AS sa,
+             len(list_distinct(list_transform(generate_series(1, nb - 2),
+                 i -> concat_ws(' ', tb[i], tb[i+1], tb[i+2])))) AS sb
+      FROM j)
+    SELECT doc_a, doc_b,
+           CAST(CASE WHEN ppos IS NULL OR ppos = 0 THEN mn
+                ELSE ppos - 1 END AS BIGINT) AS prefix_tokens,
+           CAST(CASE WHEN spos IS NULL OR spos = 0 THEN mn
+                ELSE spos - 1 END AS BIGINT) AS suffix_tokens,
+           CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
+             AS jaccard3,
+           CAST(inter AS DOUBLE) / CAST(least(sa, sb) AS DOUBLE)
+             AS containment3
+    FROM ex
+    """,
+)
+def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair EXPLAINABILITY: for every LSH candidate pair, the
+    quantities that tell a curator WHAT KIND of duplicate it is —
+    common token prefix/suffix lengths (template-with-slots dups have
+    long shared affixes; appended-boilerplate dups have long suffixes),
+    3-gram Jaccard (symmetric similarity) and containment (subset
+    duplication). First-mismatch positions come from a
+    transform-over-index-range + position-of-false — identical
+    expression in both engines, no UDF; shingle sets are in-row
+    distinct lists.
+
+    Scale: all work is per-pair row-local on the LSH-bounded pair
+    stream; the two token-array joins shuffle on doc id."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions import text as TX
+
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
+        .withColumn("mn", F.least("na", "nb"))
+    )
+    ex = j.select(
+        "doc_a",
+        "doc_b",
+        "mn",
+        F.expr(
+            "array_position(transform(sequence(1, mn),"
+            " i -> element_at(ta, i) = element_at(tb, i)), false)"
+        ).alias("ppos"),
+        F.expr(
+            "array_position(transform(sequence(1, mn),"
+            " i -> element_at(ta, na + 1 - i)"
+            " = element_at(tb, nb + 1 - i)), false)"
+        ).alias("spos"),
+        F.expr(
+            "size(array_intersect("
+            " array_distinct(transform(sequence(1, na - 2),"
+            "  i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
+            "       element_at(ta, i+2)))),"
+            " array_distinct(transform(sequence(1, nb - 2),"
+            "  i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
+            "       element_at(tb, i+2))))))"
+        ).alias("inter"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, na - 2),"
+            " i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
+            " element_at(ta, i+2)))))"
+        ).alias("sa"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, nb - 2),"
+            " i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
+            " element_at(tb, i+2)))))"
+        ).alias("sb"),
+    )
+    return ex.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CASE WHEN ppos = 0 THEN mn ELSE ppos - 1 END")
+        .cast("long")
+        .alias("prefix_tokens"),
+        F.expr("CASE WHEN spos = 0 THEN mn ELSE spos - 1 END")
+        .cast("long")
+        .alias("suffix_tokens"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")
+        ).alias("jaccard3"),
+        (
+            F.col("inter").cast("double")
+            / F.least("sa", "sb").cast("double")
+        ).alias("containment3"),
+    )
+
+
+@register(
     "dedup_source_matrix",
     f"""
     WITH {_minhash_sig_sql()},
