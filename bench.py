@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "text_decontaminate_exact",
     "dedup_pair_explain",
+    "pipeline_curate_soft",
 ]
 
 

@@ -12004,6 +12004,93 @@ def pipeline_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_curate_soft",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text, md5({_D_NORM}) AS fingerprint
+      FROM documents),
+    g AS (SELECT fingerprint, COUNT(*) AS n_copies FROM fp GROUP BY 1),
+    docs_arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM fp),
+    bg AS (
+      SELECT doc_id, a[i] AS w1, a[i] || ' ' || a[i + 1] AS b
+      FROM docs_arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM fp)
+      WHERE w <> '' GROUP BY w),
+    bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    lm AS (
+      SELECT bg.doc_id, COUNT(*) AS nb,
+             CAST(SUM(bc.c * 1000000 // uc.c) AS BIGINT) AS fp_
+      FROM bg JOIN bc USING (b) JOIN uc ON uc.w = bg.w1
+      GROUP BY bg.doc_id),
+    tiled AS (
+      SELECT f.doc_id, f.lang, f.fingerprint,
+             CAST(len({_D_TOKS}) AS BIGINT) AS n_tokens,
+             NTILE(3) OVER (PARTITION BY f.lang
+               ORDER BY lm.fp_ // lm.nb DESC, f.doc_id) AS tile
+      FROM fp f JOIN lm ON lm.doc_id = f.doc_id)
+    SELECT t.doc_id, t.lang, t.n_tokens,
+           CAST(1000000 // g.n_copies AS BIGINT) AS weight_fp,
+           CAST((1000000 // g.n_copies) * t.n_tokens AS BIGINT)
+             AS token_mass_fp
+    FROM tiled t JOIN g ON g.fingerprint = t.fingerprint
+    WHERE t.tile <= 2
+    """,
+)
+def pipeline_curate_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SOFT curation pipeline: nothing is dropped for being a
+    duplicate — exact-dup clusters are REWEIGHTED (1/cluster fixed-
+    point, sample_softdedup_weights) while the CCNet tail-drop still
+    gates on fluency, and each surviving doc carries its weighted token
+    mass (weight × tokens — what the mixture planner actually budgets).
+    Fourth pipeline ending, complementing pack (curate), mixture
+    (curate_mix) and quota (curate_cap): the no-deletion variant
+    loaders with immutable storage need.
+
+    Scale: fingerprint agg + vocab-bounded LM broadcast aggs + one
+    lang-keyed NTILE window + a fingerprint-keyed weights join — one
+    lazy plan, every shuffle on a bounded key."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.withColumn(
+        "fingerprint", TX.content_fingerprint(F.col("text"))
+    )
+    g = with_fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    lm = _bigram_lm(with_fp)
+    tiled = (
+        with_fp.join(lm, "doc_id")
+        .withColumn(
+            "tile",
+            F.ntile(3).over(
+                W.partitionBy("lang").orderBy(
+                    F.desc(F.expr("lm_fp DIV n_bigrams")), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("tile") <= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "fingerprint",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    wfp = F.expr("1000000 DIV n_copies")
+    return tiled.join(g, "fingerprint").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        wfp.cast("long").alias("weight_fp"),
+        (wfp * F.col("n_tokens")).cast("long").alias("token_mass_fp"),
+    )
+
+
 _PIPE_CAP_BUDGET = 400  # tokens per source after dedup + tail-drop
 
 
