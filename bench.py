@@ -144,6 +144,8 @@ HEADLINE = [
     "text_decontaminate_exact",
     "dedup_pair_explain",
     "pipeline_curate_soft",
+    "text_langid_eval",
+    "sample_fill_budget",
 ]
 
 

@@ -4359,6 +4359,122 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid_eval",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_D_TOKS} AS t FROM documents),
+    scores AS (SELECT doc_id, lang,
+        len(list_intersect(t, {_SW['en']})) AS s_en,
+        len(list_intersect(t, {_SW['es']})) AS s_es,
+        len(list_intersect(t, {_SW['de']})) AS s_de,
+        len(list_intersect(t, {_SW['fr']})) AS s_fr
+      FROM toks),
+    pred AS (
+      SELECT lang AS lang_label,
+        CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM scores)
+    SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY lang_label, lang_pred
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CLASSIFIER EVALUATION: the confusion matrix of
+    text_lang_id's prediction against the labeled lang — the companion
+    of sim_recall_at_k for the text side (an in-engine eval of an
+    in-engine model; zh has no stopword list by design, so its row
+    shows exactly where the classifier is blind — the honest eval a
+    model card needs). One row-local prediction + one (label, pred)
+    keyed agg; n_correct is the diagonal indicator summed in-group."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    pred = docs.select(
+        F.col("lang").alias("lang_label"),
+        TX.lang_id(toks).alias("lang_pred"),
+    )
+    return pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("lang_label") == F.col("lang_pred"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+
+
+_FILL_BUDGET = 5000  # global token budget for the fill query
+
+
+@register(
+    "sample_fill_budget",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_D_TOKS} AS t FROM documents),
+    q AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) >= 0.6
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(text) - (len(t) - 1) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(t,
+                       x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) > 0.0
+                THEN 1 ELSE 0 END) AS quality
+      FROM toks),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM q)
+    SELECT doc_id, CAST(quality AS INTEGER) AS quality, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {_FILL_BUDGET}
+    """,
+)
+def sample_fill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global best-first budget fill — "spend my N-token budget on the
+    best documents": order by the Gopher quality score (doc_id
+    tiebreak), running token sum, keep while within budget. The final
+    assembly step when the budget, not the corpus, is the binding
+    constraint (ablation sets, curriculum heads, eval-slice builds);
+    the per-SOURCE quota twin is sample_domain_cap.
+
+    Scale: the global quality order is ONE unpartitioned window — at
+    100 TB swap in range-partitioned sort (the engine's sort shuffle
+    does exactly this) or bucket the quality score first; the prefix
+    sum itself is the pack_sequences scan pattern."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.quality_score(F.col("text"), toks).alias("quality"),
+    )
+    wq = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(wq))
+        .filter(F.col("cum_tokens") <= _FILL_BUDGET)
+        .select(
+            "doc_id",
+            F.col("quality").cast("int").alias("quality"),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
+@register(
     "text_quality_score",
     f"""
     WITH toks AS (SELECT doc_id, text, {_D_TOKS} AS t FROM documents),
