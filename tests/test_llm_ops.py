@@ -1260,3 +1260,28 @@ def test_split_by_cluster_never_straddles_near_dups(spark, sf_dir):
     for r in pairs:
         assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
     assert {"train", "val", "test"} <= set(split.values())
+
+
+def test_vad_spans_merge_adjacent_active_windows(spark, sf_dir):
+    """Engineered payload: silence (spaces, mean square 1024) and
+    speech ('z', 14884) windows around the 9850 threshold — adjacent
+    active windows must merge into one span, and a lone active window
+    must be dropped by the ≥2 rule."""
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        multimodal_audio_vad_spans,
+    )
+
+    # windows: [sil][act][act][sil][act] (64 bytes each)
+    text = " " * 64 + "z" * 128 + " " * 64 + "z" * 64
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vad_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = multimodal_audio_vad_spans(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["span_start"], r["span_end"], r["n_windows"]) == (1, 2, 2)
