@@ -146,6 +146,7 @@ HEADLINE = [
     "pipeline_curate_soft",
     "text_langid_eval",
     "sample_fill_budget",
+    "graph_weighted_pagerank",
 ]
 
 

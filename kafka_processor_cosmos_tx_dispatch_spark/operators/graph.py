@@ -478,3 +478,62 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             ranks = materialize(ranks, reliable)
     return ranks
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    rounds: int = 3,
+    reliable: bool | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over WEIGHTED edges `edges(src, dst, w)` — rank mass
+    splits along out-edges in proportion to integer edge weight
+    (purchase counts, link counts, citation counts) instead of
+    uniformly: contribution = (85·r·w) DIV (100·W_out). Same int64
+    fixed-point contract as pagerank (with r ≤ 10^12 and w ≤ ~10^5 the
+    85·r·w product stays under int64), dangling mass dropped, same
+    per-round join+agg plan with the weighted out-degree as one extra
+    bounded relation. Returns (node, r)."""
+    reliable = resolve_reliable(edges.sparkSession, reliable)
+    edges = materialize(edges, reliable, strip=False)
+    nodes = materialize(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        reliable,
+        strip=False,
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = materialize(
+        edges.groupBy("src").agg(F.sum("w").alias("wt")),
+        reliable,
+        strip=False,
+    )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{RANK_SCALE} DIV n").alias("r")
+    )
+    teleport = f"{15 * RANK_SCALE // 100} DIV n"
+    for i in range(rounds):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * r * w) DIV (100 * wt)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr(teleport)
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            ranks = materialize(ranks, reliable)
+    return ranks

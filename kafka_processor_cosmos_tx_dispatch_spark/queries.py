@@ -3077,6 +3077,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, rounds=3)
 
 
+def _wpr_iter(k: int, prev: str) -> str:
+    """One unrolled WEIGHTED PageRank iteration: mass splits along
+    out-edges proportionally to integer edge weight."""
+    return f"""
+    i{k} AS (
+      SELECT n_.node,
+             tp.t + COALESCE(SUM((85 * p.r * e.w) // (100 * ow.wt)), 0) AS r
+      FROM nodes n_
+      CROSS JOIN tp
+      LEFT JOIN edges e ON e.dst = n_.node
+      LEFT JOIN {prev} p ON p.node = e.src
+      LEFT JOIN outw ow ON ow.src = e.src
+      GROUP BY n_.node, tp.t)"""
+
+
+@register(
+    "graph_weighted_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    tp AS (SELECT 150000000000 // n AS t FROM nn),
+    outw AS (SELECT src, SUM(w) AS wt FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+    {_wpr_iter(1, "r0")},
+    {_wpr_iter(2, "i1")},
+    {_wpr_iter(3, "i2")}
+    SELECT node, CAST(r AS BIGINT) AS r FROM i3
+    """,
+)
+def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with PURCHASE-COUNT edge weights
+    (operators/graph.py:weighted_pagerank): a customer who bought from
+    a supplier 12 times pushes 12× the rank mass of a one-off buyer —
+    the weighted variant link-graph curation actually runs (link
+    multiplicity matters). Contribution (85·r·w) DIV (100·W_out) keeps
+    everything int64-exact; oracle = 3 unrolled weighted rounds. The
+    edge weight comes from dropping graph_pagerank's DISTINCT: same
+    join, one groupBy instead."""
+    from .operators.graph import weighted_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return weighted_pagerank(edges, rounds=3)
+
+
 def _ppr_iter(k: int, prev: str) -> str:
     """One unrolled personalized-PageRank iteration: teleport mass goes
     to SEED nodes only; everything else matches _pr_iter."""

@@ -33,6 +33,7 @@ EAGER = {
     "q_join_dpp",  # warehouse write on call (partitioned fact layout)
     "graph_pagerank",
     "graph_pagerank_dangling",
+    "graph_weighted_pagerank",
     "graph_hits",  # per-round score materialization (hits loop)
     "graph_ppr",  # per-round materialization (personalized pagerank loop)
     "sim_diversify_mmr",  # cand/pair/selected checkpoints between greedy steps
@@ -153,6 +154,7 @@ EAGER_PYTHON_OK = {
 EAGER_BNLJ_OK = {
     "graph_pagerank",  # 1-row node-count aggregate crossJoin (graph.py:75)
     "graph_pagerank_dangling",  # 1-row dangling-mass aggregate crossJoin
+    "graph_weighted_pagerank",  # 1-row node-count aggregate crossJoin
     "graph_hits",  # 1-row normalization-total crossJoin per half-step
     "graph_ppr",  # 1-row seed-count aggregate crossJoin
     "sim_diversify_mmr",  # bounded query-set broadcast (brute_force_topk stage)
