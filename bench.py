@@ -147,6 +147,7 @@ HEADLINE = [
     "text_langid_eval",
     "sample_fill_budget",
     "graph_weighted_pagerank",
+    "sim_kmeans_inertia",
 ]
 
 

@@ -3739,6 +3739,56 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_kmeans_inertia",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")}
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dist_sq) AS BIGINT) AS inertia,
+           CAST(SUM(dist_sq) // COUNT(*) AS BIGINT) AS mean_dist_sq
+    FROM afinal GROUP BY cluster
+    """,
+)
+def sim_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per-cluster size, inertia
+    (Σ squared-L2 to the assigned centroid — the quantity Lloyd's
+    algorithm minimizes and the elbow-method plots) and integer mean
+    distance, over the SAME k-means run sim_kmeans_clusters registers.
+    Third member of the in-engine eval family (ANN recall@k, lang-id
+    confusion): a cluster with huge inertia or a size-1 cluster tells
+    the curator the k or the init is wrong before any downstream op
+    trusts the partitioning. All-integer aggregation of the exact
+    int64 dist_sq — one keyed agg on k groups after the assign pass."""
+    from .operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist_sq").alias("inertia"),
+            F.expr("SUM(dist_sq) DIV COUNT(*)").alias("mean_dist_sq"),
+        )
+    )
+
+
+@register(
     "sample_cluster_balanced",
     f"""
     WITH cent0 AS (

@@ -41,6 +41,7 @@ EAGER = {
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
+    "sim_kmeans_inertia",  # same Lloyd run + per-cluster agg
     "sample_cluster_balanced",  # same (built on kmeans_assign)
     "dedup_semantic",  # same (built on kmeans_assign)
     "q_gap_fill_locf",
@@ -166,6 +167,7 @@ EAGER_BNLJ_OK = {
     "text_token_rarity",  # 1-row corpus-size aggregate
     "streaming_incremental_merge",  # 1-row snapshot watermark aggregate
     "sim_kmeans_clusters",  # 1-row centroid-bank broadcast (bank tier)
+    "sim_kmeans_inertia",  # same (built on kmeans_assign)
     "sample_cluster_balanced",  # same (built on kmeans_assign)
     "dedup_semantic",  # same (built on kmeans_assign)
 }
