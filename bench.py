@@ -148,6 +148,7 @@ HEADLINE = [
     "sample_fill_budget",
     "graph_weighted_pagerank",
     "sim_kmeans_inertia",
+    "q_fk_integrity_audit",
 ]
 
 

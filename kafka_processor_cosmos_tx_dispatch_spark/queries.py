@@ -9278,6 +9278,82 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS n_checked,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the four core
+    foreign keys — the constraint validation a lakehouse must run
+    itself (no FK enforcement at write time anywhere in the large-scale
+    stack). Each check is one LEFT ANTI join counted; the dimension
+    sides broadcast when small, and at 100 TB each becomes one
+    shuffle-on-key semi-join — there is no cheaper shape for exact
+    orphan detection. A healthy snapshot reads all-zeros; a nonzero row
+    names the broken ingest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    def check(name, child, child_key, parent, parent_key):
+        # lazy 1-row aggregate: left join against the distinct parent
+        # keys, count rows and unmatched rows in one pass (no
+        # driver-side counts — the four checks union into one plan)
+        pk = parent.select(
+            F.col(parent_key).alias(child_key)
+        ).distinct().withColumn("__hit", F.lit(1))
+        return (
+            child.select(child_key)
+            .join(pk, child_key, "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select("fk", "n_checked", "n_orphans")
+        )
+
+    checks = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        check("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        check("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
     "q_stats_ab_ttest",
     """
     WITH g AS (
