@@ -149,6 +149,7 @@ HEADLINE = [
     "graph_weighted_pagerank",
     "sim_kmeans_inertia",
     "q_fk_integrity_audit",
+    "q_pk_uniqueness_audit",
 ]
 
 

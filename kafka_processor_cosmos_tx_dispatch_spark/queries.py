@@ -9278,6 +9278,60 @@ def q_source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pk_uniqueness_audit",
+    """
+    SELECT 'orders.o_orderkey' AS pk,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_keys
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           (SELECT COUNT(*) FROM part),
+           (SELECT COUNT(DISTINCT p_partkey) FROM part)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM
+             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'documents.doc_id',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(DISTINCT doc_id) FROM documents)
+    """,
+)
+def q_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit — the PK half of constraint
+    validation (q_fk_integrity_audit is the FK half): rows vs distinct
+    key count per declared key, including the composite lineitem key.
+    n_rows − n_keys > 0 names a table whose ingest double-wrote. Each
+    check is one count-distinct agg (map-side partial on the key), the
+    five checks union into one lazy plan."""
+    tables = {
+        "orders.o_orderkey": ("orders", ["o_orderkey"]),
+        "customer.c_custkey": ("customer", ["c_custkey"]),
+        "part.p_partkey": ("part", ["p_partkey"]),
+        "lineitem.(l_orderkey,l_linenumber)": (
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+        ),
+        "documents.doc_id": ("documents", ["doc_id"]),
+    }
+    out = None
+    for name, (tbl, keys) in tables.items():
+        df = load_table(spark, sf_dir, tbl)
+        chk = df.agg(
+            F.lit(name).alias("pk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        ).select("pk", "n_rows", "n_keys")
+        out = chk if out is None else out.unionByName(chk)
+    return out
+
+
+@register(
     "q_fk_integrity_audit",
     """
     SELECT 'lineitem.l_orderkey->orders' AS fk,
