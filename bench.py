@@ -150,6 +150,7 @@ HEADLINE = [
     "sim_kmeans_inertia",
     "q_fk_integrity_audit",
     "q_pk_uniqueness_audit",
+    "dedup_lsh_precision",
 ]
 
 

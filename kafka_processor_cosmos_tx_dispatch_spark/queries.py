@@ -2824,6 +2824,91 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_precision",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len({_D_TOKS}) - 2),
+                   i -> concat_ws(' ', ({_D_TOKS})[i], ({_D_TOKS})[i+1],
+                        ({_D_TOKS})[i+2]))) AS sh
+          FROM documents),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(ta.sh, tb.sh)) AS inter,
+             len(ta.sh) + len(tb.sh)
+               - len(list_intersect(ta.sh, tb.sh)) AS uni
+      FROM pairs p
+      JOIN t ta ON ta.doc_id = p.doc_a
+      JOIN t tb ON tb.doc_id = p.doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+    FROM j
+    """,
+)
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index evaluation: PRECISION of the MinHash-LSH candidate
+    pairs against exact 3-gram Jaccard ≥ 0.5 (the all-integer test
+    inter·2 ≥ union — no float threshold) — the fourth in-engine eval
+    (ANN recall, lang-ID confusion, k-means inertia). Low precision
+    means the banding is too loose and the verify stage pays for it;
+    the complementary recall direction needs the all-pairs ground
+    truth, which sim_embedding_near_dup's block-tiled shape computes
+    when a run budgets it.
+
+    Scale: exact Jaccard runs ONLY on the LSH-bounded candidate set —
+    precision evaluation costs one shingle-set join over pairs, never
+    the corpus square."""
+    from .functions import text as TX
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_shingles(TX.tokens(F.col("text")), 3)
+        ).alias("sh"),
+    )
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (
+                F.size("sa") + F.size("sb")
+                - F.size(F.array_intersect("sa", "sb"))
+            ).alias("uni"),
+        )
+    )
+    true_flag = F.when(F.col("inter") * 2 >= F.col("uni"), 1).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(true_flag).alias("n_true"),
+        (
+            F.sum(true_flag).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("precision"),
+    )
+
+
+@register(
     "dedup_source_matrix",
     f"""
     WITH {_minhash_sig_sql()},
