@@ -151,6 +151,7 @@ HEADLINE = [
     "q_fk_integrity_audit",
     "q_pk_uniqueness_audit",
     "dedup_lsh_precision",
+    "sample_mixture_eval",
 ]
 
 

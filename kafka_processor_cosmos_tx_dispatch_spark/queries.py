@@ -11794,6 +11794,98 @@ def sample_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_mixture_eval",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang,
+             r * ({_MIX_SCALE} // CASE lang
+                 {" ".join(f"WHEN '{k}' THEN {v}"
+                           for k, v in _MIX_WEIGHTS.items())}
+                 ELSE 1 END) AS k
+      FROM ranked),
+    sched AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, lang, doc_id) AS BIGINT)
+               AS position, lang
+      FROM keyed),
+    pfx AS (SELECT unnest([25, 50, 100, 200]) AS prefix_n),
+    counts AS (
+      SELECT p.prefix_n, s.lang, COUNT(*) AS n
+      FROM sched s JOIN pfx p ON s.position <= p.prefix_n
+      GROUP BY p.prefix_n, s.lang),
+    w AS (SELECT SUM(v) AS tot FROM (
+            SELECT unnest([{", ".join(str(v) for v in _MIX_WEIGHTS.values())}]) AS v))
+    SELECT c.prefix_n, c.lang, CAST(c.n AS BIGINT) AS n,
+           CAST(CASE c.lang
+                {" ".join(f"WHEN '{k}' THEN {v}"
+                          for k, v in _MIX_WEIGHTS.items())}
+                ELSE 0 END * c.prefix_n AS BIGINT) AS expected_x_tot,
+           CAST(c.n * w.tot AS BIGINT) AS actual_x_tot,
+           CAST(ABS(c.n * w.tot - CASE c.lang
+                {" ".join(f"WHEN '{k}' THEN {v}"
+                          for k, v in _MIX_WEIGHTS.items())}
+                ELSE 0 END * c.prefix_n) AS BIGINT) AS deviation_x_tot
+    FROM counts c CROSS JOIN w
+    """,
+)
+def sample_mixture_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-schedule EVALUATION: for every prefix length the loader
+    might stop at (25/50/100/200), the per-language consumed count vs
+    the weight-proportional target — all scaled by Σweights so the
+    comparison stays integer (n·Σw vs w·prefix; stride scheduling
+    bounds the deviation by Σw per language, which is what this query
+    lets a reviewer verify from the schedule itself, fifth member of
+    the in-engine eval family). One schedule sort + a 4-row prefix
+    cross join + one keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    stride = F.lit(_MIX_SCALE) / F.create_map(
+        *[x for k, v in _MIX_WEIGHTS.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("lang")]
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        (F.row_number().over(wl) * stride.cast("long")).alias("k"),
+    )
+    sched = keyed.select(
+        F.row_number()
+        .over(W.orderBy("k", "lang", "doc_id"))
+        .cast("long")
+        .alias("position"),
+        "lang",
+    )
+    pfx = spark.createDataFrame(
+        [(25,), (50,), (100,), (200,)], "prefix_n int"
+    )
+    counts = (
+        sched.join(F.broadcast(pfx), F.col("position") <= F.col("prefix_n"))
+        .groupBy("prefix_n", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = sum(_MIX_WEIGHTS.values())
+    wmap = F.create_map(
+        *[x for k, v in _MIX_WEIGHTS.items() for x in (F.lit(k), F.lit(v))]
+    )
+    wexpr = F.coalesce(wmap[F.col("lang")], F.lit(0))
+    return counts.select(
+        "prefix_n",
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        (wexpr * F.col("prefix_n")).cast("long").alias("expected_x_tot"),
+        (F.col("n") * F.lit(tot)).cast("long").alias("actual_x_tot"),
+        F.abs(F.col("n") * F.lit(tot) - wexpr * F.col("prefix_n"))
+        .cast("long")
+        .alias("deviation_x_tot"),
+    )
+
+
+@register(
     "streaming_mixture_schedule",
     f"""
     WITH ranked AS (

@@ -108,6 +108,7 @@ BNLJ_OK = {
     "q_benford_audit",  # 1-row digit-total aggregate broadcast
     "q_stats_ab_ttest",  # 1-row group-aggregate crossJoin (two arms)
     "q_rfm_segmentation",  # 1-row anchor-date aggregate crossJoin
+    "sample_mixture_eval",  # 4-row prefix-length table broadcast (non-equi)
     "q_join_cross",  # deliberate cross join of two bounded dims
 }
 
