@@ -152,6 +152,7 @@ HEADLINE = [
     "q_pk_uniqueness_audit",
     "dedup_lsh_precision",
     "sample_mixture_eval",
+    "graph_assortativity",
 ]
 
 

@@ -3162,6 +3162,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, rounds=3)
 
 
+@register(
+    "graph_assortativity",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS xd
+             FROM edges GROUP BY src),
+    ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS yd
+            FROM edges GROUP BY dst),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(o.xd) AS BIGINT) AS sx,
+             CAST(SUM(i.yd) AS BIGINT) AS sy,
+             CAST(SUM(o.xd * i.yd) AS BIGINT) AS sxy,
+             CAST(SUM(o.xd * o.xd) AS BIGINT) AS sxx,
+             CAST(SUM(i.yd * i.yd) AS BIGINT) AS syy
+      FROM edges e JOIN outd o ON o.src = e.src
+      JOIN ind i ON i.dst = e.dst)
+    SELECT n AS n_edges,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS r_assort
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    (source out-degree, target in-degree) over edges — the one-number
+    graph-health signal crawl analysts read first (strongly
+    disassortative ⇒ hub-and-spoke link farms; assortative ⇒ organic
+    community structure). All moments are exact int64 sums (edge count
+    × degree² stays far under the 2^63 line on this graph family), the
+    coefficient is one fixed IEEE expression over them.
+
+    Scale: two degree aggs + two degree joins back onto edges (all on
+    the node key), one global 1-row moment agg — linear in edges."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("xd"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("yd"))
+    m = (
+        edges.join(outd, "src")
+        .join(ind, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xd").alias("sx"),
+            F.sum("yd").alias("sy"),
+            F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+            F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+            F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        (
+            (nd * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+                * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+            )
+        ).alias("r_assort"),
+    )
+
+
 def _wpr_iter(k: int, prev: str) -> str:
     """One unrolled WEIGHTED PageRank iteration: mass splits along
     out-edges proportionally to integer edge weight."""
