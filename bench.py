@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_lsh_precision",
     "sample_mixture_eval",
     "graph_assortativity",
+    "pipeline_media_curate",
 ]
 
 

@@ -7394,6 +7394,155 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_media_curate",
+    f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    dd AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN keepers k ON k.doc_id = d.doc_id),
+    w AS (
+      SELECT doc_id, unnest(generate_series(0,
+        CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+        AS win, text
+      FROM dd),
+    e AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, win * 64 + 1, 64), ''),
+               c -> ord(c) * ord(c))) AS BIGINT) AS ssq,
+             CAST(length(substr(text, win * 64 + 1, 64)) AS BIGINT) AS n
+      FROM w),
+    gate AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               SUM(CASE WHEN ssq > {_VAD_TH} * n THEN 1 ELSE 0 END) AS act,
+               COUNT(*) AS tot
+        FROM e GROUP BY doc_id)
+      WHERE act * 5 >= 2 * tot),
+    f AS (
+      SELECT dd.doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(dd.text)) // 32 - 1)) AS i,
+             dd.text
+      FROM dd JOIN gate USING (doc_id)
+      WHERE octet_length(encode(dd.text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c))) AS BIGINT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx,
+             feat - LAG(feat) OVER (PARTITION BY doc_id
+               ORDER BY frame_idx) AS d0
+      FROM feat),
+    sc AS (
+      SELECT doc_id, frame_idx,
+             SUM(CASE WHEN d0 IS NOT NULL
+                       AND ABS(d0) > {_SCENE_CUT_TH} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS scene_id
+      FROM d),
+    scenes AS (
+      SELECT doc_id, scene_id,
+             CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+             CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames
+      FROM sc GROUP BY doc_id, scene_id)
+    SELECT doc_id, start_frame, end_frame, n_frames
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY n_frames DESC, start_frame) AS rn
+      FROM scenes)
+    WHERE rn = 1
+    """,
+)
+def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL curation pipeline, one lazy plan: exact payload
+    dedup (md5 keeper — identical bytes are the first cut in any media
+    crawl) → audio activity gate (≥40% active windows, the SNR-gate
+    keep rule) → best clip per surviving asset (longest scene, the
+    clip-extract selection). Mirrors what pipeline_curate does for
+    text: every stage is a proven operator, composed without
+    materialization barriers — the dedup semi-join, the window-energy
+    agg, and the scene windows share one doc-keyed partitioning after
+    the dedup shuffle."""
+    from .operators.dedup import drop_exact_duplicates
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact payload dedup on raw md5 (not the whitespace-normalized
+    # fingerprint: byte-identical assets only, the media contract)
+    keepers = docs.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # audio activity gate
+    n_wins = (
+        F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
+    )
+    seg = dd.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
+        "text",
+    ).select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("win") * 64 + 1, 64).alias("s"),
+    )
+    ssq = F.aggregate(
+        F.split(F.col("s"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(c == "", F.lit(0)).otherwise(F.ascii(c) * F.ascii(c)),
+    )
+    act = (
+        seg.select(
+            "doc_id",
+            ssq.alias("ssq"),
+            F.length("s").cast("long").alias("n"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ssq") > F.lit(_VAD_TH) * F.col("n"), 1)
+                .otherwise(0)
+            ).alias("act"),
+            F.count(F.lit(1)).alias("tot"),
+        )
+        .filter(F.col("act") * 5 >= 2 * F.col("tot"))
+        .select("doc_id")
+    )
+    gated = dd.join(act, "doc_id", "left_semi")
+    # best clip per asset
+    feats = frame_features(with_binary_payload(gated), frame=32)
+    wd = W.partitionBy("doc_id").orderBy("frame_idx")
+    d0 = F.col("feat") - F.lag("feat").over(wd)
+    cut = F.when(
+        d0.isNotNull() & (F.abs(d0) > _SCENE_CUT_TH), F.lit(1)
+    ).otherwise(F.lit(0))
+    wcum = wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    scenes = (
+        feats.withColumn("scene_id", F.sum(cut).over(wcum))
+        .groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        F.desc("n_frames"), F.asc("start_frame")
+    )
+    return (
+        scenes.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "start_frame", "end_frame", "n_frames")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,

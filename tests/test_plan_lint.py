@@ -61,6 +61,7 @@ PYTHON_OK = {
     "multimodal_scene_cuts",  # Arrow frame-feature decode stand-in
     "pipeline_clip_extract",  # same Arrow frame-feature pass feeding the scene windows
     "multimodal_video_keyframes",  # same Arrow frame-feature pass
+    "pipeline_media_curate",  # same Arrow frame-feature pass in the clip stage
     "q_udaf_grouped_cents",  # grouped-agg pandas UDF (the point of the query)
     "text_udtf_bigrams",  # Python UDTF via LATERAL
     "sim_embedding_near_dup",  # block-tiled dgemm under mapInPandas
