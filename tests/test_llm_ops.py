@@ -1285,3 +1285,99 @@ def test_vad_spans_merge_adjacent_active_windows(spark, sf_dir):
     assert len(rows) == 1
     r = rows[0]
     assert (r["span_start"], r["span_end"], r["n_windows"]) == (1, 2, 2)
+
+
+def test_assortativity_matches_numpy_pearson(spark, sf_dir):
+    """Newman r from the engine vs numpy's Pearson over the same
+    (out-degree, in-degree) edge series."""
+    import numpy as np
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        graph_assortativity,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            FF.col("o_custkey").alias("src"),
+            (FF.lit(10000000) + FF.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    outd, ind = {}, {}
+    for e in edges:
+        outd[e["src"]] = outd.get(e["src"], 0) + 1
+        ind[e["dst"]] = ind.get(e["dst"], 0) + 1
+    x = np.array([outd[e["src"]] for e in edges], dtype=float)
+    y = np.array([ind[e["dst"]] for e in edges], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert r["n_edges"] == len(edges)
+    assert abs(r["r_assort"] - want) < 1e-9
+
+
+def test_ohlc_matches_pandas_resample(spark, sf_dir):
+    """Batch OHLC vs a pandas groupby-first/last/max/min over the same
+    hour buckets (ts, event_id ordering)."""
+    import pandas as pd
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import q_timeseries_ohlc
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+    got = {
+        (r["bucket_epoch"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in q_timeseries_ohlc(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    ).toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h").astype("int64") // 10**9
+    pdf = pdf.sort_values(["ts", "event_id"])
+    want = {}
+    for (b, t), g in pdf.groupby(["bucket", "event_type"]):
+        want[(b, t)] = (
+            len(g),
+            g["value"].iloc[0],
+            g["value"].max(),
+            g["value"].min(),
+            g["value"].iloc[-1],
+        )
+    assert got == want
+
+
+def test_rfm_tiles_are_balanced_quartiles(spark, sf_dir):
+    """Each RFM dimension's NTILE(4) sizes differ by ≤1 and segment
+    codes agree with the tile columns."""
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import q_rfm_segmentation
+
+    rows = q_rfm_segmentation(spark, sf_dir).collect()
+    for col in ("r", "f", "m"):
+        sizes = {}
+        for row in rows:
+            sizes[row[col]] = sizes.get(row[col], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+    for row in rows:
+        assert row["segment"] == f"R{row['r']}F{row['f']}M{row['m']}"
+
+
+def test_mixture_eval_deviation_bounded_by_weight_sum(spark, sf_dir):
+    """Stride scheduling guarantees per-prefix deviation ≤ Σw (in the
+    ×Σw integer scale: ≤ Σw·w per language, loosely ≤ Σw² overall) —
+    assert the practical bound deviation_x_tot ≤ Σw · weight + Σw."""
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        _MIX_WEIGHTS,
+        sample_mixture_eval,
+    )
+
+    tot = sum(_MIX_WEIGHTS.values())
+    for r in sample_mixture_eval(spark, sf_dir).collect():
+        w = _MIX_WEIGHTS.get(r["lang"], 0)
+        assert r["deviation_x_tot"] <= tot * (w + 1), r
