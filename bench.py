@@ -154,6 +154,7 @@ HEADLINE = [
     "sample_mixture_eval",
     "graph_assortativity",
     "pipeline_media_curate",
+    "multimodal_phash_calibration",
 ]
 
 

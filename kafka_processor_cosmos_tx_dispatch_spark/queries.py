@@ -7992,6 +7992,100 @@ def multimodal_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_calibration",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [{", ".join(_phash_block_sql(b) for b in range(8))}] AS s
+      FROM documents WHERE octet_length(encode(text)) = length(text)),
+    banded AS (
+      SELECT doc_id, s, j AS band_idx, s[2 * j + 1] || s[2 * j + 2] AS band
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band = b.band
+       AND a.doc_id < b.doc_id),
+    d AS (
+      SELECT CAST(8 - (SELECT COUNT(*) FROM unnest(range(8)) t(i)
+                       WHERE sa[i + 1] = sb[i + 1]) AS INT) AS diff_blocks
+      FROM cand)
+    SELECT diff_blocks, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM d GROUP BY diff_blocks
+    """,
+)
+def multimodal_phash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold CALIBRATION for the perceptual-hash near-dup: the
+    distribution of block-hamming distances over ALL band-join
+    candidates (multimodal_near_dup_phash keeps only diff ≤ 2) — the
+    histogram an operator reads to place the verify threshold: a clean
+    valley between the near-dup mass at 0-2 and the collision tail at
+    5+ says the banding is calibrated; mass in the middle says the
+    block size disagrees with the edit granularity. Same signature and
+    candidate machinery; the only change is aggregating instead of
+    filtering."""
+    from .operators.multimodal import with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs).filter(
+        F.length(F.col("payload")) == F.length(F.col("text"))
+    )
+    sigs = F.array(
+        *[
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(payload, 1 + {bi} *"
+                        " ((length(payload) + 7) DIV 8),"
+                        " (length(payload) + 7) DIV 8)"
+                    )
+                ),
+                1,
+                4,
+            )
+            for bi in range(8)
+        ]
+    )
+    sig = b.select("doc_id", sigs.alias("s"))
+    banded = sig.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col("s").getItem(2 * j), F.col("s").getItem(2 * j + 1)
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("s"),
+            F.col("b.s").alias("s2"),
+        )
+        .distinct()
+    )
+    same = sum(
+        (F.col("s").getItem(i) == F.col("s2").getItem(i)).cast("int")
+        for i in range(8)
+    )
+    return (
+        cand.select((F.lit(8) - same).cast("int").alias("diff_blocks"))
+        .groupBy("diff_blocks")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # --------------------------------------------------------------------------
 # round-6 additions: SCD2 history, hashed-linear quality model, SemDeDup,
 # interchange-format (CSV/JSONL) source roundtrips
