@@ -13171,14 +13171,17 @@ def queries() -> dict[str, QueryFn]:
     # fix lands inside this round's sample budget (r7: the two latent
     # HUGEINT/DECIMAL oracle repairs; r10: q_heavy_hitters_mg's r8
     # "proof" was an empty-vs-empty match — its threshold changed and
-    # the nonempty answer needs a real driver green). Unlike the r7
+    # the nonempty answer needs a real driver green; q_join_anti was
+    # de-vacuated the same way — its r9 green used the old empty
+    # oracle). Unlike the r7
     # names, q_heavy_hitters_mg IS in `proved`, so it's forced here
     # unconditionally and excluded from bucket 4 below.
     priority = [
         n
         for n in ("q_table_checksum", "q_cogroup_reconcile")
         if n in _QUERIES and n not in proved
-    ] + [n for n in ("q_heavy_hitters_mg",) if n in _QUERIES]
+    ] + [n for n in ("q_heavy_hitters_mg", "q_join_anti")
+         if n in _QUERIES]
     never = [
         n
         for n in rest
