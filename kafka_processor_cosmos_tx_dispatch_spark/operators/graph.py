@@ -339,7 +339,15 @@ def hits(
 
     Scale: each half-step is one edges⋈scores equi-join + a keyed agg
     (shuffle on node key, same as pagerank); the normalization total is
-    a 1-row aggregate broadcast — no extra shuffle. Scores are
+    a 1-row aggregate broadcast — no extra shuffle. Precondition:
+    `edges` must be DISTINCT (src, dst) pairs — the normalization
+    multiply `a * SCALE` stays inside int64 only while per-node in-mass
+    a ≤ SCALE, which holds for distinct edges but not for duplicated
+    rows (they multiply a and silently overflow under non-ANSI
+    arithmetic). Dedupe upstream like the registered `graph_hits` query
+    does; documented here instead of paying a redundant .distinct()
+    shuffle inside the operator (the weighted_pagerank w ≤ ~10^5
+    convention). Scores are
     checkpointed every round by default: each round references the
     previous scores twice (authority + hub updates), so unmaterialized
     rounds double recomputed work per level (the pagerank-dangling
@@ -430,6 +438,14 @@ def personalized_pagerank(
         reliable,
         strip=False,
     )
+    # seeds ∩ nodes = ∅ would make the teleport terms RANK_SCALE DIV 0
+    # → NULL ranks propagating silently under non-ANSI mode; fail loud
+    # instead (seed_nodes is already materialized, so head(1) is free).
+    if not seed_nodes.head(1):
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the edge set "
+            "(seeds ∩ nodes is empty) — ranks would be NULL everywhere"
+        )
     ns = seed_nodes.agg(F.count(F.lit(1)).alias("ns"))
     flagged = nodes.join(
         F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),

@@ -7024,7 +7024,11 @@ def multimodal_audio_vad_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wins = (
         F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
     )
-    seg = docs.select(
+    # empty payload ⇒ n_wins = -1 and sequence(0,-1) is DESCENDING in
+    # Spark (two phantom zero-length windows) while DuckDB's
+    # generate_series(0,-1) is empty — filter before the explode so
+    # both engines agree that an empty clip has no windows at all
+    seg = docs.filter(F.octet_length(F.col("text")) > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
         F.col("text"),
@@ -7118,7 +7122,10 @@ def multimodal_audio_snr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wins = (
         F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
     )
-    seg = docs.select(
+    # empty payload: sequence(0,-1) would emit phantom windows (the
+    # vad_spans divergence) — an empty clip has no windows on either
+    # engine, and therefore 0%% activity: correctly absent from output
+    seg = docs.filter(F.octet_length(F.col("text")) > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
         F.col("text"),
@@ -7469,7 +7476,6 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization barriers — the dedup semi-join, the window-energy
     agg, and the scene windows share one doc-keyed partitioning after
     the dedup shuffle."""
-    from .operators.dedup import drop_exact_duplicates
     from .operators.multimodal import frame_features, with_binary_payload
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -7483,7 +7489,9 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wins = (
         F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
     )
-    seg = dd.select(
+    # empty payloads get no windows (sequence(0,-1) phantom-window
+    # guard, same as the snr_gate / vad_spans fix)
+    seg = dd.filter(F.octet_length(F.col("text")) > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
         "text",
@@ -13169,19 +13177,17 @@ def queries() -> dict[str, QueryFn]:
     # builder-flagged re-proof names: semantics/oracles changed since
     # their last driver check; front of the never-proved bucket so the
     # fix lands inside this round's sample budget (r7: the two latent
-    # HUGEINT/DECIMAL oracle repairs; r10: q_heavy_hitters_mg's r8
-    # "proof" was an empty-vs-empty match — its threshold changed and
-    # the nonempty answer needs a real driver green; q_join_anti was
-    # de-vacuated the same way — its r9 green used the old empty
-    # oracle). Unlike the r7
-    # names, q_heavy_hitters_mg IS in `proved`, so it's forced here
-    # unconditionally and excluded from bucket 4 below.
+    # HUGEINT/DECIMAL oracle repairs). r10's forced re-proofs
+    # (q_heavy_hitters_mg / q_join_anti, de-vacuated empty-vs-empty
+    # greens) both landed real nonempty driver greens in
+    # CORRECTNESS_r10.json, so the unconditional force is retired —
+    # they sit in the proved bucket again and their two slots go to
+    # never-proven names (pipeline_curate_cap first).
     priority = [
         n
         for n in ("q_table_checksum", "q_cogroup_reconcile")
         if n in _QUERIES and n not in proved
-    ] + [n for n in ("q_heavy_hitters_mg", "q_join_anti")
-         if n in _QUERIES]
+    ]
     never = [
         n
         for n in rest

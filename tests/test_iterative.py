@@ -294,3 +294,19 @@ def test_personalized_pagerank_hand_graph(spark):
     assert got == r
     assert got[4] == 0  # has out-edges only; never reachable from seed
     assert got[1] > 0 and got[3] > 0
+
+
+def test_personalized_pagerank_rejects_empty_seed_set(spark):
+    """seeds ∩ nodes = ∅ would divide by ns=0 → NULL ranks propagating
+    silently under non-ANSI mode; the operator must fail loud instead
+    (r10 advice)."""
+    import pytest
+
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ghost_seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed appears"):
+        personalized_pagerank(edges, ghost_seeds, rounds=1)

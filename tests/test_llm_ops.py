@@ -1287,6 +1287,38 @@ def test_vad_spans_merge_adjacent_active_windows(spark, sf_dir):
     assert (r["span_start"], r["span_end"], r["n_windows"]) == (1, 2, 2)
 
 
+def test_audio_windows_empty_payload_emits_no_rows(spark):
+    """Empty payload: ceil(0/64)-1 = -1 and Spark's sequence(0,-1) is
+    DESCENDING ([0,-1] — two phantom zero-length windows) while
+    DuckDB's generate_series(0,-1) is empty. The guard must keep empty
+    clips out of every windowed-audio query (r10 advice: an empty doc
+    appeared in snr_gate output as silent_windows=2/kept=0 while the
+    oracle emitted nothing)."""
+    import tempfile
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        multimodal_audio_snr_gate,
+        multimodal_audio_vad_spans,
+        pipeline_media_curate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "z" * 128, "en", "s", 128),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="emptyaudio_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    snr = multimodal_audio_snr_gate(spark, d).collect()
+    assert [r["doc_id"] for r in snr] == [2]
+    vad = multimodal_audio_vad_spans(spark, d).collect()
+    assert all(r["doc_id"] != 1 for r in vad)
+    curated = pipeline_media_curate(spark, d).collect()
+    assert all(r["doc_id"] != 1 for r in curated)
+
+
 def test_assortativity_matches_numpy_pearson(spark, sf_dir):
     """Newman r from the engine vs numpy's Pearson over the same
     (out-degree, in-degree) edge series."""

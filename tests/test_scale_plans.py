@@ -439,7 +439,7 @@ def test_perplexity_buckets_broadcasts_vocab_tables(spark, sf_dir):
 
     plan = _plan(q.queries()["sample_perplexity_buckets"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    assert "SortMergeJoin" not in plan.split("Window")[0], plan
     # the NTILE bucketing is the lang-keyed window
     assert "ntile(3)" in plan
 
