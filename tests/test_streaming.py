@@ -717,6 +717,22 @@ class TestIncrementalDomainCap:
             replay_bid=2,
         )
         assert split == one_shot
+        # cross-RESTART stale replay: a fresh foreachBatch body (new
+        # ledger cache → must re-scan v{bid} dirs from disk) receiving
+        # an already-processed batch id must skip it — the counter fold
+        # is associative, not idempotent, so a double-count here would
+        # silently shrink later admissions (the MERGE ledger contract,
+        # r10 verdict #7)
+        restarted = make_domain_cap_batch(
+            str(tmp_path / "b"), 12, {"bid": None, "path": None}
+        )
+        restarted(spark.createDataFrame(docs[:3], schema), 0)
+        outs = glob.glob(f"{tmp_path}/b/admitted/b*")
+        after_restart = {
+            r["doc_id"]: (r["source"], r["n_toks"], r["cum_toks"])
+            for r in spark.read.parquet(*outs).collect()
+        }
+        assert after_restart == one_shot
 
     def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
         from kafka_processor_cosmos_tx_dispatch_spark.queries import (
