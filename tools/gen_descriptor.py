@@ -278,14 +278,213 @@ FILES = [
     file_proto(
         "cosmos/distribution/v1beta1/tx.proto",
         "cosmos.distribution.v1beta1",
-        [],
+        ["cosmos/base/v1beta1/coin.proto"],
         [
             message(
                 "MsgWithdrawDelegatorReward",
                 field("delegator_address", 1, T_STRING),
                 field("validator_address", 2, T_STRING),
+            ),
+            message(
+                "MsgSetWithdrawAddress",
+                field("delegator_address", 1, T_STRING),
+                field("withdraw_address", 2, T_STRING),
+            ),
+            message(
+                "MsgWithdrawValidatorCommission",
+                field("validator_address", 1, T_STRING),
+            ),
+            message(
+                "MsgFundCommunityPool",
+                field("amount", 1, T_MESSAGE, REP, COIN),
+                field("depositor", 2, T_STRING),
+            ),
+        ],
+    ),
+    # --- round-11 widening toward the reference's scan-everything
+    # registry (ProtoTypeRegistry.kt:16-31): the high-traffic message
+    # families real Cosmos traffic routes on. Field numbers mirror the
+    # public protos (wasmd proto/cosmwasm/wasm/v1/tx.proto, ibc-go
+    # proto/ibc/..., cosmos-sdk proto/cosmos/...).
+    file_proto(
+        "cosmwasm/wasm/v1/tx.proto",
+        "cosmwasm.wasm.v1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            # field 4 is reserved upstream (removed callback_sig) —
+            # funds really is 5
+            message(
+                "MsgExecuteContract",
+                field("sender", 1, T_STRING),
+                field("contract", 2, T_STRING),
+                field("msg", 3, T_BYTES),
+                field("funds", 5, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "MsgInstantiateContract",
+                field("sender", 1, T_STRING),
+                field("admin", 2, T_STRING),
+                field("code_id", 3, T_UINT64),
+                field("label", 4, T_STRING),
+                field("msg", 5, T_BYTES),
+                field("funds", 6, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "MsgMigrateContract",
+                field("sender", 1, T_STRING),
+                field("contract", 2, T_STRING),
+                field("code_id", 3, T_UINT64),
+                field("msg", 4, T_BYTES),
+            ),
+        ],
+    ),
+    file_proto(
+        "ibc/core/client/v1/client.proto",
+        "ibc.core.client.v1",
+        [],
+        [
+            message(
+                "Height",
+                field("revision_number", 1, T_UINT64),
+                field("revision_height", 2, T_UINT64),
             )
         ],
+    ),
+    file_proto(
+        "ibc/applications/transfer/v1/tx.proto",
+        "ibc.applications.transfer.v1",
+        ["cosmos/base/v1beta1/coin.proto", "ibc/core/client/v1/client.proto"],
+        [
+            message(
+                "MsgTransfer",
+                field("source_port", 1, T_STRING),
+                field("source_channel", 2, T_STRING),
+                field("token", 3, T_MESSAGE, OPT, COIN),
+                field("sender", 4, T_STRING),
+                field("receiver", 5, T_STRING),
+                field(
+                    "timeout_height",
+                    6,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("timeout_timestamp", 7, T_UINT64),
+                field("memo", 8, T_STRING),
+            )
+        ],
+    ),
+    file_proto(
+        "ibc/core/channel/v1/tx.proto",
+        "ibc.core.channel.v1",
+        ["ibc/core/client/v1/client.proto"],
+        [
+            message(
+                "Packet",
+                field("sequence", 1, T_UINT64),
+                field("source_port", 2, T_STRING),
+                field("source_channel", 3, T_STRING),
+                field("destination_port", 4, T_STRING),
+                field("destination_channel", 5, T_STRING),
+                field("data", 6, T_BYTES),
+                field(
+                    "timeout_height",
+                    7,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("timeout_timestamp", 8, T_UINT64),
+            ),
+            message(
+                "MsgRecvPacket",
+                field(
+                    "packet", 1, T_MESSAGE, OPT, ".ibc.core.channel.v1.Packet"
+                ),
+                field("proof_commitment", 2, T_BYTES),
+                field(
+                    "proof_height",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 4, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/authz/v1beta1/tx.proto",
+        "cosmos.authz.v1beta1",
+        ["google/protobuf/any.proto"],
+        [
+            # msgs is repeated Any — the NESTED-Any recursion case
+            # (an Any whose payload itself carries Anys)
+            message(
+                "MsgExec",
+                field("grantee", 1, T_STRING),
+                field("msgs", 2, T_MESSAGE, REP, ANY),
+            ),
+            message(
+                "MsgRevoke",
+                field("granter", 1, T_STRING),
+                field("grantee", 2, T_STRING),
+                field("msg_type_url", 3, T_STRING),
+            ),
+            message("GenericAuthorization", field("msg", 1, T_STRING)),
+        ],
+    ),
+    file_proto(
+        "cosmos/gov/v1beta1/gov.proto",
+        "cosmos.gov.v1beta1",
+        ["google/protobuf/any.proto", "cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "TextProposal",
+                field("title", 1, T_STRING),
+                field("description", 2, T_STRING),
+            ),
+            message(
+                "WeightedVoteOption",
+                field(
+                    "option", 1, T_ENUM, OPT, ".cosmos.gov.v1beta1.VoteOption"
+                ),
+                field("weight", 2, T_STRING),
+            ),
+            # content is Any (TextProposal & friends) — second nested-Any
+            message(
+                "MsgSubmitProposal",
+                field("content", 1, T_MESSAGE, OPT, ANY),
+                field("initial_deposit", 2, T_MESSAGE, REP, COIN),
+                field("proposer", 3, T_STRING),
+            ),
+            message(
+                "MsgVoteWeighted",
+                field("proposal_id", 1, T_UINT64),
+                field("voter", 2, T_STRING),
+                field(
+                    "options",
+                    3,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.gov.v1beta1.WeightedVoteOption",
+                ),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/crypto/secp256k1/keys.proto",
+        "cosmos.crypto.secp256k1",
+        [],
+        # registering the signer pubkey type makes SignerInfo.public_key
+        # render fully instead of under the opaque-Any fallback
+        [message("PubKey", field("key", 1, T_BYTES))],
+    ),
+    file_proto(
+        "cosmos/slashing/v1beta1/tx.proto",
+        "cosmos.slashing.v1beta1",
+        [],
+        [message("MsgUnjail", field("validator_addr", 1, T_STRING))],
     ),
 ]
 
