@@ -445,20 +445,24 @@ def kmeans_assign(
     Scale shape (the MLlib pattern): assignment is in-row against the
     centroid bank (no row-multiplying join, narrow stage); the update is
     one groupBy(cluster, dim) partial-aggregated shuffle of k×dims
-    cells; centroids (model state, k×dims ints) are collected to the
-    driver between rounds — the one legitimate driver-side
-    materialization, independent of data size.
+    cells; centroids (model state, k×dims ints) stay IN-PLAN as a 1-row
+    broadcast between rounds (collect_list → crossJoin broadcast — the
+    sim_power_iteration shape), so the whole query is LAZY: no driver
+    round-trips, and callers compose it like any other DataFrame
+    (r10 verdict #3; previously the one whitelisted EAGER family).
 
     Two assignment tiers, identical integer semantics (pinned by
     tests/test_llm_ops.py tier-parity):
     - DEFAULT (bank): the centroid bank rides a broadcast 1-row
       crossJoin as DATA and the per-row argmin is a nested HOF
       (_kmeans_best_bank) — the plan is O(1) in k, the codegen shape is
-      reused across rounds, and it measures faster than the literal
-      tier even at k=8 (see KMEANS_LITERAL_CELLS_MAX).
+      reused across rounds, it measures faster than the literal
+      tier even at k=8 (see KMEANS_LITERAL_CELLS_MAX), and the Lloyd
+      update runs fully lazy.
     - k×dims ≤ literal_cells_max (opt-in): centroids compiled into the
       plan as literals — a join-free plan for callers that need one,
-      paying O(k·dims) expression analysis/codegen per round.
+      paying O(k·dims) expression analysis/codegen per round plus the
+      driver centroid collects between rounds that literals require.
     """
     dims = _dims(df, vec_col)
     q = df.select(
@@ -468,35 +472,82 @@ def kmeans_assign(
     off = KMEANS_MEAN_OFFSET
     use_bank = k * dims > literal_cells_max
     spark = df.sparkSession
+    zero = F.lit(0).cast("long")
 
-    def assign(frame: DataFrame, cents: list[list[int]]):
-        """frame + best struct(dist_sq, c) column via the active tier."""
-        if use_bank:
-            joined = frame.crossJoin(F.broadcast(_centroid_bank_df(spark, cents)))
-            return joined, _kmeans_best_bank(F.col("qv"), F.col("bank"))
-        return frame, _kmeans_best(F.col("qv"), cents)
-
-    for _ in range(rounds):
-        src, best = assign(q, cents)
-        a = src.select("qv", best["c"].alias("cluster"))
-        cell_rows = (
-            a.select("cluster", F.posexplode("qv").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(
-                F.sum(F.col("v") + F.lit(off)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+    if use_bank:
+        def next_bank(bank_df: DataFrame) -> DataFrame:
+            """One lazy Lloyd update: assign against the broadcast bank,
+            integer offset-mean per (cluster, dim), then rebuild the
+            1-row bank — empty clusters keep their previous centroid
+            via the left join + coalesce."""
+            src = q.crossJoin(F.broadcast(bank_df))
+            best = _kmeans_best_bank(F.col("qv"), F.col("bank"))
+            cells = (
+                src.select(best["c"].alias("cluster"), F.posexplode("qv").alias("d", "v"))
+                .groupBy("cluster", "d")
+                .agg(
+                    F.sum(F.col("v") + F.lit(off)).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn("cd", F.expr("s DIV n") - F.lit(off))
             )
-            .withColumn("cd", F.expr("s DIV n") - F.lit(off))
-            .collect()  # bounded: k×dims ints — model state, not data
-        )
-        new: dict[int, dict[int, int]] = {}
-        for r in cell_rows:
-            new.setdefault(r["cluster"], {})[r["d"]] = r["cd"]
-        cents = [
-            [new[c][d] for d in range(dims)] if c in new else cents[c]
-            for c in range(k)
-        ]
-    src, best = assign(q, cents)
+            upd = cells.groupBy("cluster").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                    lambda e: e["cd"],
+                ).alias("cv_new")
+            )
+            prev = bank_df.select(F.explode("bank").alias("e")).select(
+                F.col("e.c").alias("cluster"), F.col("e.cv").alias("cv_prev")
+            )
+            merged = prev.join(F.broadcast(upd), "cluster", "left").select(
+                "cluster",
+                F.coalesce("cv_new", "cv_prev").alias("cv"),
+            )
+            return merged.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cluster").alias("c"),
+                            F.col("cv").alias("cv"),
+                            F.aggregate(
+                                "cv", zero, lambda a, x: a + x * x
+                            ).alias("csq"),
+                        )
+                    )
+                ).alias("bank")
+            )
+
+        bank_df = _centroid_bank_df(spark, cents)
+        for _ in range(rounds):
+            bank_df = next_bank(bank_df)
+        src = q.crossJoin(F.broadcast(bank_df))
+        best = _kmeans_best_bank(F.col("qv"), F.col("bank"))
+    else:
+        def assign_lit(frame: DataFrame, cents: list[list[int]]):
+            return frame, _kmeans_best(F.col("qv"), cents)
+
+        for _ in range(rounds):
+            lsrc, lbest = assign_lit(q, cents)
+            a = lsrc.select("qv", lbest["c"].alias("cluster"))
+            cell_rows = (
+                a.select("cluster", F.posexplode("qv").alias("d", "v"))
+                .groupBy("cluster", "d")
+                .agg(
+                    F.sum(F.col("v") + F.lit(off)).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn("cd", F.expr("s DIV n") - F.lit(off))
+                .collect()  # bounded: k×dims ints — model state, not data
+            )
+            new: dict[int, dict[int, int]] = {}
+            for r in cell_rows:
+                new.setdefault(r["cluster"], {})[r["d"]] = r["cd"]
+            cents = [
+                [new[c][d] for d in range(dims)] if c in new else cents[c]
+                for c in range(k)
+            ]
+        src, best = assign_lit(q, cents)
     cols = [
         F.col("vec_id"),
         best["c"].alias("cluster"),

@@ -3891,10 +3891,11 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:kmeans_assign): the semantic-curation
     primitive (cluster-balanced sampling, per-cluster dedup budgets) and
     the third iterative algorithm next to PageRank and connected
-    components. Assignment is in-row against a literal centroid bank
-    (narrow stage, no join); the update is one k×dims partial-aggregated
-    shuffle; centroids — model state, k×dims ints — are the one
-    legitimate driver-side collect. Exact integer squared-L2 with
+    components. Assignment is in-row against the broadcast 1-row
+    centroid bank (no row-multiplying join); the update is one k×dims
+    partial-aggregated shuffle; centroids — model state, k×dims ints —
+    stay IN-PLAN as 1-row broadcasts between rounds (lazy since r11,
+    the sim_power_iteration shape). Exact integer squared-L2 with
     offset-shifted floor-div means keeps both engines bit-identical; the
     oracle unrolls the same two rounds as CTEs."""
     from .operators.similarity import kmeans_assign
@@ -8401,8 +8402,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the defining property is that the quadratic term is bounded
     per cluster — the pair join is an equi-join on the cluster id, and k
     grows with the corpus so cluster populations stay ~constant. The
-    k-means stage is `kmeans_assign` unchanged (EAGER: centroid collects
-    between Lloyd rounds); the pair stage is one shuffle on cluster.
+    k-means stage is `kmeans_assign` (fully lazy since r11: the
+    centroid bank rides in-plan 1-row broadcasts between Lloyd
+    rounds); the pair stage is one shuffle on cluster.
     τ = 0.4 fits the synthetic embedding distribution (max within-
     cluster cosine ≈ 0.51 at sf0.01); production corpora use ~0.95+."""
     from .operators.similarity import semantic_dedup_drops

@@ -40,10 +40,6 @@ EAGER = {
     "sample_kcenter_coreset",  # per-step state checkpoints (k-center loop)
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
-    "sim_kmeans_clusters",  # centroid collects between Lloyd rounds
-    "sim_kmeans_inertia",  # same Lloyd run + per-cluster agg
-    "sample_cluster_balanced",  # same (built on kmeans_assign)
-    "dedup_semantic",  # same (built on kmeans_assign)
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
@@ -111,6 +107,14 @@ BNLJ_OK = {
     "q_rfm_segmentation",  # 1-row anchor-date aggregate crossJoin
     "sample_mixture_eval",  # 4-row prefix-length table broadcast (non-equi)
     "q_join_cross",  # deliberate cross join of two bounded dims
+    # r11: the Lloyd loop went lazy (kmeans_assign bank tier carries the
+    # centroid bank as in-plan 1-row broadcasts — similarity.py) so the
+    # family moved here from the EAGER whitelist; the BNLJ is the 1-row
+    # bank crossJoin, same shape as sim_power_iteration above
+    "sim_kmeans_clusters",
+    "sim_kmeans_inertia",
+    "sample_cluster_balanced",
+    "dedup_semantic",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.
@@ -168,10 +172,6 @@ EAGER_BNLJ_OK = {
     "text_tfidf_topterms",  # 1-row corpus-size aggregate
     "text_token_rarity",  # 1-row corpus-size aggregate
     "streaming_incremental_merge",  # 1-row snapshot watermark aggregate
-    "sim_kmeans_clusters",  # 1-row centroid-bank broadcast (bank tier)
-    "sim_kmeans_inertia",  # same (built on kmeans_assign)
-    "sample_cluster_balanced",  # same (built on kmeans_assign)
-    "dedup_semantic",  # same (built on kmeans_assign)
 }
 
 
