@@ -171,6 +171,77 @@ def dispatch_dlq_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rule bank that FORCES the tier-3 Arrow evaluator: evaluated against a
+# JSON-string view (no typed struct), so the regex and numeric-band
+# filters are outside the tier-2 definite-path subset and fall to the
+# fused Python evaluator, while the two definite paths stay tier-2
+# native — a mixed bank through with_matches' per-rule tier routing.
+TIER3_RULES = [
+    DispatchRule(
+        "error-or-signup", "topic-es", "$[?(@.eventType =~ /error|signup/)]"
+    ),
+    DispatchRule("mid-band-k", "topic-mid-k", "$[?(@.k >= 50 && @.k < 80)]"),
+    DispatchRule("big-value", "topic-big", "$.bigValue"),
+    DispatchRule("never-match", "topic-never", "$.missing"),
+]
+
+
+@register(
+    "dispatch_route_tier3",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ), m AS (
+      SELECT event_id, 0 AS rule_idx, 'error-or-signup' AS rule_name,
+             'topic-es' AS topic FROM ev
+      WHERE regexp_matches(event_type, '^(?:error|signup)$')
+      UNION ALL
+      SELECT event_id, 1, 'mid-band-k', 'topic-mid-k' FROM ev
+      WHERE k >= 50 AND k < 80
+      UNION ALL
+      SELECT event_id, 2, 'big-value', 'topic-big' FROM ev
+      WHERE value >= 100
+    )
+    SELECT event_id, rule_idx, rule_name, topic FROM m
+    UNION ALL
+    SELECT event_id, -2 AS rule_idx, CAST(NULL AS VARCHAR) AS rule_name,
+           'dlq' AS topic
+    FROM ev WHERE event_id NOT IN (SELECT event_id FROM m)
+    """,
+)
+def dispatch_route_tier3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatch topology with a rule bank that exercises the TIER-3
+    fallback in the driver-proven path (r10 verdict #6: every prior
+    driver-green dispatch row compiled 100% tier-1/2 native). The record
+    view here is a JSON STRING (to_json of the event — the reference's
+    own evaluation substrate, TopologyProducer.kt:213), so the regex
+    rule (`=~`, Jayway full-match semantics) and the &&-band filter are
+    uncompilable on the definite-path tier-2 and route through the ONE
+    fused Arrow UDF (with_matches: single json.loads per record for the
+    whole bank), while `$.bigValue` / `$.missing` stay tier-2
+    get_json_object natives — per-rule tier mixing in one bank. The
+    sometimes-absent `bigValue` key (to_json omits nulls) makes the
+    definite-path rule a real filter rather than an always-match.
+
+    Scale: still narrow and shuffle-free like dispatch_route; the Python
+    stage is one Arrow hop costing parse + 2 cheap walks per record —
+    the measured fused-bank design (SURVEY §8 r7 deltas). The oracle
+    re-derives every rule relationally; regex full-match anchoring
+    (^(?:...)$) mirrors the evaluator's \\A(?:...)\\Z."""
+    ev = load_table(spark, sf_dir, "events")
+    view = F.to_json(
+        F.struct(
+            F.col("event_type").alias("eventType"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.when(F.col("value") >= 100, F.col("value")).alias("bigValue"),
+        )
+    )
+    out = dsp.dispatch(ev.withColumn("tx_json", view), TIER3_RULES, json_col="tx_json")
+    return out.select("event_id", "rule_idx", "rule_name", "topic")
+
+
 # --------------------------------------------------------------------------
 # Relational surface — aggregations
 # --------------------------------------------------------------------------

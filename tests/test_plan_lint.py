@@ -51,6 +51,7 @@ EAGER = {
 # Deliberate Python-eval operators: Arrow-batched by design.
 PYTHON_OK = {
     "dispatch_dlq_envelope",  # tier-3 Pandas-UDF JsonPath fallback path
+    "dispatch_route_tier3",  # DELIBERATE tier-3 bank: one fused Arrow UDF
     "multimodal_features",  # mapInPandas feature extraction (stub codecs)
     "multimodal_frame_sample",
     "multimodal_audio_energy",
