@@ -155,6 +155,43 @@ HEADLINE = [
     "graph_assortativity",
     "pipeline_media_curate",
     "multimodal_phash_calibration",
+    # --- r11 trend-tail additions (r10 verdict #5): the remaining
+    # multi-stage / heavy plans without a cross-round row, plus the
+    # whole k-means family (its Lloyd loop went lazy this round — the
+    # rewrite needs a trend line), plus the new tier-3 dispatch path.
+    "dispatch_route_tier3",
+    "sim_kmeans_clusters",
+    "sample_cluster_balanced",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "sim_topk_ivf",
+    "sim_topk_ivf_multiprobe",
+    "dedup_drop_near",
+    "dedup_hybrid_verify",
+    "dedup_verify_editdist",
+    "dedup_exact_spans",
+    "dedup_simhash_pairs",
+    "q_cogroup_reconcile",
+    "q_bucketed_join_agg",
+    "q_skew_salted_join",
+    "q_join_bloom_prefilter",
+    "q_scd2_history",
+    "q_gap_fill_locf",
+    "q_sessionize_batch",
+    "q_histogram_equiheight",
+    "q_stats_outlier_mad",
+    "q_latest_by_key_tombstone",
+    "graph_label_propagation",
+    "graph_resource_allocation",
+    "text_tfidf_topterms",
+    "text_token_rarity",
+    "text_pack_sequences",
+    "multimodal_frame_sample",
+    "multimodal_dedup_payload",
+    "multimodal_near_dup_phash",
+    "streaming_incremental_merge",
+    "streaming_drift_monitor",
+    "streaming_changepoint_monitor",
 ]
 
 
@@ -164,7 +201,12 @@ def run_query(df) -> None:
 
 def _probe_dfs(spark, sf_dir: str):
     """The two machine-state probe plans: a parquet scan+agg (IO+decode
-    bound) and a pure-compute spark.range reduction (CPU bound)."""
+    bound) and a pure-compute spark.range reduction (CPU bound).
+
+    These two plans are FROZEN: cross-round normalization compares this
+    round's probe readings against the previous round's, so changing
+    either plan would silently corrupt every normalized delta. The
+    bigger r11 noise-floor probe is separate (_probe_big_cpu)."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -175,6 +217,25 @@ def _probe_dfs(spark, sf_dir: str):
         F.sum(F.col("id") * 3 % 7), F.count(F.lit(1))
     )
     return scan, cpu
+
+
+def _probe_big_cpu(spark):
+    """The r11 noise-floor probe: a ~0.3 s pure-compute reduction. The
+    r10 protocol's 0.08 s probes made calibration_spread_pct read 63.9 —
+    but the PROBES.md r11 experiments show that at sub-0.1 s the spread
+    measures straggler-task luck (max over a single wave of tasks), not
+    box state: a 0.3 s CPU probe run back-to-back over 14 groups spreads
+    only 18-23% raw / ~10% trimmed on this box (pinned-core pilot:
+    18.0/10.3 — pinning doesn't change the story), while the 0.1-0.2 s
+    IO scan probe spreads 50-75% no matter how it is sized or pinned.
+    This probe therefore carries the headline attributability floor;
+    the IO scan probe's spread is reported separately as the
+    (box-inherent) IO noise signal."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1_500_000_000).agg(
+        F.sum(F.col("id") * 3 % 7), F.count(F.lit(1))
+    )
 
 
 def probe_box_state(spark, sf_dir: str, iters: int = 3) -> dict:
@@ -191,10 +252,16 @@ def probe_box_state(spark, sf_dir: str, iters: int = 3) -> dict:
     seconds before it ran, and the spread across groups is itself the
     noise signal (reported as calibration_spread)."""
     scan, cpu = _probe_dfs(spark, sf_dir)
+    big = _probe_big_cpu(spark)
     out = {}
-    for name, df in (("scan", scan), ("cpu", cpu)):
+    for name, df, n in (
+        ("scan", scan, iters),
+        ("cpu", cpu, iters),
+        # ~0.3 s each: min-of-2 keeps the per-group overhead ~0.6 s
+        ("cpu_big", big, min(iters, 2)),
+    ):
         dt = float("inf")
-        for _ in range(iters):
+        for _ in range(n):
             t0 = time.perf_counter()
             run_query(df)
             dt = min(dt, time.perf_counter() - t0)
@@ -455,6 +522,15 @@ def main() -> None:
     steady_cal = group_cal[1:] or group_cal
     scans = sorted(c["scan"] for c in steady_cal)
     cpus = sorted(c["cpu"] for c in steady_cal)
+    bigs = sorted(c["cpu_big"] for c in steady_cal if c.get("cpu_big"))
+
+    def _spread(xs: list[float], trim: bool) -> float | None:
+        if trim and len(xs) >= 4:
+            xs = xs[1:-1]  # drop the best and worst group
+        if len(xs) < 2 or not xs[0]:
+            return None
+        return round(100.0 * (xs[-1] / xs[0] - 1.0), 1)
+
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -469,8 +545,26 @@ def main() -> None:
         "calibration_scan_sec": scans[len(scans) // 2],
         "calibration_cpu_sec": cpus[len(cpus) // 2],
         "calibration_groups": group_cal,
-        "calibration_spread_pct": round(
+        # HEADLINE noise floor (r10 verdict #4): trimmed spread of the
+        # ≥0.3 s CPU probe — the within-run variance a cross-round
+        # per-query delta must exceed to be attributable to code. The
+        # r10 metric (raw max/min over the 0.08 s scan+cpu probes) is
+        # kept as *_raw for continuity; the IO scan probe's spread is
+        # reported separately — PROBES.md r11 shows it measures
+        # box-inherent IO/straggler contention (50-75% on this box,
+        # pinning and probe sizing don't reduce it), so it flags IO
+        # turbulence rather than gating CPU-bound deltas.
+        "calibration_spread_pct": (
+            _spread(bigs, trim=True)
+            if bigs
+            else _spread([min(a, b) for a, b in zip(scans, cpus)], trim=True)
+        ),
+        "calibration_spread_raw_pct": round(
             100.0 * max(scans[-1] / scans[0], cpus[-1] / cpus[0]) - 100.0, 1
+        ),
+        "calibration_io_spread_pct": _spread(scans, trim=True),
+        "calibration_cpu_big_sec": (
+            bigs[len(bigs) // 2] if bigs else None
         ),
         **dispatch_throughput(spark),
         **streaming_throughput(spark),
@@ -489,6 +583,7 @@ def main() -> None:
         "delta_vs_prev_pct_median delta_vs_prev_pct_min_normalized "
         "delta_vs_prev_pct_median_normalized noise_queries "
         "calibration_ratio_vs_prev calibration_spread_pct "
+        "calibration_spread_raw_pct calibration_io_spread_pct "
         "delta_shared_queries prev_round calibration_scan_sec "
         "calibration_cpu_sec dispatch_rows_per_sec "
         "streaming_dispatch_rows_per_sec streaming_decode_rows_per_sec "
@@ -519,6 +614,11 @@ def _add_prev_round_deltas(
     if prev is None:
         return
     prev_data, prev_round = prev
+    if prev_data.get("sf") != detail.get("sf"):
+        # a local smoke at another scale factor must not read the sf0.1
+        # round record as its comparator — the deltas would be
+        # sf-mixture, not code
+        return
     prev_queries = dict(prev_data.get("queries") or {})
     prev_stats = dict(prev_data.get("queries_stats") or {})
     detail["prev_round"] = prev_round
@@ -536,18 +636,36 @@ def _add_prev_round_deltas(
     if cal_ratio:
         detail["calibration_ratio_vs_prev"] = cal_ratio
 
+    def _trimmed_mean_cal(data: dict, key: str) -> float | None:
+        # run-level TRIMMED MEAN over the interleaved group probes
+        # (drop best + worst group): r11 protocol — PROBES.md shows a
+        # single group's probe sample is straggler-dominated (heavy
+        # upper tail), so normalizing each query by its OWN group's
+        # sample (the r10 protocol) injected probe noise into every
+        # normalized delta; the trimmed run-level statistic is stable.
+        groups = data.get("calibration_groups") or []
+        xs = sorted(g.get(key) for g in groups[1:] if g.get(key))
+        if len(xs) >= 4:
+            xs = xs[1:-1]
+        return sum(xs) / len(xs) if xs else None
+
+    tm_ratios = []
+    for k in ("scan", "cpu"):
+        pv = _trimmed_mean_cal(prev_data, k)
+        cv = _trimmed_mean_cal(detail, k)
+        if pv and cv:
+            tm_ratios.append(cv / pv)
+    tm_ratio = (
+        round((tm_ratios[0] * tm_ratios[-1]) ** 0.5, 4)
+        if tm_ratios
+        else cal_ratio
+    )
+
     def per_query_ratio(name: str) -> float | None:
-        # per-GROUP normalization when both rounds interleaved probes
-        # (r10+); falls back to the run-global ratio against older rounds
-        cur, prv = stats.get(name) or {}, prev_stats.get(name) or {}
-        if all(
-            d.get(k) for d in (cur, prv) for k in ("cal_scan", "cal_cpu")
-        ):
-            return (
-                (cur["cal_scan"] / prv["cal_scan"])
-                * (cur["cal_cpu"] / prv["cal_cpu"])
-            ) ** 0.5
-        return cal_ratio
+        # r11: trimmed-mean run-level ratio for every query (see
+        # _trimmed_mean_cal); the per-group samples stay recorded in
+        # queries_stats/calibration_groups for forensics
+        return tm_ratio
 
     bases: dict[str, dict] = {}
     for basis in ("min", "median"):
