@@ -13123,6 +13123,374 @@ def pipeline_curate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_lexical_stats",
+    rf"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS words,
+           CAST(COUNT(*) AS BIGINT) AS distinct_toks,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+           CAST(1000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_milli,
+           CAST(1000 * COUNT(*) FILTER (WHERE c = 1) // SUM(c) AS BIGINT)
+             AS hapax_milli,
+           CAST(1000 * SUM(LENGTH(tok) * c) // SUM(c) AS BIGINT)
+             AS avg_len_milli
+    FROM tf GROUP BY doc_id
+    """,
+)
+def text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity statistics per document: type-token ratio,
+    hapax-legomenon fraction and mean token length — the boilerplate /
+    template-spam gate (machine-generated and boilerplate text shows
+    abnormally LOW TTR and hapax rates; keyword-stuffed spam abnormally
+    high). Next to the stopword/length heuristics in
+    text_quality_score, TTR is the standard third axis (CCNet, Gopher
+    both gate on near-duplicate token distributions).
+
+    Plan: ONE shuffle — explode to (doc, token), partial-aggregated
+    count per (doc, token), then the per-doc rollup rides the same
+    partitioning (two-level agg, no second exchange of corpus-sized
+    data). All integer fixed-point (×1000 DIV), bit-stable across
+    engines."""
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("words"),
+            F.count(F.lit(1)).alias("distinct_toks"),
+            hapax.alias("hapax"),
+            F.sum(F.length("tok") * F.col("c")).alias("char_mass"),
+        )
+        .select(
+            "doc_id",
+            "words",
+            "distinct_toks",
+            "hapax",
+            F.expr("1000 * distinct_toks DIV words").alias("ttr_milli"),
+            F.expr("1000 * hapax DIV words").alias("hapax_milli"),
+            F.expr("1000 * char_mass DIV words").alias("avg_len_milli"),
+        )
+    )
+
+
+@register(
+    "q_arrival_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS avg_gap_us,
+           CAST(COUNT(*) FILTER (WHERE gap_us > 3600000000) AS BIGINT)
+             AS n_gaps_over_1h
+    FROM g GROUP BY user_id HAVING COUNT(gap_us) > 0
+    """,
+)
+def q_arrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat / liveness audit: per-key inter-arrival gap statistics
+    (min/max/mean gap, count of >1 h silences) — the stream-hygiene
+    check a pipeline runs to find dead producers, burst-then-silence
+    sources and watermark-risk keys before they corrupt windowed aggs.
+    (A ts-inversion audit is VACUOUS on this data — the generator emits
+    per-user subsequences of a globally ordered stream, 0 inversions at
+    every sf — so the registered form audits gaps, which genuinely vary
+    8 s…4 days here.)
+
+    Plan: one user-keyed shuffle shared by the lag window and the
+    rollup; exact integer µs arithmetic (floor-div mean)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.expr("SUM(gap_us) DIV COUNT(gap_us)").alias("avg_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") > 3_600_000_000, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_gaps_over_1h"),
+        )
+        .filter(F.col("min_gap_us").isNotNull())
+        .select(
+            "user_id",
+            "n_events",
+            "min_gap_us",
+            "max_gap_us",
+            "avg_gap_us",
+            "n_gaps_over_1h",
+        )
+    )
+
+
+_FRAME_DUP_TH = 64  # |Δ byte-sum| at or below this = same content (~p45)
+
+
+@register(
+    "multimodal_frame_dedup",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(text)) // 32 - 1)) AS i,
+             text
+      FROM documents WHERE octet_length(encode(text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c))) AS BIGINT) AS feat
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN LAG(feat) OVER w IS NULL
+                    OR ABS(feat - LAG(feat) OVER w) > {_FRAME_DUP_TH}
+                  THEN 1 ELSE 0 END AS fresh
+      FROM feat WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+    runs AS (
+      SELECT doc_id, frame_idx,
+             SUM(fresh) OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM d)
+    SELECT doc_id, CAST(MIN(frame_idx) AS INTEGER) AS kept_frame,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY doc_id, run_id
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal frame deduplication: collapse runs of near-identical
+    consecutive frames (|Δfeature| ≤ TH) to their first frame — the
+    static-shot pruning video pipelines run before feature extraction,
+    typically dropping 30-60%% of frames of talking-head/slide content
+    (here TH=64 ≈ p45 of deltas, so runs genuinely form). The dual of
+    scene cuts: cuts find where content CHANGES, this collapses where
+    it DOESN'T.
+
+    Plan: the same narrow Arrow frame-feature pass as scene cuts, one
+    doc-keyed shuffle shared by the lag window, the running-sum run ids
+    and the run rollup — frames of one video co-locate once."""
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = frame_features(with_binary_payload(docs), frame=32)
+    wd = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("feat").over(wd)
+    fresh = (
+        F.when(
+            prev.isNull() | (F.abs(F.col("feat") - prev) > _FRAME_DUP_TH),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("fresh")
+    )
+    runs = feats.select("doc_id", "frame_idx", fresh).withColumn(
+        "run_id",
+        F.sum("fresh").over(
+            wd.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("frame_idx").alias("kept_frame"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select("doc_id", "kept_frame", "run_len")
+    )
+
+
+@register(
+    "multimodal_av_align",
+    f"""
+    WITH seg AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1))
+               AS win,
+             text
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    e AS (
+      SELECT doc_id, win,
+             CAST(list_sum(list_transform(string_split(
+               substr(text, win * 64 + 1, 64), ''),
+               c -> ord(c) * ord(c))) AS BIGINT) AS ssq,
+             CAST(length(substr(text, win * 64 + 1, 64)) AS BIGINT) AS n
+      FROM seg),
+    act AS (
+      SELECT doc_id, win,
+             win - ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY win) AS island
+      FROM e WHERE ssq > {_VAD_TH} * n),
+    spans AS (
+      SELECT doc_id, MIN(win) AS span_start, MAX(win) AS span_end
+      FROM act GROUP BY doc_id, island HAVING COUNT(*) >= 2),
+    f AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               octet_length(encode(text)) // 32 - 1)) AS i,
+             text
+      FROM documents WHERE octet_length(encode(text)) >= 32),
+    feat AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(
+               string_split(substr(text, i * 32 + 1, 32), ''),
+               c -> ord(c))) AS BIGINT) AS feat
+      FROM f),
+    cuts AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN LAG(feat) OVER w IS NULL THEN 0
+                  WHEN ABS(feat - LAG(feat) OVER w) > {_SCENE_CUT_TH}
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM feat WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+    sc AS (
+      SELECT doc_id, frame_idx,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS scene_id
+      FROM cuts),
+    scenes AS (
+      SELECT doc_id, scene_id, MIN(frame_idx) AS smin, MAX(frame_idx) AS smax
+      FROM sc GROUP BY doc_id, scene_id)
+    SELECT s.doc_id,
+           CAST(s.span_start AS INTEGER) AS span_start,
+           CAST(sn.scene_id AS BIGINT) AS scene_id,
+           CAST(GREATEST(s.span_start * 2, sn.smin) AS INTEGER)
+             AS overlap_start,
+           CAST(LEAST(s.span_end * 2 + 1, sn.smax) AS INTEGER)
+             AS overlap_end,
+           CAST(LEAST(s.span_end * 2 + 1, sn.smax)
+                - GREATEST(s.span_start * 2, sn.smin) + 1 AS BIGINT)
+             AS overlap_frames
+    FROM spans s JOIN scenes sn
+      ON s.doc_id = sn.doc_id
+     AND s.span_start * 2 <= sn.smax
+     AND s.span_end * 2 + 1 >= sn.smin
+    """,
+)
+def multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-visual alignment: join speech spans (the VAD islands, in
+    64-byte audio windows) to video scenes (cut-delimited frame runs,
+    32-byte frames — one audio window spans exactly 2 frames) of the
+    SAME asset by interval overlap — the "which scenes contain speech"
+    selector that talking-head/captioned-clip curation runs before
+    sampling clips (a speech span touching scene k means scene k is a
+    speech scene; overlap_frames sizes the evidence).
+
+    Plan: the VAD span derivation and the scene derivation each share
+    one doc-keyed shuffle; the alignment is a doc_id EQUI-join with the
+    interval test as a residual — spans and scenes of one asset number
+    in the tens, so the per-doc pair term is trivially bounded and no
+    banded-range machinery is needed (contrast q_join_banded_range,
+    where the intervals do not share a bounding key)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # speech spans (the VAD island derivation, inline)
+    n_wins = (
+        F.ceil(F.octet_length(F.col("text")) / F.lit(64.0)).cast("int") - 1
+    )
+    seg = docs.filter(F.octet_length(F.col("text")) > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins)).alias("win"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "win",
+        F.substring(F.col("text"), F.col("win") * 64 + 1, 64).alias("s"),
+    )
+    ssq = F.aggregate(
+        F.split(F.col("s"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(c == "", F.lit(0)).otherwise(F.ascii(c) * F.ascii(c)),
+    )
+    e = seg.select(
+        "doc_id", "win", ssq.alias("ssq"), F.length("s").cast("long").alias("n")
+    )
+    wd = W.partitionBy("doc_id").orderBy("win")
+    act = e.filter(F.col("ssq") > F.lit(_VAD_TH) * F.col("n")).withColumn(
+        "island", F.col("win") - F.row_number().over(wd)
+    )
+    spans = (
+        act.groupBy("doc_id", "island")
+        .agg(
+            F.min("win").alias("span_start"),
+            F.max("win").alias("span_end"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+        .filter(F.col("nw") >= 2)
+        .select("doc_id", "span_start", "span_end")
+    )
+
+    # scenes (the scene-cut run derivation, inline)
+    from .operators.multimodal import frame_features, with_binary_payload
+
+    feats = frame_features(with_binary_payload(docs), frame=32)
+    wf = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("feat").over(wf)
+    is_cut = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.abs(F.col("feat") - prev) > _SCENE_CUT_TH, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sc = feats.select("doc_id", "frame_idx", is_cut.alias("is_cut")).withColumn(
+        "scene_id",
+        F.sum("is_cut").over(
+            wf.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    scenes = sc.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").alias("smin"), F.max("frame_idx").alias("smax")
+    )
+
+    fs = F.col("span_start") * 2
+    fe = F.col("span_end") * 2 + 1
+    return (
+        spans.join(
+            scenes,
+            (spans.doc_id == scenes.doc_id)
+            & (fs <= F.col("smax"))
+            & (fe >= F.col("smin")),
+        )
+        .select(
+            spans.doc_id.alias("doc_id"),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("scene_id").cast("long").alias("scene_id"),
+            F.greatest(fs, F.col("smin")).cast("int").alias("overlap_start"),
+            F.least(fe, F.col("smax")).cast("int").alias("overlap_end"),
+            (
+                F.least(fe, F.col("smax")) - F.greatest(fs, F.col("smin")) + 1
+            )
+            .cast("long")
+            .alias("overlap_frames"),
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -56,6 +56,8 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_audio_energy",
     "multimodal_scene_cuts",  # Arrow frame-feature decode stand-in
+    "multimodal_frame_dedup",  # same frame-feature Arrow pass
+    "multimodal_av_align",  # same frame-feature Arrow pass (scene side)
     "pipeline_clip_extract",  # same Arrow frame-feature pass feeding the scene windows
     "multimodal_video_keyframes",  # same Arrow frame-feature pass
     "pipeline_media_curate",  # same Arrow frame-feature pass in the clip stage
