@@ -239,6 +239,60 @@ def bfs_hops(
     return dist
 
 
+def bfs_hops_labeled(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Per-SEED bounded-hop BFS over the undirected graph: returns
+    (seed, node, dist) with dist = min hops from that SPECIFIC seed —
+    the labeled generalization of bfs_hops (whose dist is min over the
+    whole source SET). The closeness/harmonic-centrality substrate:
+    per-seed distances are exactly what the centrality sums need.
+
+    Same level-synchronous frontier shape, with (seed, node) as the
+    composite identity everywhere: round r joins the frontier to the
+    edge list on the node key, dedups (seed, neighbor), and anti-joins
+    the per-seed visited relation on BOTH columns. Per-round work is
+    O(frontier-incident edges × 1) and state is O(Σ_seed |reached_s|) —
+    linear in seeds, which is why callers pass a BOUNDED seed set
+    (landmark/pivot closeness, the standard approximation at scale:
+    exact closeness needs all-pairs). Every shuffle keys on node or
+    (seed, node); materialized per round through the iterative shell
+    like bfs_hops (frontier referenced twice per round)."""
+    reliable = resolve_reliable(edges.sparkSession, None)
+    e = edges.select("src", "dst")
+    und = materialize(
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+        strip=False,
+    )
+    dist = materialize(
+        sources.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("seed"),
+            F.col("node"),
+            F.lit(0).cast("int").alias("dist"),
+        ),
+        reliable,
+        strip=False,
+    )
+    frontier = dist.select("seed", "node")
+    for r in range(1, rounds + 1):
+        nbrs = (
+            und.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(
+            dist.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).withColumn("dist", F.lit(r).cast("int"))
+        dist = materialize(dist.unionAll(new), reliable)
+        frontier = dist.filter(F.col("dist") == r).select("seed", "node")
+    return dist
+
+
 def k_core(
     edges: DataFrame, k: int = 2, rounds: int = 3, converge: bool = False
 ) -> DataFrame:

@@ -13491,6 +13491,193 @@ def multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_closeness_bfs",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk(seed, node, d) AS (
+      SELECT DISTINCT src, src, 0 FROM und WHERE src < 5
+      UNION
+      SELECT w.seed, u.dst, w.d + 1
+      FROM walk w JOIN und u ON u.src = w.node WHERE w.d < 3),
+    dist AS (
+      SELECT seed, node, MIN(d) AS dist FROM walk GROUP BY seed, node)
+    SELECT seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(SUM(CASE WHEN dist > 0 THEN 1048576 // dist ELSE 0 END)
+                AS BIGINT) AS harmonic_fp
+    FROM dist GROUP BY seed
+    """,
+)
+def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness / harmonic centrality for a bounded seed set
+    (customers with key < 5) within 3 hops of the undirected purchase
+    graph — the "how central is this node really" metric next to
+    PageRank, computed the way it is computed at scale: per-seed
+    labeled BFS over LANDMARKS (operators/graph.py:bfs_hops_labeled),
+    never the all-pairs matrix. harmonic_fp = Σ 2^20 DIV dist is the
+    harmonic form (defined even when the graph is disconnected, which
+    closeness proper is not), exact in int64: ≤ 2^20 per reached node,
+    ~10^4 reachable nodes ⇒ ≤ 2^34 per seed.
+
+    Scale: per round one frontier⋈edges equi-join + (seed, node) dedup
+    + anti-join, state linear in Σ per-seed reach; the centrality
+    rollup is one (seed)-keyed agg of the final distance relation. The
+    oracle re-derives the same distances as a depth-bounded recursive
+    CTE with a MIN rollup per (seed, node)."""
+    from .operators.graph import bfs_hops_labeled
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = orders.select(F.col("o_custkey").alias("node")).filter(
+        F.col("node") < 5
+    )
+    dist = bfs_hops_labeled(edges, seeds, rounds=3)
+    return dist.groupBy("seed").agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.sum("dist").alias("sum_dist"),
+        F.sum(
+            F.when(
+                F.col("dist") > 0, F.expr("1048576 DIV dist")
+            ).otherwise(F.lit(0))
+        ).alias("harmonic_fp"),
+    )
+
+
+_HOLDOUT_BUDGET = 1500  # tokens per lang in the packed eval shard
+
+
+@register(
+    "pipeline_eval_holdout",
+    f"""
+    WITH dtoks AS (SELECT doc_id, {{TOKS}} AS t FROM documents),
+    dsh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM dtoks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keepsh AS (SELECT shingle FROM dsh GROUP BY shingle
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM dsh a JOIN keepsh USING (shingle) JOIN dsh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    aggr AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+             FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    overl AS (SELECT doc_a, doc_b,
+                     CAST(MAX(run_len) + 7 AS BIGINT) AS overlap_tokens
+              FROM aggr GROUP BY doc_a, doc_b),
+    contam AS (
+      SELECT DISTINCT CASE WHEN doc_a % 97 = 0 THEN doc_b ELSE doc_a END
+               AS doc_id
+      FROM overl
+      WHERE (doc_a % 97 = 0) <> (doc_b % 97 = 0) AND overlap_tokens >= 13),
+    {_minhash_sig_sql().lstrip()},
+    neardrop AS (
+      SELECT DISTINCT b.doc_id
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    clean AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      LEFT JOIN contam c ON d.doc_id = c.doc_id
+      LEFT JOIN neardrop n ON d.doc_id = n.doc_id
+      WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL AND n.doc_id IS NULL),
+    val AS (
+      SELECT doc_id, lang,
+             CAST(len({_D_TOKS}) AS BIGINT) AS n_toks
+      FROM clean
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10 = 8),
+    c AS (
+      SELECT doc_id, lang, n_toks,
+             SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_toks
+      FROM val)
+    SELECT doc_id, lang, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= {_HOLDOUT_BUDGET}
+    """.replace("{TOKS}", _D_TOKS),
+)
+def pipeline_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sixth pipeline ending: build the CLEAN HELD-OUT EVAL SHARD —
+    decontaminate (drop train docs with a ≥13-token verbatim benchmark
+    overlap, the text_decontaminate_exact gate; the benchmark docs
+    themselves, doc_id %% 97 = 0, never enter the shard) → near-dup
+    exclusion (drop any doc that is the higher id of an LSH candidate
+    pair — conservative: if a near-twin exists ANYWHERE in the corpus,
+    the doc cannot serve as eval, or its twin trains on the answer) →
+    deterministic hash-split 'val' bucket → per-language token-budget
+    pack of what remains. One lazy plan; the complement of
+    pipeline_curate: that one builds the training shard, this one
+    builds the shard you measure it with.
+
+    Scale: shingle inverted index (df-capped) + banded LSH join + a
+    narrow hash-bucket filter + one lang-keyed prefix window — the
+    decontamination and near-dup stages are the same bounded joins
+    their standalone queries pin; nothing here funnels through a
+    global window."""
+    from .operators.dedup import exact_substring_pairs, minhash_lsh_pairs
+    from .operators.sampling import hash_split
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+    bench_a = F.col("doc_a") % 97 == 0
+    bench_b = F.col("doc_b") % 97 == 0
+    contam = (
+        pairs.filter((bench_a != bench_b) & (F.col("overlap_tokens") >= 13))
+        .select(
+            F.when(bench_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    neardrop = (
+        minhash_lsh_pairs(
+            docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(contam, "doc_id", "left_anti")
+        .join(neardrop, "doc_id", "left_anti")
+    )
+    val = hash_split(clean).filter(F.col("split") == "val").select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    wc = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return val.withColumn("cum_toks", F.sum("n_toks").over(wc)).filter(
+        F.col("cum_toks") <= _HOLDOUT_BUDGET
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

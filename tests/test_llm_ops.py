@@ -681,6 +681,30 @@ def test_bfs_hops_hand_graph(spark):
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
 
 
+def test_bfs_labeled_per_seed_distances(spark):
+    """Labeled BFS must keep per-SEED distances independent: on the
+    path 1-2-3-4 with seeds {1, 4}, plain bfs_hops would report
+    min-over-set (node 2 at dist 1), but the labeled form must report
+    dist(1→2)=1 AND dist(4→2)=2 as separate rows — that independence
+    is exactly what the closeness sums need."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        bfs_hops_labeled,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in bfs_hops_labeled(edges, seeds, rounds=2).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2,
+        (4, 4): 0, (4, 3): 1, (4, 2): 2,
+    }
+
+
 def test_misra_gries_superset_guarantee_under_eviction(spark):
     """Force eviction (k=3 counters, 8 distinct keys per partition) and
     pin the MG contract: every key with global count > n/(k+1) survives

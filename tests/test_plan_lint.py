@@ -40,6 +40,7 @@ EAGER = {
     "sample_kcenter_coreset",  # per-step state checkpoints (k-center loop)
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
+    "graph_closeness_bfs",  # same labeled-BFS per-round materialization
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
