@@ -450,6 +450,13 @@ def kmeans_assign(
     sim_power_iteration shape), so the whole query is LAZY: no driver
     round-trips, and callers compose it like any other DataFrame
     (r10 verdict #3; previously the one whitelisted EAGER family).
+    Caveat shared with every lazy unrolled iteration here (power
+    iteration, bpe_train): each round's plan embeds the previous
+    round's as a subtree (both consumptions ride ONE BroadcastExchange
+    so runtime stays linear — see next_bank), but plan TEXT still
+    doubles per round, so keep rounds bounded (≤~4; the registered
+    contract is 2). High-round callers use the literal tier, which
+    stays eager.
 
     Two assignment tiers, identical integer semantics (pinned by
     tests/test_llm_ops.py tier-parity):
@@ -482,8 +489,14 @@ def kmeans_assign(
             via the left join + coalesce."""
             src = q.crossJoin(F.broadcast(bank_df))
             best = _kmeans_best_bank(F.col("qv"), F.col("bank"))
+            # two selects, deliberately: the argmin must land in its own
+            # projection BEFORE the posexplode Generate — fused into one
+            # select, the nested-HOF argmin re-evaluates once PER
+            # EXPLODED ROW (64× the work; measured 10× on this stage —
+            # the word_shingles/bind() lesson)
+            a = src.select(best["c"].alias("cluster"), "qv")
             cells = (
-                src.select(best["c"].alias("cluster"), F.posexplode("qv").alias("d", "v"))
+                a.select("cluster", F.posexplode("qv").alias("d", "v"))
                 .groupBy("cluster", "d")
                 .agg(
                     F.sum(F.col("v") + F.lit(off)).alias("s"),
@@ -497,25 +510,34 @@ def kmeans_assign(
                     lambda e: e["cd"],
                 ).alias("cv_new")
             )
-            prev = bank_df.select(F.explode("bank").alias("e")).select(
-                F.col("e.c").alias("cluster"), F.col("e.cv").alias("cv_prev")
+            # in-row merge over the SAME broadcast the assignment used:
+            # the round's two bank consumptions (argmin + carry-forward)
+            # must both be BroadcastExchange(bank_df) so ReusedExchange
+            # dedups the child plan's execution — an explode+join merge
+            # consumed the bank through a plain scan, duplicating the
+            # whole previous-round subtree per round (2^rounds scans,
+            # measured). Empty clusters keep their previous centroid via
+            # the try_element_at-miss → coalesce.
+            upd1 = upd.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("cluster", "cv_new"))
+                ).alias("um")
             )
-            merged = prev.join(F.broadcast(upd), "cluster", "left").select(
-                "cluster",
-                F.coalesce("cv_new", "cv_prev").alias("cv"),
-            )
-            return merged.agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("cluster").alias("c"),
-                            F.col("cv").alias("cv"),
-                            F.aggregate(
-                                "cv", zero, lambda a, x: a + x * x
-                            ).alias("csq"),
-                        )
-                    )
-                ).alias("bank")
+
+            def entry(e):
+                cv = F.coalesce(
+                    F.try_element_at(F.col("um"), e["c"]), e["cv"]
+                )
+                return F.struct(
+                    e["c"].alias("c"),
+                    cv.alias("cv"),
+                    F.aggregate(cv, zero, lambda a, x: a + x * x).alias(
+                        "csq"
+                    ),
+                )
+
+            return upd1.crossJoin(F.broadcast(bank_df)).select(
+                F.transform("bank", entry).alias("bank")
             )
 
         bank_df = _centroid_bank_df(spark, cents)

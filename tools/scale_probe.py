@@ -610,6 +610,73 @@ def main() -> None:
 
     probe("scene_cuts", args.docs, scene_cuts)
 
+    # r11: lexical-diversity stats — one exploded shuffle + two-level
+    # agg; rows/s should track token_rarity (same explode volume)
+    def lexical_stats():
+        from kafka_processor_cosmos_tx_dispatch_spark.functions import text as TX2
+
+        tf = (
+            docs.select(
+                "doc_id", F.explode(TX2.tokens(F.col("text"))).alias("tok")
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        run(
+            tf.groupBy("doc_id").agg(
+                F.sum("c").alias("words"),
+                F.count(F.lit(1)).alias("distinct_toks"),
+            )
+        )
+
+    probe("lexical_stats", args.docs, lexical_stats)
+
+    # r11: per-seed labeled BFS (the closeness substrate) — state is
+    # Σ per-seed reach, frontier joins keyed on node; 3 seeds × 2 hops
+    # over the synthetic event bipartite graph
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        bfs_hops_labeled,
+    )
+
+    bfs_edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.lit(10_000_000) + F.col("event_id") % 5000).alias("dst"),
+    ).distinct()
+    bfs_seeds = spark.range(3).select(F.col("id").alias("node"))
+    probe(
+        "closeness_bfs_3seed_r2",
+        args.events,
+        lambda: run(bfs_hops_labeled(bfs_edges, bfs_seeds, rounds=2)),
+    )
+
+    # r11: temporal frame dedup — same Arrow pass as scene_cuts plus
+    # the run-id window and rollup; the delta vs scene_cuts isolates
+    # what the gaps-and-islands stage costs
+    def frame_dedup():
+        feats = frame_features(with_binary_payload(docs), frame=32)
+        wd = _W.partitionBy("doc_id").orderBy("frame_idx")
+        prev = F.lag("feat").over(wd)
+        fresh = (
+            F.when(prev.isNull() | (F.abs(F.col("feat") - prev) > 64), 1)
+            .otherwise(0)
+        )
+        runs_df = feats.select(
+            "doc_id", "frame_idx", fresh.alias("fresh")
+        ).withColumn(
+            "run_id",
+            F.sum("fresh").over(
+                wd.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            ),
+        )
+        run(
+            runs_df.groupBy("doc_id", "run_id").agg(
+                F.min("frame_idx").alias("kept_frame"),
+                F.count(F.lit(1)).alias("run_len"),
+            )
+        )
+
+    probe("frame_dedup", args.docs, frame_dedup)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
