@@ -192,6 +192,13 @@ HEADLINE = [
     "streaming_incremental_merge",
     "streaming_drift_monitor",
     "streaming_changepoint_monitor",
+    # r11 new operators (registered after the first r11 bench block)
+    "text_lexical_stats",
+    "q_arrival_gaps",
+    "multimodal_frame_dedup",
+    "multimodal_av_align",
+    "graph_closeness_bfs",
+    "pipeline_eval_holdout",
 ]
 
 
