@@ -13248,6 +13248,27 @@ def q_arrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_arrival_monitor", _ORACLE["q_arrival_gaps"])
+def streaming_arrival_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heartbeat/liveness audit maintained over the EVENT stream
+    (streaming/incremental.py:incremental_arrival_monitor) — carried
+    per-user (last_ts, count, min/max/sum gap, >1 h count) state,
+    batch-id-ledgered exactly-once, with the BRIDGE gap (carried
+    last_ts → batch's first arrival) stitching micro-batches so any
+    ordered split reproduces the batch window's gap sequence
+    (split-invariance + stale-replay pinned in tests/test_streaming.py).
+    The oracle is the batch twin q_arrival_gaps' window SQL."""
+    import tempfile
+
+    from .streaming.incremental import incremental_arrival_monitor
+
+    stream = _events_stream(spark, sf_dir)
+    return incremental_arrival_monitor(
+        stream.select("user_id", "event_id", "ts"),
+        tempfile.mkdtemp(prefix="sarr_"),
+    )
+
+
 _FRAME_DUP_TH = 64  # |Δ byte-sum| at or below this = same content (~p45)
 
 

@@ -812,6 +812,168 @@ def incremental_domain_cap(
     return spark.read.parquet(*outs)
 
 
+_GAP_OVER_TH_US = 3_600_000_000  # 1 h, matching q_arrival_gaps
+
+
+def make_arrival_monitor_batch(state_dir: str, latest: dict):
+    """foreachBatch body of incremental_arrival_monitor: per-key
+    inter-arrival gap statistics (the q_arrival_gaps heartbeat audit)
+    maintained over an event stream with carried per-user state
+    (last_ts, event count, min/max/sum gap, gap count, >1 h count).
+
+    Per batch: in-batch gaps come from one (ts, event_id)-ordered lag
+    window; the BRIDGE gap (carried last_ts → batch's first arrival per
+    user) stitches batches together so any ORDERED micro-batch split
+    reproduces the batch window's gap sequence exactly — gaps exist
+    between consecutive arrivals regardless of where the batch boundary
+    falls. The merge is a full-outer join (a user absent from the batch
+    keeps state — the domain-cap lesson); min/max fold with
+    least/greatest (null-skipping), sum/count add.
+
+    Exactly-once: state versions are batch-id-ledgered (v{bid} dirs +
+    replay skip — gap folds are associative, not idempotent).
+
+    Scale: per-batch cost is one user-keyed window over the batch plus
+    a state join bounded by |users|; state is one row per user ever
+    seen, independent of stream length."""
+    from pyspark.sql import Window as W
+
+    state_root = os.path.join(state_dir, "gaps")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(state_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch
+        spark = bdf.sparkSession
+        wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        g = bdf.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ).withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(wu))
+        over = F.sum(
+            F.when(F.col("gap_us") > _GAP_OVER_TH_US, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        part = g.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("b_events"),
+            F.min("ts_us").alias("b_first_us"),
+            F.max("ts_us").alias("b_last_us"),
+            F.min("gap_us").alias("b_min"),
+            F.max("gap_us").alias("b_max"),
+            F.sum("gap_us").alias("b_sum"),
+            F.count("gap_us").alias("b_gaps"),
+            over.alias("b_over"),
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is None:
+            merged = part.select(
+                "user_id",
+                F.col("b_last_us").alias("last_us"),
+                F.col("b_events").cast("long").alias("n_events"),
+                F.col("b_min").alias("min_gap_us"),
+                F.col("b_max").alias("max_gap_us"),
+                F.coalesce("b_sum", F.lit(0)).cast("long").alias("sum_gap_us"),
+                F.col("b_gaps").cast("long").alias("n_gaps"),
+                F.col("b_over").cast("long").alias("n_gaps_over_1h"),
+            )
+        else:
+            j = carry.join(part, "user_id", "full_outer")
+            # bridge gap: carried last arrival → this batch's first
+            bridge = F.when(
+                F.col("last_us").isNotNull() & F.col("b_first_us").isNotNull(),
+                F.col("b_first_us") - F.col("last_us"),
+            )
+            merged = j.select(
+                "user_id",
+                F.coalesce("b_last_us", "last_us").alias("last_us"),
+                (
+                    F.coalesce("n_events", F.lit(0))
+                    + F.coalesce("b_events", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_events"),
+                F.least("min_gap_us", "b_min", bridge).alias("min_gap_us"),
+                F.greatest("max_gap_us", "b_max", bridge).alias("max_gap_us"),
+                (
+                    F.coalesce("sum_gap_us", F.lit(0))
+                    + F.coalesce("b_sum", F.lit(0))
+                    + F.coalesce(bridge, F.lit(0))
+                )
+                .cast("long")
+                .alias("sum_gap_us"),
+                (
+                    F.coalesce("n_gaps", F.lit(0))
+                    + F.coalesce("b_gaps", F.lit(0))
+                    + F.when(bridge.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_gaps"),
+                (
+                    F.coalesce("n_gaps_over_1h", F.lit(0))
+                    + F.coalesce("b_over", F.lit(0))
+                    + F.when(bridge > _GAP_OVER_TH_US, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_gaps_over_1h"),
+            )
+        path = os.path.join(state_root, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_arrival_monitor(stream: DataFrame, state_dir: str) -> DataFrame:
+    """Heartbeat/liveness audit maintained over an event stream — the
+    streaming twin of queries.q_arrival_gaps. Returns the final per-user
+    gap statistics (same columns/semantics as the batch window query)
+    after the bounded stream drains."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_arrival_monitor_batch(state_dir, {"bid": None, "path": None})
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_arrival_monitor: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    bid, path = _scan_state(os.path.join(state_dir, "gaps"))
+    if path is None:
+        return spark.createDataFrame(
+            [],
+            "user_id long, n_events long, min_gap_us long, max_gap_us long,"
+            " avg_gap_us long, n_gaps_over_1h long",
+        )
+    st = spark.read.parquet(path)
+    return st.filter(F.col("n_gaps") > 0).select(
+        "user_id",
+        "n_events",
+        "min_gap_us",
+        "max_gap_us",
+        F.expr("sum_gap_us DIV n_gaps").alias("avg_gap_us"),
+        "n_gaps_over_1h",
+    )
+
+
 def make_heavy_hitter_batch(state_dir: str, k: int, latest: dict):
     """foreachBatch body of incremental_heavy_hitters: carried k-counter
     Misra–Gries sketch over a keyed stream + per-batch count deltas.

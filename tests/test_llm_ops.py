@@ -705,6 +705,31 @@ def test_bfs_labeled_per_seed_distances(spark):
     }
 
 
+def test_bfs_labeled_min_over_seeds_equals_set_bfs(spark):
+    """Identity pinning the two BFS forms against each other: the
+    min-over-seeds of the labeled distances must equal the source-SET
+    distances of plain bfs_hops on the same graph/rounds (set-BFS is
+    the union of per-seed BFS by definition of min-hops)."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_labeled,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(23)] + [(2, 19), (5, 11)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (7,), (14,)], "node long")
+    set_d = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, seeds, rounds=3).collect()
+    }
+    lab = {}
+    for r in bfs_hops_labeled(edges, seeds, rounds=3).collect():
+        lab[r["node"]] = min(lab.get(r["node"], 99), r["dist"])
+    assert lab == set_d
+
+
 def test_misra_gries_superset_guarantee_under_eviction(spark):
     """Force eviction (k=3 counters, 8 distinct keys per partition) and
     pin the MG contract: every key with global count > n/(k+1) survives

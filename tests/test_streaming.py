@@ -749,6 +749,87 @@ class TestIncrementalDomainCap:
         assert got == want
 
 
+class TestIncrementalArrivalMonitor:
+    def test_split_invariance_bridge_gaps_and_replay(self, spark, tmp_path):
+        """Gaps exist between consecutive arrivals regardless of batch
+        boundaries: any ORDERED split must produce the one-shot stats
+        (the bridge gap stitches the carried last_ts to the batch's
+        first arrival), a user absent from a middle batch must keep
+        state, and replays (in-run and cross-restart) must be skipped
+        — gap folds are associative, not idempotent."""
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_arrival_monitor_batch,
+        )
+        from pyspark.sql import functions as FF
+
+        # user 1: arrivals at 0s, 10s, 7210s (one >1h gap); user 2:
+        # arrivals at 5s, 65s; user 3: single arrival (no gaps → must
+        # be absent from the readout)
+        rows = [
+            (1, 100, 0), (2, 101, 5), (1, 102, 10), (2, 103, 65),
+            (3, 104, 70), (1, 105, 7210),
+        ]
+        schema = "user_id long, event_id long, sec long"
+
+        def mk(rws):
+            return spark.createDataFrame(rws, schema).select(
+                "user_id",
+                "event_id",
+                FF.timestamp_micros(FF.col("sec") * 1_000_000).alias("ts"),
+            )
+
+        def readout(workdir):
+            import glob as _g
+
+            vs = sorted(_g.glob(f"{workdir}/gaps/v*"))
+            st = spark.read.parquet(vs[-1])
+            return {
+                r["user_id"]: (
+                    r["n_events"], r["min_gap_us"], r["max_gap_us"],
+                    r["sum_gap_us"], r["n_gaps"], r["n_gaps_over_1h"],
+                )
+                for r in st.filter(FF.col("n_gaps") > 0).collect()
+            }
+
+        one = str(tmp_path / "one")
+        body = make_arrival_monitor_batch(one, {"bid": None, "path": None})
+        body(mk(rows), 0)
+        want = readout(one)
+        assert want[1] == (3, 10_000_000, 7_200_000_000,
+                           7_210_000_000, 2, 1)
+        assert want[2] == (2, 60_000_000, 60_000_000, 60_000_000, 1, 0)
+        assert 3 not in want
+
+        # ordered split: batch 1 has NO user-2 rows (state must carry),
+        # the 7200s gap straddles batches 1→2 (bridge), bid=1 replayed
+        split = str(tmp_path / "split")
+        body2 = make_arrival_monitor_batch(split, {"bid": None, "path": None})
+        body2(mk(rows[:3]), 0)
+        body2(mk([rows[3], rows[4]]), 1)
+        body2(mk([rows[3], rows[4]]), 1)  # in-run replay: skipped
+        body2(mk([rows[5]]), 2)
+        assert readout(split) == want
+        # cross-restart stale replay: fresh body re-scans the ledger
+        restarted = make_arrival_monitor_batch(
+            split, {"bid": None, "path": None}
+        )
+        restarted(mk(rows[:3]), 0)
+        assert readout(split) == want
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            q_arrival_gaps,
+            streaming_arrival_monitor,
+        )
+
+        want = {tuple(r) for r in q_arrival_gaps(spark, sf_dir).collect()}
+        got = {
+            tuple(r)
+            for r in streaming_arrival_monitor(spark, sf_dir).collect()
+        }
+        assert got == want
+
+
 class TestIncrementalHeavyHitters:
     def test_carried_sketch_survives_eviction_and_recount_is_exact(
         self, spark, tmp_path
