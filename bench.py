@@ -199,6 +199,8 @@ HEADLINE = [
     "multimodal_av_align",
     "graph_closeness_bfs",
     "pipeline_eval_holdout",
+    "streaming_arrival_monitor",
+    "sim_pca_top2",
 ]
 
 

@@ -1008,8 +1008,23 @@ def power_iteration_top_component(
     scale ⇒ per-row dot ≤ dims·scale·1024, per-cell product ≤ 1024× that
     — Σ over rows stays under 2⁶³ through ~10¹⁰ rows at dims=64;
     larger corpora lower `scale`."""
-    zero = F.lit(0).cast("long")
     q = df.select(V.quantized(F.col(vec_col)).alias("qv"))
+    final = _pi_rounds(q, rounds, scale)
+    m = final.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    return final.crossJoin(F.broadcast(m)).select(
+        "d",
+        F.expr(
+            f"CASE WHEN s < 0 THEN -1 ELSE 1 END"
+            f" * (abs(s) * {scale} DIV m)"
+        ).alias("component"),
+    )
+
+
+def _pi_rounds(q: DataFrame, rounds: int, scale: int) -> DataFrame:
+    """(d, s) rows of Σ_rows x·(xᵀv) after `rounds` gram-iterations over
+    `q(qv)` starting from the ones vector, with the model state carried
+    in-plan as 1-row broadcasts (see power_iteration_top_component)."""
+    zero = F.lit(0).cast("long")
 
     def normalized(s_by_d: DataFrame) -> DataFrame:
         """(d, s) rows → 1-row (vl: array<long>) quantized direction."""
@@ -1049,15 +1064,84 @@ def power_iteration_top_component(
     vrow = None
     for _ in range(rounds - 1):
         vrow = normalized(one_round(vrow))
-    final = one_round(vrow)
-    m = final.agg(F.max(F.abs(F.col("s"))).alias("m"))
-    return final.crossJoin(F.broadcast(m)).select(
-        "d",
-        F.expr(
-            f"CASE WHEN s < 0 THEN -1 ELSE 1 END"
-            f" * (abs(s) * {scale} DIV m)"
-        ).alias("component"),
+    return one_round(vrow)
+
+
+def pca_top2_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    rounds: int = 2,
+    scale: int = 1024,
+) -> DataFrame:
+    """Top TWO principal directions by power iteration + Hotelling
+    deflation: v1 from `rounds` gram-iterations, then every row is
+    deflated in-row — x' = x·|v1|² − (x·v1)·v1, the exact-integer form
+    of removing x's v1-projection (scaled by |v1|², which leaves the
+    direction of every other eigenvector unchanged) — downscaled by a
+    sign-split 2²⁷ floor-toward-zero division back into the |x| ≤ 2¹⁰
+    envelope, and v2 is the power iteration of the deflated corpus.
+    Returns (d, component1, component2), both quantized to ±scale.
+
+    Fully LAZY like its single-component parent: v1 re-enters the plan
+    as a 1-row broadcast (collect_list over 64 rows), the deflation is
+    a row-local zip_with with |v1|² and x·v1 LET-BOUND (unbound, the
+    nested HOF would re-evaluate both per element — the bind() lesson),
+    and no driver round-trips anywhere.
+
+    int64 bounds: |x·|v1|²| ≤ 2¹⁰·2²⁶ = 2³⁶ and |(x·v1)·v1_d| ≤
+    2²⁶·2¹⁰ = 2³⁶ ⇒ |x'| ≤ 2³⁷ before the 2²⁷ downscale; the deflated
+    corpus then satisfies the same per-round bounds as the parent. The
+    division is spelled sign-split (−((−y) DIV 2²⁷) for y < 0) so
+    Spark's truncation and DuckDB's floor agree on negatives."""
+    from ..functions import exprs as EX
+
+    q = df.select(V.quantized(F.col(vec_col)).alias("qv"))
+    zero = F.lit(0).cast("long")
+
+    def quantize(final: DataFrame, name: str) -> DataFrame:
+        m = final.agg(F.max(F.abs(F.col("s"))).alias("m"))
+        return final.crossJoin(F.broadcast(m)).select(
+            "d",
+            F.expr(
+                f"CASE WHEN s < 0 THEN -1 ELSE 1 END"
+                f" * (abs(s) * {scale} DIV m)"
+            ).alias(name),
+        )
+
+    c1 = quantize(_pi_rounds(q, rounds, scale), "component1")
+    v1row = c1.agg(
+        F.array_sort(F.collect_list(F.struct("d", "component1"))).alias("dv")
+    ).select(F.transform("dv", lambda e: e["component1"]).alias("vl"))
+
+    def deflate(qv, vl):
+        def with_s(ssq):
+            def with_xv(xv):
+                raw = F.zip_with(qv, vl, lambda x, v: x * ssq - xv * v)
+                # sign-split floor-toward-zero by 2^27: arithmetic
+                # shift on the absolute value (exact for powers of
+                # two), negated back — matches the oracle's
+                # -((-y) // 2^27) / y // 2^27 spelling
+                return F.transform(
+                    raw,
+                    lambda y: F.when(
+                        y < 0, -F.shiftright(-y, 27)
+                    ).otherwise(F.shiftright(y, 27)),
+                )
+
+            return EX.bind(
+                F.aggregate(F.zip_with(qv, vl, lambda x, v: x * v), zero, lambda a, x: a + x),
+                with_xv,
+            )
+
+        return EX.bind(
+            F.aggregate(vl, zero, lambda a, v: a + v * v), with_s
+        )
+
+    q2 = q.crossJoin(F.broadcast(v1row)).select(
+        deflate(F.col("qv"), F.col("vl")).alias("qv")
     )
+    c2 = quantize(_pi_rounds(q2, rounds, scale), "component2")
+    return c1.join(c2, "d").select("d", "component1", "component2")
 
 
 def embedding_near_dup_pairs(

@@ -13269,6 +13269,87 @@ def streaming_arrival_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_pca_top2",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    r1 AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS rd FROM q),
+    s1 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r1 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m1 AS (SELECT MAX(abs(s)) AS m FROM s1),
+    v1 AS (SELECT list(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                       * (abs(s) * 1024 // m) ORDER BY d) AS vl
+           FROM s1 CROSS JOIN m1),
+    r2 AS (SELECT qv, CAST(list_dot_product(qv, vl) AS BIGINT) AS rd
+           FROM q CROSS JOIN v1),
+    s2 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r2 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m2 AS (SELECT MAX(abs(s)) AS m FROM s2),
+    c1 AS (SELECT CAST(d AS INTEGER) AS d,
+                  CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                       * (abs(s) * 1024 // m) AS BIGINT) AS component1
+           FROM s2 CROSS JOIN m2),
+    w1 AS (SELECT list(component1 ORDER BY d) AS wl FROM c1),
+    ss AS (SELECT wl, CAST(list_dot_product(wl, wl) AS BIGINT) AS ssq
+           FROM w1),
+    defl AS (
+      SELECT list_transform(generate_series(1, len(qv)),
+               i -> CASE WHEN qv[i] * ssq - xv * wl[i] < 0
+                         THEN -((-(qv[i] * ssq - xv * wl[i])) // 134217728)
+                         ELSE (qv[i] * ssq - xv * wl[i]) // 134217728
+                    END) AS qv
+      FROM (SELECT qv, wl, ssq,
+                   CAST(list_dot_product(qv, wl) AS BIGINT) AS xv
+            FROM q CROSS JOIN ss)),
+    r3 AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS rd FROM defl),
+    s3 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r3 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m3 AS (SELECT MAX(abs(s)) AS m FROM s3),
+    v3 AS (SELECT list(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                       * (abs(s) * 1024 // m) ORDER BY d) AS vl
+           FROM s3 CROSS JOIN m3),
+    r4 AS (SELECT qv, CAST(list_dot_product(qv, vl) AS BIGINT) AS rd
+           FROM defl CROSS JOIN v3),
+    s4 AS (SELECT d, CAST(SUM(qv[d + 1] * rd) AS BIGINT) AS s
+           FROM r4 CROSS JOIN unnest(generate_series(0, 63)) AS t(d)
+           GROUP BY d),
+    m4 AS (SELECT MAX(abs(s)) AS m FROM s4),
+    c2 AS (SELECT CAST(d AS INTEGER) AS d,
+                  CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                       * (abs(s) * 1024 // m) AS BIGINT) AS component2
+           FROM s4 CROSS JOIN m4)
+    SELECT c1.d, component1, component2 FROM c1 JOIN c2 ON c1.d = c2.d
+    """,
+)
+def sim_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal directions by power iteration + Hotelling
+    deflation (operators/similarity.py:pca_top2_components) — the
+    2-component PCA under embedding-drift dashboards and whitening
+    preludes: v1 from the gram iteration, every row deflated IN-ROW
+    (x·|v1|² − (x·v1)·v1, the scaled projection-removal that keeps all
+    other eigendirections), sign-split 2²⁷ downscale back into the
+    input envelope, v2 = power iteration of the deflated corpus.
+    Exact int64 end-to-end and fully lazy — v1 re-enters the plan as a
+    1-row broadcast, |v1|² and x·v1 are let-bound in the deflation
+    zip_with (unbound they re-evaluate per element), and the oracle
+    unrolls the identical arithmetic; pinned against a pure-Python
+    integer reference in tests/test_llm_ops.py.
+
+    Scale: two power iterations = four linear passes + dims-cell aggs;
+    the deflation is one narrow map. Nothing quadratic, nothing
+    collected."""
+    from .operators.similarity import pca_top2_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top2_components(emb, rounds=2)
+
+
 _FRAME_DUP_TH = 64  # |Δ byte-sum| at or below this = same content (~p45)
 
 

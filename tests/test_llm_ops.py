@@ -705,6 +705,61 @@ def test_bfs_labeled_per_seed_distances(spark):
     }
 
 
+def test_pca_top2_matches_integer_reference_and_is_orthogonal(spark, sf_dir):
+    """pca_top2_components vs a pure-Python integer re-implementation of
+    the same algorithm (bit-exact), plus the semantic claim: the two
+    quantized directions must be near-orthogonal (|cos| < 0.15 — the
+    deflation's whole point) and component1 must equal the registered
+    single-component power iteration."""
+    import math
+
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["d"]: (r["component1"], r["component2"])
+        for r in similarity.pca_top2_components(emb, rounds=2).collect()
+    }
+    X = [
+        [int(math.floor(x * 1024.0)) for x in r["embedding"]]
+        for r in emb.collect()
+    ]
+
+    def pi(rows, rounds=2, scale=1024):
+        dims = len(rows[0])
+        v = [1] * dims
+        for _ in range(rounds):
+            s = [0] * dims
+            for x in rows:
+                xv = sum(a * b for a, b in zip(x, v))
+                for d in range(dims):
+                    s[d] += x[d] * xv
+            m = max(abs(t) for t in s)
+            v = [(-1 if t < 0 else 1) * (abs(t) * scale // m) for t in s]
+        return v
+
+    v1 = pi(X)
+    ssq = sum(t * t for t in v1)
+    X2 = []
+    for x in X:
+        xv = sum(a * b for a, b in zip(x, v1))
+        raw = [x[d] * ssq - xv * v1[d] for d in range(len(x))]
+        X2.append([-((-y) >> 27) if y < 0 else y >> 27 for y in raw])
+    v2 = pi(X2)
+    assert got == {d: (v1[d], v2[d]) for d in range(len(v1))}
+    dot = sum(a * b for a, b in zip(v1, v2))
+    n1 = math.sqrt(sum(a * a for a in v1))
+    n2 = math.sqrt(sum(b * b for b in v2))
+    assert abs(dot / (n1 * n2)) < 0.15
+    c1_reg = {
+        r["d"]: r["component"]
+        for r in similarity.power_iteration_top_component(
+            emb, rounds=2
+        ).collect()
+    }
+    assert c1_reg == {d: v1[d] for d in range(len(v1))}
+
+
 def test_bfs_labeled_min_over_seeds_equals_set_bfs(spark):
     """Identity pinning the two BFS forms against each other: the
     min-over-seeds of the labeled distances must equal the source-SET

@@ -84,6 +84,7 @@ BNLJ_OK = {
     "q_subquery_scalar",
     "q_histogram_equiheight",  # 1-row cut-point table
     "sim_power_iteration",  # 1-row model-state broadcasts between rounds
+    "sim_pca_top2",  # same 1-row model-state broadcasts (v1 + deflation)
     "text_vocab_coverage",  # bounded vocab, joined non-equi-free
     "q_data_profile",
     "text_pack_sequences",  # offset table
