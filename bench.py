@@ -201,6 +201,7 @@ HEADLINE = [
     "pipeline_eval_holdout",
     "streaming_arrival_monitor",
     "sim_pca_top2",
+    "graph_degree_histogram",
 ]
 
 

@@ -13658,6 +13658,56 @@ def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_degree_histogram",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src)
+    SELECT CAST(length(printf('%b', d)) - 1 AS INTEGER) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS total_edges
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the purchase graph in log₂ buckets —
+    the power-law / hub-skew sanity check that precedes every other
+    graph pass (a heavy tail here is what the degree caps in triangles
+    / Jaccard and the salting in skewed joins exist for; crawl-graph
+    curation reads this chart before trusting PageRank). floor(log₂ d)
+    is computed EXACTLY on both engines as binary-string length − 1
+    (Spark `bin()`, DuckDB `printf('%%b')`) — float log2 of an exact
+    power can land on x.9999… and bucket one off.
+
+    Scale: degree agg (map-side combined) + a bounded ~64-bucket agg —
+    two shuffles, the second tiny; nothing touches the edge payload."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        (F.length(F.bin(F.col("d"))) - 1).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("total_edges"),
+    )
+
+
 _HOLDOUT_BUDGET = 1500  # tokens per lang in the packed eval shard
 
 
