@@ -17,10 +17,17 @@ the same pure-Python wire reader used for transactions
 (functions/protowire.py) — no `protobuf` package dependency. Field and
 type numbers below are from the public descriptor.proto.
 
+Well-known types: `google.protobuf.Timestamp` and `Duration` fields
+render as JsonFormat's string forms (RFC3339 "Z" / "Ns" with 0/3/6/9
+fractional digits) — the feegrant allowance types carry both. The other
+wrapper specials (Struct/Value/wrappers.proto) remain absent from the tx
+schema; a hypothetical occurrence would render as a plain object, and
+Timestamp/Duration wrapped DIRECTLY in an Any (never seen in Cosmos
+traffic — they appear as fields) also take the object form.
+
 Not implemented (absent from the tx schema): groups, proto2 extensions,
-map fields, and the special JSON forms of the well-known wrapper types
-(Timestamp/Duration/Struct/...); encountering one raises DecodeError,
-which the decode stage converts to error-topic routing.
+map fields; encountering one raises DecodeError, which the decode stage
+converts to error-topic routing.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ from __future__ import annotations
 import base64
 import os
 import struct
+from datetime import datetime, timedelta
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -84,6 +92,8 @@ _PACKED_FIXED64 = {_T_FIXED64, _T_SFIXED64, _T_DOUBLE}
 _PACKED_FIXED32 = {_T_FIXED32, _T_SFIXED32, _T_FLOAT}
 
 _ANY_FQN = "google.protobuf.Any"
+_TIMESTAMP_FQN = "google.protobuf.Timestamp"
+_DURATION_FQN = "google.protobuf.Duration"
 
 
 @dataclass(frozen=True)
@@ -117,6 +127,73 @@ def _camel(name: str) -> str:
 
 def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# -- well-known Timestamp/Duration string forms (JsonFormat parity) ----------
+
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _wkt_parts(v) -> tuple[int, int]:
+    """(seconds, nanos) of a wire-encoded Timestamp/Duration message —
+    both are {int64 seconds=1; int32 nanos=2}. Singular numerics:
+    last occurrence wins; negative int32 arrives sign-extended to 64
+    bits (standard varint encoding), so _signed64 recovers both."""
+    if not isinstance(v, bytes):
+        raise DecodeError("expected length-delimited message")
+    secs = nanos = 0
+    for no, occ in _g(v).items():
+        raw = occ[-1]
+        if no == 1:
+            if not isinstance(raw, int):
+                raise DecodeError("expected varint seconds")
+            secs = _signed64(raw)
+        elif no == 2:
+            if not isinstance(raw, int):
+                raise DecodeError("expected varint nanos")
+            nanos = _signed64(raw)
+    return secs, nanos
+
+
+def _frac(n: int) -> str:
+    """JsonFormat fractional seconds: none / 3 / 6 / 9 digits."""
+    if n == 0:
+        return ""
+    if n % 1_000_000 == 0:
+        return f".{n // 1_000_000:03d}"
+    if n % 1_000 == 0:
+        return f".{n // 1_000:06d}"
+    return f".{n:09d}"
+
+
+def _render_timestamp(v) -> str:
+    """RFC3339 UTC string, the form JsonFormat prints for a Timestamp
+    field (range 0001-01-01..9999-12-31, nanos in [0, 1e9); out-of-range
+    raises — JsonFormat throws there too, which the decode stage maps to
+    error-topic routing)."""
+    secs, nanos = _wkt_parts(v)
+    if not -62_135_596_800 <= secs <= 253_402_300_799:
+        raise DecodeError("timestamp seconds out of range")
+    if not 0 <= nanos <= 999_999_999:
+        raise DecodeError("timestamp nanos out of range")
+    dt = _EPOCH + timedelta(seconds=secs)
+    return (
+        f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+        f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}{_frac(nanos)}Z"
+    )
+
+
+def _render_duration(v) -> str:
+    """JsonFormat Duration string: "<sign><seconds><.frac>s" (range
+    ±315,576,000,000s ≈ ±10,000 years; seconds and nanos must agree in
+    sign)."""
+    secs, nanos = _wkt_parts(v)
+    if abs(secs) > 315_576_000_000 or abs(nanos) > 999_999_999:
+        raise DecodeError("duration out of range")
+    if secs and nanos and (secs < 0) != (nanos < 0):
+        raise DecodeError("duration seconds/nanos sign mismatch")
+    sign = "-" if (secs < 0 or nanos < 0) else ""
+    return f"{sign}{abs(secs)}{_frac(abs(nanos))}s"
 
 
 class TypeRegistry:
@@ -240,6 +317,10 @@ class TypeRegistry:
                             raise DecodeError("expected length-delimited message")
                         return _pw._decode_any(v, _sa)
 
+                elif fd.type_name == _TIMESTAMP_FQN:
+                    conv = _render_timestamp
+                elif fd.type_name == _DURATION_FQN:
+                    conv = _render_duration
                 else:
 
                     def conv(v, _tn=fd.type_name, _sa=strict_any, _c=self._compiled):
@@ -418,6 +499,10 @@ class TypeRegistry:
                 # route through protowire so ONE unknown-type policy
                 # (opaque vs strict) governs every nesting level
                 return _pw._decode_any(v, strict_any)
+            if fd.type_name == _TIMESTAMP_FQN:
+                return _render_timestamp(v)
+            if fd.type_name == _DURATION_FQN:
+                return _render_duration(v)
             return self.decode(fd.type_name, v, strict_any)
         if t == _T_STRING:
             return _utf8(v)

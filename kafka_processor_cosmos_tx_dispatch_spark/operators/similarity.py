@@ -377,6 +377,15 @@ join-free plan (pass a large `literal_cells_max`) and for the
 tier-parity pin in tests/test_llm_ops.py."""
 
 
+KMEANS_BANK_ROUNDS_MAX = 4
+"""Hard bound on Lloyd rounds in the LAZY bank tier: each round embeds
+the previous round's plan as a subtree (runtime stays linear through the
+shared BroadcastExchange, but plan text doubles per round), so
+rounds ≫ 4 is exponential analyzer/codegen blowup. Enforced in
+kmeans_assign (ADVICE r11); high-round callers use the eager literal
+tier, whose per-round cost is flat."""
+
+
 def _centroid_bank_df(spark, cents: list[list[int]]) -> DataFrame:
     """1-row DataFrame carrying the whole centroid bank as DATA:
     bank = array<struct<c:int, cv:array<long>, csq:long>>. crossJoin +
@@ -480,6 +489,19 @@ def kmeans_assign(
     use_bank = k * dims > literal_cells_max
     spark = df.sparkSession
     zero = F.lit(0).cast("long")
+
+    if use_bank and rounds > KMEANS_BANK_ROUNDS_MAX:
+        # enforce the documented ≤~4-round bound (ADVICE r11): the lazy
+        # bank tier doubles plan TEXT per round, so an unguarded
+        # rounds=10 is exponential plan blowup, not a slow query.
+        # High-round callers opt into the eager literal tier by raising
+        # literal_cells_max above k*dims.
+        raise ValueError(
+            f"kmeans_assign: rounds={rounds} exceeds the lazy bank tier's "
+            f"bound ({KMEANS_BANK_ROUNDS_MAX}) — plan size doubles per "
+            "round. For more rounds, opt into the eager literal tier by "
+            f"passing literal_cells_max >= k*dims ({k * dims})."
+        )
 
     if use_bank:
         def next_bank(bank_df: DataFrame) -> DataFrame:

@@ -882,6 +882,7 @@ def make_arrival_monitor_batch(state_dir: str, latest: dict):
                 F.coalesce("b_sum", F.lit(0)).cast("long").alias("sum_gap_us"),
                 F.col("b_gaps").cast("long").alias("n_gaps"),
                 F.col("b_over").cast("long").alias("n_gaps_over_1h"),
+                F.lit(0).cast("long").alias("n_neg_bridges"),
             )
         else:
             j = carry.join(part, "user_id", "full_outer")
@@ -924,6 +925,16 @@ def make_arrival_monitor_batch(state_dir: str, latest: dict):
                 )
                 .cast("long")
                 .alias("n_gaps_over_1h"),
+                # ADVICE r11: the bridge assumes an ORDERED micro-batch
+                # split; a late event (batch first < carried last) would
+                # silently poison min/sum. Count violations in the fold
+                # (zero extra passes) — the drain endpoint fails loud.
+                (
+                    F.coalesce("n_neg_bridges", F.lit(0))
+                    + F.when(bridge < 0, F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_neg_bridges"),
             )
         path = os.path.join(state_root, f"v{bid}")
         merged.write.mode("overwrite").parquet(path)
@@ -964,6 +975,19 @@ def incremental_arrival_monitor(stream: DataFrame, state_dir: str) -> DataFrame:
             " avg_gap_us long, n_gaps_over_1h long",
         )
     st = spark.read.parquet(path)
+    # fail loud on out-of-order input (ADVICE r11): the batch twin
+    # q_arrival_gaps sorts within its window and is order-insensitive;
+    # this twin's bridge stitching is not — a silent divergence here
+    # would corrupt min/sum with negative gaps.
+    neg = st.agg(F.sum("n_neg_bridges")).first()[0] or 0
+    if neg:
+        raise ValueError(
+            f"incremental_arrival_monitor: {neg} negative bridge gap(s) — "
+            "the source delivered events out of order across micro-batches "
+            "(an arrival predates a user's carried last_ts); gap statistics "
+            "would be corrupted. Feed an ordered stream or use the batch "
+            "q_arrival_gaps audit."
+        )
     return st.filter(F.col("n_gaps") > 0).select(
         "user_id",
         "n_events",

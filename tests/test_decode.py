@@ -257,6 +257,135 @@ def test_nested_any_recursion():
         pass
 
 
+MSG_CREATE_VALIDATOR_URL = (
+    "type.googleapis.com/cosmos.staking.v1beta1.MsgCreateValidator"
+)
+MSG_CREATE_VESTING_URL = (
+    "type.googleapis.com/cosmos.vesting.v1beta1.MsgCreateVestingAccount"
+)
+MSG_GRANT_ALLOWANCE_URL = (
+    "type.googleapis.com/cosmos.feegrant.v1beta1.MsgGrantAllowance"
+)
+BASIC_ALLOWANCE_URL = (
+    "type.googleapis.com/cosmos.feegrant.v1beta1.BasicAllowance"
+)
+PERIODIC_ALLOWANCE_URL = (
+    "type.googleapis.com/cosmos.feegrant.v1beta1.PeriodicAllowance"
+)
+MSG_UPDATE_CLIENT_URL = "type.googleapis.com/ibc.core.client.v1.MsgUpdateClient"
+
+
+def test_any_registry_r12_families():
+    """Round-12 widening (VERDICT r11 next #4) toward
+    ProtoTypeRegistry.kt:16-31's scan-everything: vesting, feegrant,
+    staking MsgCreateValidator (nested Description + a pubkey Any — a
+    THIRD nested-Any recursion shape), ibc client updates — plus the
+    well-known Timestamp/Duration string forms that JsonFormat prints
+    for the feegrant allowance payloads."""
+    coin = _ld(1, b"uknow") + _ld(2, b"42")
+
+    # MsgCreateValidator: cross-file Description/CommissionRates
+    # (staking.proto ← tx.proto dep, the protobuf-java-valid layout)
+    # and pubkey resolving through the registered secp256k1 type
+    desc = _ld(1, b"knode") + _ld(3, b"https://k.node") + _ld(5, b"fast")
+    rates = _ld(1, b"0.100000000000000000") + _ld(2, b"0.200000000000000000")
+    pubkey = _any(PUBKEY_URL, _ld(1, b"\x02" + b"\x11" * 32))
+    cv = (
+        _ld(1, desc)
+        + _ld(2, rates)
+        + _ld(3, b"1")
+        + _ld(4, OKP4_ADDR.encode())
+        + _ld(5, VALOPER.encode())
+        + _ld(6, pubkey)
+        + _ld(7, coin)
+    )
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(MSG_CREATE_VALIDATOR_URL, cv))))
+    m = tx["body"]["messages"][0]
+    assert m == {
+        "@type": MSG_CREATE_VALIDATOR_URL,
+        "description": {
+            "moniker": "knode",
+            "website": "https://k.node",
+            "details": "fast",
+        },
+        "commission": {
+            "rate": "0.100000000000000000",
+            "maxRate": "0.200000000000000000",
+        },
+        "minSelfDelegation": "1",
+        "delegatorAddress": OKP4_ADDR,
+        "validatorAddress": VALOPER,
+        "pubkey": {
+            "@type": PUBKEY_URL,
+            "key": base64.b64encode(b"\x02" + b"\x11" * 32).decode(),
+        },
+        "value": {"denom": "uknow", "amount": "42"},
+    }
+
+    # MsgCreateVestingAccount: int64 as string, bool default omission
+    vest = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41vestee")
+        + _ld(3, coin)
+        + _varint(4 << 3)
+        + _varint(1700000000)
+        + _varint(5 << 3)
+        + _varint(1)
+    )
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(MSG_CREATE_VESTING_URL, vest))))
+    assert tx["body"]["messages"][0] == {
+        "@type": MSG_CREATE_VESTING_URL,
+        "fromAddress": OKP4_ADDR,
+        "toAddress": "okp41vestee",
+        "amount": [{"denom": "uknow", "amount": "42"}],
+        "endTime": "1700000000",
+        "delayed": True,
+    }
+
+    # MsgGrantAllowance → BasicAllowance via Any; expiration Timestamp
+    # renders as the RFC3339 string JsonFormat prints, not an object
+    ts = _varint(1 << 3) + _varint(1700000000)  # 2023-11-14T22:13:20Z
+    basic = _ld(1, coin) + _ld(2, ts)
+    grant = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41grantee")
+        + _ld(3, _any(BASIC_ALLOWANCE_URL, basic))
+    )
+    tx = protowire.decode_tx(
+        _tx_raw(_ld(1, _any(MSG_GRANT_ALLOWANCE_URL, grant)))
+    )
+    m = tx["body"]["messages"][0]
+    assert m["allowance"] == {
+        "@type": BASIC_ALLOWANCE_URL,
+        "spendLimit": [{"denom": "uknow", "amount": "42"}],
+        "expiration": "2023-11-14T22:13:20Z",
+    }
+
+    # PeriodicAllowance: Duration "Ns" form + nested BasicAllowance
+    dur = _varint(1 << 3) + _varint(3600)
+    periodic = _ld(1, basic) + _ld(2, dur) + _ld(3, coin) + _ld(5, ts)
+    grant2 = _ld(3, _any(PERIODIC_ALLOWANCE_URL, periodic))
+    tx = protowire.decode_tx(
+        _tx_raw(_ld(1, _any(MSG_GRANT_ALLOWANCE_URL, grant2)))
+    )
+    m = tx["body"]["messages"][0]["allowance"]
+    assert m["period"] == "3600s"
+    assert m["periodReset"] == "2023-11-14T22:13:20Z"
+    assert m["basic"]["expiration"] == "2023-11-14T22:13:20Z"
+
+    # ibc MsgUpdateClient: header is an Any of a NON-registered
+    # tendermint type → pinned opaque fallback at the nested level
+    header = _any(
+        "type.googleapis.com/ibc.lightclients.tendermint.v1.Header", b"\x0a\x00"
+    )
+    upd = _ld(1, b"07-tendermint-42") + _ld(2, header) + _ld(3, OKP4_ADDR.encode())
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(MSG_UPDATE_CLIENT_URL, upd))))
+    m = tx["body"]["messages"][0]
+    assert m["clientId"] == "07-tendermint-42"
+    assert m["header"]["@type"].endswith("tendermint.v1.Header")
+    assert base64.b64decode(m["header"]["value"]) == b"\x0a\x00"
+
+
 def test_signer_pubkey_renders_fully():
     """SignerInfo.public_key is an Any; with secp256k1.PubKey registered
     it renders {@type, key: base64} instead of the opaque fallback."""
@@ -310,6 +439,52 @@ def test_routing_on_ibc_field(spark):
     )
     got = sorted((r["tx_id"], r["topic"]) for r in routed.collect())
     assert got == [(1, "topic-ibc"), (2, "topic-wasm"), (3, "dlq")]
+
+
+def test_routing_on_validator_and_vesting_fields(spark):
+    """r12 widening proven through dispatch (VERDICT r11 next #4): a
+    rule predicating on MsgCreateValidator's NESTED cross-file
+    Description.moniker (staking.proto type referenced from tx.proto —
+    the declared-dep layout protobuf-java requires) and a
+    vesting-account type rule — both impossible while those families
+    rendered under the opaque-Any fallback."""
+    coin = _ld(1, b"uknow") + _ld(2, b"42")
+    desc = _ld(1, b"knode")
+    cv = (
+        _ld(1, desc)
+        + _ld(4, OKP4_ADDR.encode())
+        + _ld(5, VALOPER.encode())
+        + _ld(7, coin)
+    )
+    tx_val = _tx_raw(_ld(1, _any(MSG_CREATE_VALIDATOR_URL, cv)))
+    vest = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41vestee")
+        + _ld(3, coin)
+        + _varint(5 << 3)
+        + _varint(1)
+    )
+    tx_vest = _tx_raw(_ld(1, _any(MSG_CREATE_VESTING_URL, vest)))
+    rules = [
+        DispatchRule(
+            "validator-knode",
+            "topic-validators",
+            "$.body.messages[?(@.description.moniker == 'knode')]",
+        ),
+        DispatchRule(
+            "vesting-creates",
+            "topic-vesting",
+            f"$.body.messages[?(@.@type == '{MSG_CREATE_VESTING_URL}')]",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, tx_val), (2, tx_vest), (3, TX1)], "tx_id int, value binary"
+    )
+    routed = dsp.dispatch(
+        decode_tx_records(df), rules, json_col="tx_json", error_col="error"
+    )
+    got = sorted((r["tx_id"], r["topic"]) for r in routed.collect())
+    assert got == [(1, "topic-validators"), (2, "topic-vesting"), (3, "dlq")]
 
 
 def test_unknown_any_policy_pinned():
@@ -409,21 +584,75 @@ def test_descriptor_set_is_valid_protobuf(spark):
     files = [
         v for n, wt, v in protowire.parse_fields(data) if n == 1 and wt == 2
     ]
-    assert len(files) == 15  # r11 widening: +wasm/ibc/authz/gov/crypto/slashing
+    assert len(files) == 22  # r12 widening: +vesting/feegrant/staking-val/ibc-client/wkt
     names = []
     pkgs = []
+    # per-file structure for the dependency-closure check below:
+    # FileDescriptorProto name=1, package=2, dependency=3,
+    # message_type=4 (DescriptorProto: name=1, field=2;
+    # FieldDescriptorProto: name=1, type_name=6), enum_type=5
+    per_file: dict[str, dict] = {}
     for f in files:
+        fname, pkg, deps, type_names, declared = None, "", [], [], []
         for n, wt, v in protowire.parse_fields(f):
             if n == 1:
-                names.append(v.decode())
-            if n == 2:
-                pkgs.append(v.decode())
+                fname = v.decode()
+            elif n == 2:
+                pkg = v.decode()
+            elif n == 3:
+                deps.append(v.decode())
+            elif n in (4, 5):
+                mname = None
+                for n2, _, v2 in protowire.parse_fields(v):
+                    if n2 == 1:
+                        mname = v2.decode()
+                    elif n == 4 and n2 == 2:  # field
+                        for n3, _, v3 in protowire.parse_fields(v2):
+                            if n3 == 6:  # type_name
+                                type_names.append(v3.decode())
+                declared.append(f"{pkg}.{mname}" if pkg else mname)
+        names.append(fname)
+        pkgs.append(pkg)
+        per_file[fname] = {
+            "deps": deps,
+            "refs": type_names,
+            "declares": declared,
+        }
     assert "cosmos/tx/v1beta1/tx.proto" in names
     assert "google/protobuf/any.proto" in names
     assert "cosmos.staking.v1beta1" in pkgs
     assert "cosmwasm.wasm.v1" in pkgs
     assert "ibc.applications.transfer.v1" in pkgs
     assert "cosmos.authz.v1beta1" in pkgs
+    assert "cosmos.vesting.v1beta1" in pkgs
+    assert "cosmos.feegrant.v1beta1" in pkgs
+
+    # protobuf-java (spark-protobuf's binaryDescriptorSet path) resolves
+    # each file's type_names against its DECLARED transitive deps only —
+    # a globally-resolvable but undeclared reference throws
+    # DescriptorValidationException for the whole set and silently
+    # disables the JVM decode tier (ADVICE r11). Assert the closure.
+    def transitive(fname: str, seen: set) -> set:
+        for d in per_file[fname]["deps"]:
+            if d not in seen:
+                assert d in per_file, f"{fname} depends on missing {d}"
+                seen.add(d)
+                transitive(d, seen)
+        return seen
+
+    for fname, info in per_file.items():
+        visible: set[str] = set()
+        for dep in transitive(fname, {fname}):
+            visible.update(per_file[dep]["declares"])
+        for ref in info["refs"]:
+            assert ref.lstrip(".") in visible, (
+                f"{fname} references {ref} outside its declared "
+                f"transitive deps — protobuf-java would reject the set"
+            )
+    # protoc convention: topological order (deps precede dependents)
+    for fname, info in per_file.items():
+        for d in info["deps"]:
+            assert names.index(d) < names.index(fname)
 
     # regeneration is deterministic and matches the checked-in bytes
     sys.path.insert(

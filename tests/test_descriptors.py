@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from kafka_processor_cosmos_tx_dispatch_spark.functions import protowire
 from kafka_processor_cosmos_tx_dispatch_spark.functions.descriptors import (
+    DecodeError,
     TypeRegistry,
     default_registry,
 )
@@ -262,3 +263,66 @@ class TestVarintMask:
         ten = bytes([0xFF] * 9 + [0x7F])  # 2**70 - 1 untruncated
         out = reg.decode("test.T", _varint(1 << 3 | 0) + ten)
         assert out == {"n": "-1"}  # (2**70-1) mod 2**64 == 2**64-1 → -1
+
+
+class TestWellKnownForms:
+    """JsonFormat string forms for Timestamp/Duration fields
+    (descriptors.py:_render_timestamp/_render_duration) — fraction-digit
+    tiers (0/3/6/9), negative durations, and JsonFormat's range/sign
+    errors mapping to DecodeError (→ error-topic routing)."""
+
+    def test_timestamp_fraction_tiers(self):
+        from kafka_processor_cosmos_tx_dispatch_spark.functions.descriptors import (
+            _render_timestamp as ts,
+        )
+
+        def enc(secs, nanos=0):
+            out = b""
+            if secs:
+                out += _varint(1 << 3) + _varint(secs & (2**64 - 1))
+            if nanos:
+                out += _varint(2 << 3) + _varint(nanos)
+            return out
+
+        assert ts(enc(0)) == "1970-01-01T00:00:00Z"
+        assert ts(enc(1700000000)) == "2023-11-14T22:13:20Z"
+        assert ts(enc(1700000000, 5_000_000)) == "2023-11-14T22:13:20.005Z"
+        assert ts(enc(1700000000, 5_000)) == "2023-11-14T22:13:20.000005Z"
+        assert ts(enc(1700000000, 5)) == "2023-11-14T22:13:20.000000005Z"
+        # negative seconds (pre-epoch) and the year-1 lower bound,
+        # zero-padded to 4 digits (strftime would print "1")
+        assert ts(enc(-1)) == "1969-12-31T23:59:59Z"
+        assert ts(enc(-62_135_596_800)) == "0001-01-01T00:00:00Z"
+        assert ts(enc(253_402_300_799)) == "9999-12-31T23:59:59Z"
+        for bad in (enc(253_402_300_800), enc(-62_135_596_801)):
+            try:
+                ts(bad)
+                raise AssertionError("expected DecodeError")
+            except DecodeError:
+                pass
+
+    def test_duration_forms_and_sign(self):
+        from kafka_processor_cosmos_tx_dispatch_spark.functions.descriptors import (
+            _render_duration as dur,
+        )
+
+        def enc(secs, nanos=0):
+            out = b""
+            if secs:
+                out += _varint(1 << 3) + _varint(secs & (2**64 - 1))
+            if nanos:
+                out += _varint(2 << 3) + _varint(nanos & (2**64 - 1))
+            return out
+
+        assert dur(enc(0)) == "0s"
+        assert dur(enc(3600)) == "3600s"
+        assert dur(enc(1, 500_000_000)) == "1.500s"
+        assert dur(enc(-1, -500_000_000)) == "-1.500s"
+        assert dur(enc(0, -1)) == "-0.000000001s"
+        assert dur(enc(315_576_000_000)) == "315576000000s"
+        for bad in (enc(315_576_000_001), enc(1, -1), enc(-1, 1)):
+            try:
+                dur(bad)
+                raise AssertionError("expected DecodeError")
+            except DecodeError:
+                pass

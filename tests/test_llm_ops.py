@@ -236,6 +236,25 @@ class TestSimilarity:
         assert abs(len(plan_k64) - len(plan_k8)) < 500
         assert "Join" in plan_k64
 
+    def test_kmeans_bank_tier_rounds_bound_enforced(self, emb):
+        """ADVICE r11: the ≤4-round lazy-tier contract is enforced, not
+        docstring convention — plan text doubles per round, so rounds=10
+        through the bank tier would be exponential blowup. The literal
+        tier (explicit opt-in) accepts high rounds."""
+        import pytest
+
+        sub = emb.filter(F.col("vec_id") < 50)
+        with pytest.raises(ValueError, match="rounds=5 exceeds"):
+            similarity.kmeans_assign(sub, k=8, rounds=5)
+        # boundary round count builds fine (lazy — no execution here)
+        similarity.kmeans_assign(
+            sub, k=8, rounds=similarity.KMEANS_BANK_ROUNDS_MAX
+        )
+        # eager literal tier remains the documented high-round path
+        similarity.kmeans_assign(
+            sub, k=2, rounds=5, literal_cells_max=10**9
+        )
+
 
 class TestMultimodal:
     def test_feature_extraction_batches(self, docs):

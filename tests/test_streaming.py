@@ -816,6 +816,35 @@ class TestIncrementalArrivalMonitor:
         restarted(mk(rows[:3]), 0)
         assert readout(split) == want
 
+    def test_unordered_source_fails_loud(self, spark, tmp_path):
+        """ADVICE r11: a late event in a later micro-batch makes the
+        bridge gap negative; instead of silently poisoning min/sum the
+        fold counts it and the drain endpoint raises — batches must
+        arrive ordered (the contract the batch twin doesn't need)."""
+        import glob as _g
+
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_arrival_monitor_batch,
+        )
+        from pyspark.sql import functions as FF
+
+        schema = "user_id long, event_id long, sec long"
+
+        def mk(rws):
+            return spark.createDataFrame(rws, schema).select(
+                "user_id",
+                "event_id",
+                FF.timestamp_micros(FF.col("sec") * 1_000_000).alias("ts"),
+            )
+
+        wd = str(tmp_path / "late")
+        body = make_arrival_monitor_batch(wd, {"bid": None, "path": None})
+        body(mk([(1, 100, 50), (1, 101, 60)]), 0)
+        body(mk([(1, 102, 10)]), 1)  # predates carried last_ts=60
+        vs = sorted(_g.glob(f"{wd}/gaps/v*"))
+        st = spark.read.parquet(vs[-1])
+        assert st.agg(FF.sum("n_neg_bridges")).first()[0] == 1
+
     def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
         from kafka_processor_cosmos_tx_dispatch_spark.queries import (
             q_arrival_gaps,

@@ -51,6 +51,7 @@ def s(field_no: int, text: str) -> bytes:
 OPT, REP = 1, 3
 # types
 T_UINT64, T_STRING, T_MESSAGE, T_BYTES, T_ENUM = 4, 9, 11, 12, 14
+T_INT64, T_INT32, T_BOOL = 3, 5, 8
 
 
 def field(
@@ -123,6 +124,32 @@ FILES = [
                 "Any",
                 field("type_url", 1, T_STRING),
                 field("value", 2, T_BYTES),
+            )
+        ],
+    ),
+    file_proto(
+        # well-known types: JsonFormat renders these as RFC3339 / "Ns"
+        # strings, not objects (descriptors.py:_render_timestamp/_duration)
+        "google/protobuf/timestamp.proto",
+        "google.protobuf",
+        [],
+        [
+            message(
+                "Timestamp",
+                field("seconds", 1, T_INT64),
+                field("nanos", 2, T_INT32),
+            )
+        ],
+    ),
+    file_proto(
+        "google/protobuf/duration.proto",
+        "google.protobuf",
+        [],
+        [
+            message(
+                "Duration",
+                field("seconds", 1, T_INT64),
+                field("nanos", 2, T_INT32),
             )
         ],
     ),
@@ -217,10 +244,76 @@ FILES = [
         ],
     ),
     file_proto(
+        # upstream layout: Description/CommissionRates live in
+        # staking.proto; tx.proto declares them as cross-file deps —
+        # protobuf-java builds each file against DECLARED deps only, so
+        # the split must match (ADVICE r11 gov.proto lesson)
+        "cosmos/staking/v1beta1/staking.proto",
+        "cosmos.staking.v1beta1",
+        [],
+        [
+            message(
+                "Description",
+                field("moniker", 1, T_STRING),
+                field("identity", 2, T_STRING),
+                field("website", 3, T_STRING),
+                field("security_contact", 4, T_STRING),
+                field("details", 5, T_STRING),
+            ),
+            message(
+                "CommissionRates",
+                field("rate", 1, T_STRING),
+                field("max_rate", 2, T_STRING),
+                field("max_change_rate", 3, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
         "cosmos/staking/v1beta1/tx.proto",
         "cosmos.staking.v1beta1",
-        ["cosmos/base/v1beta1/coin.proto"],
         [
+            "google/protobuf/any.proto",
+            "cosmos/base/v1beta1/coin.proto",
+            "cosmos/staking/v1beta1/staking.proto",
+        ],
+        [
+            # pubkey is an Any (ed25519/secp256k1 PubKey) — the second
+            # nested-Any recursion shape after authz MsgExec
+            message(
+                "MsgCreateValidator",
+                field(
+                    "description",
+                    1,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.staking.v1beta1.Description",
+                ),
+                field(
+                    "commission",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.staking.v1beta1.CommissionRates",
+                ),
+                field("min_self_delegation", 3, T_STRING),
+                field("delegator_address", 4, T_STRING),
+                field("validator_address", 5, T_STRING),
+                field("pubkey", 6, T_MESSAGE, OPT, ANY),
+                field("value", 7, T_MESSAGE, OPT, COIN),
+            ),
+            message(
+                "MsgEditValidator",
+                field(
+                    "description",
+                    1,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.staking.v1beta1.Description",
+                ),
+                field("validator_address", 2, T_STRING),
+                field("commission_rate", 3, T_STRING),
+                field("min_self_delegation", 4, T_STRING),
+            ),
             message(
                 "MsgDelegate",
                 field("delegator_address", 1, T_STRING),
@@ -243,10 +336,69 @@ FILES = [
         ],
     ),
     file_proto(
+        # upstream layout: VoteOption and the proposal/content types live
+        # in gov.proto; tx.proto DEPENDS on it (ADVICE r11: protobuf-java
+        # resolves type_names against declared deps only — an enum
+        # declared in tx.proto but referenced from gov.proto would fail
+        # DescriptorValidationException under spark-protobuf)
+        "cosmos/gov/v1beta1/gov.proto",
+        "cosmos.gov.v1beta1",
+        ["google/protobuf/any.proto", "cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "TextProposal",
+                field("title", 1, T_STRING),
+                field("description", 2, T_STRING),
+            ),
+            message(
+                "WeightedVoteOption",
+                field(
+                    "option", 1, T_ENUM, OPT, ".cosmos.gov.v1beta1.VoteOption"
+                ),
+                field("weight", 2, T_STRING),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "VoteOption",
+                [
+                    ("VOTE_OPTION_UNSPECIFIED", 0),
+                    ("VOTE_OPTION_YES", 1),
+                    ("VOTE_OPTION_ABSTAIN", 2),
+                    ("VOTE_OPTION_NO", 3),
+                    ("VOTE_OPTION_NO_WITH_VETO", 4),
+                ],
+            )
+        ],
+    ),
+    file_proto(
         "cosmos/gov/v1beta1/tx.proto",
         "cosmos.gov.v1beta1",
-        ["cosmos/base/v1beta1/coin.proto"],
         [
+            "google/protobuf/any.proto",
+            "cosmos/base/v1beta1/coin.proto",
+            "cosmos/gov/v1beta1/gov.proto",
+        ],
+        [
+            # content is Any (TextProposal & friends) — nested-Any shape
+            message(
+                "MsgSubmitProposal",
+                field("content", 1, T_MESSAGE, OPT, ANY),
+                field("initial_deposit", 2, T_MESSAGE, REP, COIN),
+                field("proposer", 3, T_STRING),
+            ),
+            message(
+                "MsgVoteWeighted",
+                field("proposal_id", 1, T_UINT64),
+                field("voter", 2, T_STRING),
+                field(
+                    "options",
+                    3,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.gov.v1beta1.WeightedVoteOption",
+                ),
+            ),
             message(
                 "MsgVote",
                 field("proposal_id", 1, T_UINT64),
@@ -261,18 +413,6 @@ FILES = [
                 field("depositor", 2, T_STRING),
                 field("amount", 3, T_MESSAGE, REP, COIN),
             ),
-        ],
-        enums=[
-            enum_type(
-                "VoteOption",
-                [
-                    ("VOTE_OPTION_UNSPECIFIED", 0),
-                    ("VOTE_OPTION_YES", 1),
-                    ("VOTE_OPTION_ABSTAIN", 2),
-                    ("VOTE_OPTION_NO", 3),
-                    ("VOTE_OPTION_NO_WITH_VETO", 4),
-                ],
-            )
         ],
     ),
     file_proto(
@@ -435,44 +575,6 @@ FILES = [
         ],
     ),
     file_proto(
-        "cosmos/gov/v1beta1/gov.proto",
-        "cosmos.gov.v1beta1",
-        ["google/protobuf/any.proto", "cosmos/base/v1beta1/coin.proto"],
-        [
-            message(
-                "TextProposal",
-                field("title", 1, T_STRING),
-                field("description", 2, T_STRING),
-            ),
-            message(
-                "WeightedVoteOption",
-                field(
-                    "option", 1, T_ENUM, OPT, ".cosmos.gov.v1beta1.VoteOption"
-                ),
-                field("weight", 2, T_STRING),
-            ),
-            # content is Any (TextProposal & friends) — second nested-Any
-            message(
-                "MsgSubmitProposal",
-                field("content", 1, T_MESSAGE, OPT, ANY),
-                field("initial_deposit", 2, T_MESSAGE, REP, COIN),
-                field("proposer", 3, T_STRING),
-            ),
-            message(
-                "MsgVoteWeighted",
-                field("proposal_id", 1, T_UINT64),
-                field("voter", 2, T_STRING),
-                field(
-                    "options",
-                    3,
-                    T_MESSAGE,
-                    REP,
-                    ".cosmos.gov.v1beta1.WeightedVoteOption",
-                ),
-            ),
-        ],
-    ),
-    file_proto(
         "cosmos/crypto/secp256k1/keys.proto",
         "cosmos.crypto.secp256k1",
         [],
@@ -485,6 +587,109 @@ FILES = [
         "cosmos.slashing.v1beta1",
         [],
         [message("MsgUnjail", field("validator_addr", 1, T_STRING))],
+    ),
+    file_proto(
+        "cosmos/vesting/v1beta1/tx.proto",
+        "cosmos.vesting.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "MsgCreateVestingAccount",
+                field("from_address", 1, T_STRING),
+                field("to_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, REP, COIN),
+                field("end_time", 4, T_INT64),
+                field("delayed", 5, T_BOOL),
+            )
+        ],
+    ),
+    file_proto(
+        # allowance payloads referenced by MsgGrantAllowance's Any field;
+        # expiration/period exercise the well-known Timestamp/Duration
+        # JSON string forms
+        "cosmos/feegrant/v1beta1/feegrant.proto",
+        "cosmos.feegrant.v1beta1",
+        [
+            "google/protobuf/timestamp.proto",
+            "google/protobuf/duration.proto",
+            "cosmos/base/v1beta1/coin.proto",
+        ],
+        [
+            message(
+                "BasicAllowance",
+                field("spend_limit", 1, T_MESSAGE, REP, COIN),
+                field(
+                    "expiration",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".google.protobuf.Timestamp",
+                ),
+            ),
+            message(
+                "PeriodicAllowance",
+                field(
+                    "basic",
+                    1,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.feegrant.v1beta1.BasicAllowance",
+                ),
+                field(
+                    "period", 2, T_MESSAGE, OPT, ".google.protobuf.Duration"
+                ),
+                field("period_spend_limit", 3, T_MESSAGE, REP, COIN),
+                field("period_can_spend", 4, T_MESSAGE, REP, COIN),
+                field(
+                    "period_reset",
+                    5,
+                    T_MESSAGE,
+                    OPT,
+                    ".google.protobuf.Timestamp",
+                ),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/feegrant/v1beta1/tx.proto",
+        "cosmos.feegrant.v1beta1",
+        ["google/protobuf/any.proto"],
+        [
+            # allowance is Any (BasicAllowance/PeriodicAllowance) —
+            # third nested-Any shape
+            message(
+                "MsgGrantAllowance",
+                field("granter", 1, T_STRING),
+                field("grantee", 2, T_STRING),
+                field("allowance", 3, T_MESSAGE, OPT, ANY),
+            ),
+            message(
+                "MsgRevokeAllowance",
+                field("granter", 1, T_STRING),
+                field("grantee", 2, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        # ibc-go v1 naming (header, not client_message) — matches the
+        # SDK generation the reference's classpath would carry
+        "ibc/core/client/v1/tx.proto",
+        "ibc.core.client.v1",
+        ["google/protobuf/any.proto"],
+        [
+            message(
+                "MsgCreateClient",
+                field("client_state", 1, T_MESSAGE, OPT, ANY),
+                field("consensus_state", 2, T_MESSAGE, OPT, ANY),
+                field("signer", 3, T_STRING),
+            ),
+            message(
+                "MsgUpdateClient",
+                field("client_id", 1, T_STRING),
+                field("header", 2, T_MESSAGE, OPT, ANY),
+                field("signer", 3, T_STRING),
+            ),
+        ],
     ),
 ]
 
