@@ -1,0 +1,86 @@
+"""A/B bench harness for bisecting cross-round per-query regressions
+(VERDICT r11 next #1): run a fixed query subset against ONE code tree in
+a fresh process and print one JSON line, so a driver loop can alternate
+trees (A B A B ...) and compare distributions taken minutes — not a full
+round — apart on the same box.
+
+Usage:
+    python tools/ab_bench.py <repo_root> <q1,q2,...> [iters]
+
+Protocol (mirrors bench.py's noise discipline, PROBES.md r11 findings):
+- warmup query + discarded probe sample first (JVM C2 tiering);
+- one cpu_big (~0.3 s pure-compute) probe sample before AND after the
+  query block — the only probe whose spread gates attribution on this
+  box; the IO scan probe is box-inherent noise and is skipped here;
+- min-of-N and median per query, noop sink (full plan, no collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    repo_root = os.path.abspath(sys.argv[1])
+    names = sys.argv[2].split(",")
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    sys.path.insert(0, repo_root)
+
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+    from kafka_processor_cosmos_tx_dispatch_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="ab_bench")
+    registry = q.queries()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def probe() -> float:
+        big = spark.range(1_500_000_000).agg(
+            F.sum(F.col("id") * 3 % 7), F.count(F.lit(1))
+        )
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(big)
+            dt = min(dt, time.perf_counter() - t0)
+        return round(dt, 4)
+
+    # warmup: JVM, parquet footers, probe plan codegen (discarded)
+    run(registry["q1_pricing_summary"](spark, sf_dir))
+    probe()
+
+    cal_before = probe()
+    out: dict[str, dict] = {}
+    for name in names:
+        samples = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run(registry[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        out[name] = {
+            "min": round(samples[0], 3),
+            "median": round(samples[len(samples) // 2], 3),
+        }
+    cal_after = probe()
+
+    print(
+        json.dumps(
+            {
+                "repo": repo_root,
+                "iters": iters,
+                "cal_cpu_big": [cal_before, cal_after],
+                "queries": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
