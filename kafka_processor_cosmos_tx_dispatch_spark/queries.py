@@ -13830,6 +13830,88 @@ def pipeline_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPIPE_CAP_BUDGET = 600  # tokens per source after dedup + quality gate
+
+
+@register(
+    "streaming_pipeline_curate",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text, source, {_D_TOKS} AS t, md5({_D_NORM}) AS fp
+      FROM documents),
+    dd AS (
+      SELECT doc_id, text, source, t FROM (
+        SELECT doc_id, text, source, t,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dr
+        FROM base) WHERE dr = 1),
+    q AS (
+      SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n,
+        (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) >= 0.6
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(text) - (len(t) - 1) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(t,
+                       x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) > 0.0
+                THEN 1 ELSE 0 END) AS quality
+      FROM dd),
+    kept AS (SELECT doc_id, source, n FROM q WHERE quality >= 3),
+    capd AS (
+      SELECT doc_id, n FROM (
+        SELECT doc_id, n,
+               SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS scum
+        FROM kept) WHERE scum <= {_SPIPE_CAP_BUDGET}),
+    c AS (SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM capd)
+    SELECT doc_id, n AS n_tokens,
+           CAST((cum - n) // 512 AS INTEGER) AS bin,
+           CAST(ROW_NUMBER() OVER (PARTITION BY (cum - n) // 512
+                                   ORDER BY doc_id) AS INTEGER) AS bin_pos
+    FROM c
+    """,
+)
+def streaming_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING curation pipeline ending (r11 verdict #5) — the
+    production shape of continuous crawl ingestion: exact dedup →
+    quality gate → per-source domain cap → sequence packing, maintained
+    over a DOCUMENT stream with every stateful stage's state carried
+    across micro-batches (streaming/incremental.py:
+    incremental_pipeline_curate — carried fingerprint set, per-source
+    token counters, and the (cum, open-bin) packing scalar,
+    batch-id-ledgered exactly-once). The six batch pipeline endings are
+    all one-shot compositions; this is the same curation chain run
+    CONTINUOUSLY, each arriving document admitted/binned once and never
+    revised. The oracle is the composed batch chain: under any ordered
+    micro-batch split the admitted, capped, packed shard is
+    row-identical (split-invariance + cross-restart replay pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_pipeline_curate
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    return incremental_pipeline_curate(
+        stream,
+        tempfile.mkdtemp(prefix="spcur_"),
+        cap_budget=_SPIPE_CAP_BUDGET,
+        pack_budget=512,
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -1277,3 +1277,274 @@ def incremental_ohlc(stream: DataFrame, state_dir: str) -> DataFrame:
         "low",
         F.col("last_k.value").alias("close"),
     )
+
+
+def make_pipeline_curate_batch(
+    work_dir: str, cap_budget: int, pack_budget: int, latest: dict
+):
+    """foreachBatch body of incremental_pipeline_curate — the FOUR-stage
+    streaming curation pipeline (the continuous-crawl-ingestion shape of
+    queries.pipeline_curate, r11 verdict #5):
+
+      exact dedup → quality gate → per-source domain cap → seq packing
+
+    with every stateful stage's state carried across micro-batches:
+
+    1. EXACT DEDUP — fingerprint (md5 of whitespace-normalized text,
+       the batch drop_exact_duplicates contract) first-arrival-wins:
+       in-batch min-doc_id per fingerprint, then an anti-join against
+       the accumulated fingerprint dirs (fps/b*, idempotent overwrite
+       per batch like the LSH keys state). Under an ordered split,
+       first arrival = global min doc_id = the batch survivor.
+    2. QUALITY GATE — row-local score >= 3 of 4 (functions/text.py),
+       stateless.
+    3. DOMAIN CAP — carried per-source token counters, admit iff the
+       source's cumulative stays within cap_budget; tokens of docs
+       dropped BY THE CAP still count (prefix semantics — the decision
+       is final at arrival), while docs dropped upstream by dedup or
+       quality never reach the counter, matching the composed batch
+       window over the deduped+kept set.
+    4. PACKING — the global prefix-sum binning of pipeline_curate with
+       a carried (cum_total, open-bin id, open-bin row count) scalar:
+       in-batch ordered prefix + carried offset reproduces the one-shot
+       bin/bin_pos for ANY ordered split (a bin straddling a batch
+       boundary continues at the carried row count).
+
+    Exactly-once: counters + pack scalars are one ledgered state table
+    (state/v{bid} + replay skip — folds are associative, not
+    idempotent); fingerprints and packed outputs are per-batch-dir
+    overwrites (idempotent by construction).
+
+    Scale: stages 1-3 cost one batch-sized window + two bounded joins
+    (fingerprint state is |distinct docs| — the same state any exact
+    dedup carries; counters are |sources|; pack state is 1 row). The
+    pack stage's in-batch window is unpartitioned — bounded by the
+    micro-batch trigger size, NOT the corpus (the batch twin uses the
+    range-bucketed pack_sequences for the same prefix sum at full
+    scale)."""
+    from pyspark.sql import Window as W
+
+    from ..functions import text as TX
+
+    fps_root = os.path.join(work_dir, "fps")
+    state_root = os.path.join(work_dir, "state")
+    out_root = os.path.join(work_dir, "packed")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(state_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch: outputs + fps already on disk
+        import glob
+
+        spark = bdf.sparkSession
+
+        # -- stage 1: exact dedup (carried fingerprint set) ---------------
+        with_fp = bdf.withColumn(
+            "__fp", TX.content_fingerprint(F.col("text"))
+        ).localCheckpoint()
+        wfp = W.partitionBy("__fp").orderBy("doc_id")
+        firsts = (
+            with_fp.withColumn("__r", F.row_number().over(wfp))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+        )
+        prior = [
+            p
+            for p in glob.glob(os.path.join(fps_root, "b*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+            and os.path.basename(p) != f"b{bid}"
+        ]
+        fresh = (
+            firsts.join(spark.read.parquet(*prior), "__fp", "left_anti")
+            if prior
+            else firsts
+        )
+        with_fp.select("__fp").distinct().write.mode("overwrite").parquet(
+            os.path.join(fps_root, f"b{bid}")
+        )
+
+        # -- stage 2: quality gate (row-local) ----------------------------
+        toks = TX.tokens(F.col("text"))
+        staged = (
+            fresh.select(
+                "doc_id",
+                "source",
+                F.size(toks).cast("long").alias("n_toks"),
+                TX.quality_score(F.col("text"), toks).alias("__q"),
+            )
+            .filter(F.col("__q") >= 3)
+            .drop("__q")
+            .localCheckpoint()
+        )
+
+        # -- stage 3: domain cap (carried per-source counters) ------------
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        caps_carry = (
+            carry.filter(F.col("kind") == "cap").select(
+                F.col("key").alias("source"),
+                F.col("toks").alias("seen_toks"),
+            )
+            if carry is not None
+            else None
+        )
+        wc = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = staged.withColumn("cum_batch", F.sum("n_toks").over(wc))
+        if caps_carry is not None:
+            cum = cum.join(F.broadcast(caps_carry), "source", "left").withColumn(
+                "cum_toks",
+                F.col("cum_batch") + F.coalesce("seen_toks", F.lit(0)),
+            )
+        else:
+            cum = cum.withColumn("cum_toks", F.col("cum_batch"))
+        admitted = cum.filter(F.col("cum_toks") <= cap_budget)
+
+        # -- stage 4: packing (carried prefix/open-bin scalars) -----------
+        pk = (
+            carry.filter(F.col("kind") == "pack").select(
+                F.col("cum").alias("cum0"),
+                F.col("bin").alias("bin0"),
+                F.col("bin_n").alias("binn0"),
+            )
+            if carry is not None
+            else spark.range(1).select(
+                F.lit(0).cast("long").alias("cum0"),
+                F.lit(-1).cast("long").alias("bin0"),
+                F.lit(0).cast("long").alias("binn0"),
+            )
+        )
+        wp = W.orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        packed = (
+            admitted.select("doc_id", F.col("n_toks").alias("n_tokens"))
+            .crossJoin(F.broadcast(pk))
+            .withColumn(
+                "cum", F.sum("n_tokens").over(wp) + F.col("cum0")
+            )
+            .withColumn(
+                "bin", F.expr(f"(cum - n_tokens) DIV {pack_budget}")
+            )
+            .withColumn(
+                "bin_pos",
+                F.row_number().over(W.partitionBy("bin").orderBy("doc_id"))
+                + F.when(
+                    F.col("bin") == F.col("bin0"), F.col("binn0")
+                ).otherwise(F.lit(0)),
+            )
+            .localCheckpoint()
+        )
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            F.col("bin").cast("int").alias("bin"),
+            F.col("bin_pos").cast("int").alias("bin_pos"),
+        ).write.mode("overwrite").parquet(os.path.join(out_root, f"b{bid}"))
+
+        # -- state fold (one ledgered table: cap counters ∪ pack row) -----
+        batch_counts = staged.groupBy("source").agg(
+            F.sum("n_toks").cast("long").alias("new_toks")
+        )
+        if caps_carry is not None:
+            # full-outer: a source absent from the batch keeps its counter
+            merged = caps_carry.join(batch_counts, "source", "full_outer").select(
+                "source",
+                (
+                    F.coalesce("seen_toks", F.lit(0))
+                    + F.coalesce("new_toks", F.lit(0))
+                )
+                .cast("long")
+                .alias("seen_toks"),
+            )
+        else:
+            merged = batch_counts.select(
+                "source", F.col("new_toks").cast("long").alias("seen_toks")
+            )
+        nul = F.lit(None).cast("long")
+        caps_state = merged.select(
+            F.lit("cap").alias("kind"),
+            F.col("source").alias("key"),
+            F.col("seen_toks").alias("toks"),
+            nul.alias("cum"),
+            nul.alias("bin"),
+            nul.alias("bin_n"),
+        )
+        # the last packed row closes the batch: its bin is the open bin,
+        # its bin_pos the open bin's row count (bin monotone in doc_id)
+        pagg = packed.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("add"),
+            F.max_by("bin", "doc_id").alias("lb"),
+            F.max_by("bin_pos", "doc_id").alias("lbn"),
+        )
+        pack_state = pagg.crossJoin(F.broadcast(pk)).select(
+            F.lit("pack").alias("kind"),
+            F.lit("").alias("key"),
+            nul.alias("toks"),
+            (F.col("cum0") + F.col("add")).cast("long").alias("cum"),
+            F.coalesce(F.col("lb"), F.col("bin0")).cast("long").alias("bin"),
+            F.coalesce(F.col("lbn"), F.col("binn0"))
+            .cast("long")
+            .alias("bin_n"),
+        )
+        path = os.path.join(state_root, f"v{bid}")
+        caps_state.unionByName(pack_state).write.mode("overwrite").parquet(
+            path
+        )
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_pipeline_curate(
+    stream: DataFrame,
+    work_dir: str,
+    cap_budget: int = 600,
+    pack_budget: int = 512,
+) -> DataFrame:
+    """The streaming curation pipeline ending — exact dedup → quality
+    gate → per-source domain cap → sequence packing maintained over a
+    DOCUMENT stream (see make_pipeline_curate_batch). Returns the
+    accumulated packed shard table (doc_id, n_tokens, bin, bin_pos)
+    after the bounded stream drains; under any ordered micro-batch
+    split it is row-identical to the composed batch pipeline."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_pipeline_curate_batch(
+                work_dir, cap_budget, pack_budget, {"bid": None, "path": None}
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_pipeline_curate: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(work_dir, "packed", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not outs:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, bin int, bin_pos int"
+        )
+    return spark.read.parquet(*outs)

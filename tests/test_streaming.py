@@ -859,6 +859,108 @@ class TestIncrementalArrivalMonitor:
         assert got == want
 
 
+class TestIncrementalPipelineCurate:
+    DOCS_SCHEMA = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # crafted corpus: token counts known by construction; every text
+    # passes the 4-check quality gate except doc 3 (digits: alpha-ratio
+    # and stopword checks fail). doc 2 duplicates doc 1 up to whitespace
+    # (normalized-fingerprint dup). src1 has 3 candidate docs whose
+    # token budget (cap 30) admits only the first two (12 + 12 = 24;
+    # the third would make 36).
+    GOOD = "the quick brown fox jumps over the lazy dog again and again"  # 12
+    DOCS = [
+        (1, GOOD, "en", "src1", 0),
+        (2, "the  quick brown fox jumps over the lazy dog  again and again", "en", "src2", 0),  # dup of 1
+        (3, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 11 22", "en", "src1", 0),  # fails quality
+        (4, GOOD.replace("fox", "cat"), "en", "src1", 0),
+        (5, GOOD.replace("fox", "owl"), "en", "src2", 0),
+        (6, GOOD.replace("fox", "hen"), "en", "src1", 0),  # src1 over cap
+        (7, GOOD.replace("fox", "bat"), "en", "src2", 0),  # src2: 12+12=24 ok? no — doc 2 was a dup, so src2 = 5,7 admitted
+        (8, GOOD.replace("fox", "elk"), "en", "src2", 0),  # src2 36 > 30 → dropped
+    ]
+    # admitted in doc_id order: 1 (src1, 12), 4 (src1, 24), 5 (src2,
+    # 12), 7 (src2, 24) — then packed with budget 20:
+    # cum: 12, 24, 36, 48; bin = (cum-12) div 20 → 0, 0, 1, 1
+    EXPECT = [(1, 12, 0, 1), (4, 12, 0, 2), (5, 12, 1, 1), (7, 12, 1, 2)]
+
+    def _run(self, spark, workdir, batches):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_pipeline_curate_batch,
+        )
+
+        body = make_pipeline_curate_batch(
+            workdir, 30, 20, {"bid": None, "path": None}
+        )
+        for bid, rows in enumerate(batches):
+            body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+        return body
+
+    def _readout(self, spark, workdir):
+        import glob as _g
+
+        outs = [
+            p
+            for p in _g.glob(f"{workdir}/packed/b*")
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        return sorted(tuple(r) for r in spark.read.parquet(*outs).collect())
+
+    def test_split_invariance_and_replay(self, spark, tmp_path):
+        """Any ORDERED micro-batch split must reproduce the one-shot
+        composed pipeline exactly: the dedup fingerprint state catches a
+        cross-batch duplicate, the cap counter carries across the
+        boundary, a PACK BIN straddling the boundary continues at the
+        carried row count, and replays (in-run and cross-restart) are
+        skipped."""
+        one = str(tmp_path / "one")
+        self._run(spark, one, [self.DOCS])
+        assert self._readout(spark, one) == self.EXPECT
+
+        # split so the dup (doc 2) arrives a batch AFTER its original,
+        # src1's cap decision straddles batches, and bin 1 straddles
+        # the 2nd/3rd boundary (doc 5 opens it, doc 7 continues it)
+        split = str(tmp_path / "split")
+        body = self._run(
+            spark,
+            split,
+            [self.DOCS[:2], self.DOCS[2:5], self.DOCS[5:]],
+        )
+        assert self._readout(spark, split) == self.EXPECT
+        # in-run replay: state ledger skips, outputs unchanged
+        body(
+            spark.createDataFrame(self.DOCS[2:5], self.DOCS_SCHEMA), 1
+        )
+        assert self._readout(spark, split) == self.EXPECT
+
+        # cross-restart stale replay: fresh body re-scans the ledger
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_pipeline_curate_batch,
+        )
+
+        restarted = make_pipeline_curate_batch(
+            split, 30, 20, {"bid": None, "path": None}
+        )
+        restarted(spark.createDataFrame(self.DOCS[:2], self.DOCS_SCHEMA), 0)
+        assert self._readout(spark, split) == self.EXPECT
+
+    def test_registered_streaming_twin_matches_oracle_shape(
+        self, spark, sf_dir
+    ):
+        """The registered query drains the sf documents stream and
+        matches its composed-batch oracle row set (the full parity is
+        the DuckDB sweep; here: non-empty, capped, and bin-contiguous)."""
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            streaming_pipeline_curate,
+        )
+
+        got = streaming_pipeline_curate(spark, sf_dir).collect()
+        assert got
+        bins = sorted({r["bin"] for r in got})
+        assert bins == list(range(len(bins)))  # contiguous bins from 0
+
+
 class TestIncrementalHeavyHitters:
     def test_carried_sketch_survives_eviction_and_recount_is_exact(
         self, spark, tmp_path
