@@ -202,6 +202,121 @@ HEADLINE = [
     "streaming_arrival_monitor",
     "sim_pca_top2",
     "graph_degree_histogram",
+    "streaming_pipeline_curate",
+    # --- r12 full-registry coverage (r11 verdict #2): every remaining
+    # registered query gains a cross-round trend row — the older scalar
+    # / window / source-roundtrip / TPC-H families and the availableNow
+    # streaming twins (run-to-completion like the streaming_* rows
+    # already above; their wall time is trigger-bound, so treat their
+    # deltas as coarser than CPU-bound queries'). Registry order.
+    "q_rollup_lineitem",
+    "q_string_agg",
+    "q_window_time_range",
+    "q_subquery_exists",
+    "q_explode_posexplode",
+    "dedup_exact_groups",
+    "sample_balanced_pairs",
+    "text_lang_id",
+    "multimodal_audio_energy",
+    "q_source_csv_roundtrip",
+    "dispatch_dlq_envelope",
+    "q_cube_orders",
+    "q_scalar_map",
+    "q_join_semi",
+    "q_window_first_last",
+    "q_subquery_scalar",
+    "q_unpivot_measures",
+    "dedup_drop_exact",
+    "streaming_dispatch_route",
+    "q_source_jsonl_roundtrip",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_subquery_in",
+    "text_quality_score",
+    "streaming_tumbling_counts",
+    "q_source_orc_roundtrip",
+    "q4_order_priority",
+    "q_percentiles",
+    "q_join_full_outer",
+    "q_recursive_cte",
+    "text_token_counts",
+    "streaming_sliding_counts",
+    "q_source_partition_prune",
+    "q_distinct_counts",
+    "q_join_range_nonequi",
+    "q_window_ntile_dist",
+    "q_subquery_lateral",
+    "streaming_session_window",
+    "q_source_schema_evolution",
+    "q7_volume_shipping",
+    "q_pivot_status",
+    "q_stats_moments",
+    "text_udtf_bigrams",
+    "streaming_windowed_topk",
+    "q10_returned_items",
+    "q_udaf_grouped_cents",
+    "q_order_limit",
+    "q_asof_join_forward",
+    "q_window_lag_lead",
+    "text_vocab_coverage",
+    "streaming_dedup_watermark",
+    "multimodal_features",
+    "q12_priority_lines",
+    "q_agg_filter_where",
+    "q_window_range_frame",
+    "sample_stratified",
+    "text_contamination",
+    "streaming_user_profiles",
+    "q14_promo_revenue",
+    "q_set_ops_all",
+    "q_join_right_outer",
+    "q_window_interval_overlap",
+    "sample_hash_split",
+    "q17_small_quantity_revenue",
+    "q_scalar_try",
+    "q_join_cross",
+    "sample_temperature_weights",
+    "streaming_static_join",
+    "q_scalar_string",
+    "sample_hard_negatives",
+    "text_duplicate_ngrams",
+    "streaming_stream_stream_join",
+    "q19_disjunctive_revenue",
+    "q_scalar_datetime",
+    "q_window_running_distinct",
+    "text_chunk_overlap",
+    "q22_idle_balances",
+    "q_join_null_safe",
+    "q_window_percent_rank",
+    "text_repetition_ratio",
+    "q_scalar_json_array",
+    "dedup_simhash",
+    "text_redact",
+    "q8_market_share",
+    "q_merge_upsert_delete",
+    "q_stats_gini_diversity",
+    "q11_important_value",
+    "q_scalar_bitwise",
+    "dedup_url_canonical",
+    "q13_customer_distribution",
+    "q_json_corrupt_capture",
+    "q15_top_supplier",
+    "q_histogram",
+    "q16_supplier_cnt",
+    "q_data_profile",
+    "text_bm25_rank",
+    "q20_potential_promotion",
+    "q_scalar_url",
+    "q_scalar_array",
+    "q_scalar_hof",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_nested_lines",
+    "q_latest_by_key",
+    "q_sketch_countmin",
+    "q_sketch_merge_hll",
+    "q_time_bucket_rollup",
+    "q_drift_chi2",
 ]
 
 
