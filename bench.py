@@ -203,6 +203,11 @@ HEADLINE = [
     "sim_pca_top2",
     "graph_degree_histogram",
     "streaming_pipeline_curate",
+    "sample_weighted_reservoir",
+    "sim_topk_hamming",
+    "graph_connected_components",
+    "text_cdc_chunks",
+    "text_rake_keywords",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

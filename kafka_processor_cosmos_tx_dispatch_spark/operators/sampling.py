@@ -104,3 +104,48 @@ def hash_split(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (bottom-k by ticket
+    priority): each row enters the race with `weight` integer tickets,
+    ticket j's priority is md5(id ':' j), the row's priority is its best
+    ticket, and the sample is the k best rows overall. This is exact
+    integer-weight A-ES/PPS sampling — P(row sampled) is proportional to
+    its ticket count in the small-k limit — with NO rand()/seed state:
+    any engine that agrees on md5 draws the identical sample, and adding
+    a row never changes another row's priority (the stability property
+    that makes the sample incrementally maintainable: bottom-k is a
+    semilattice, so a stream can carry just the current k rows as
+    state).
+
+    Scale: the priority is row-local (≤ w_max md5 evaluations inside one
+    codegen'd HOF — no explode, the ticket array never materializes in a
+    shuffle), and the global bottom-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject: per-partition top-k then a
+    k-row driver merge — no global sort, no shuffle of the corpus.
+    Weights must be small integers (tickets are materialized per row
+    in-register, so w_max ~ tens, the regime integer PPS covers);
+    rows with weight < 1 hold no ticket and never sample.
+    """
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.col(weight_col).cast("int")),
+            lambda j: F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), j.cast("string")
+                )
+            ),
+        )
+    )
+    return (
+        df.filter(F.col(weight_col) >= 1)
+        .withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -1633,3 +1633,74 @@ def kcenter_coreset(
                 reliable,
             )
     return picks
+
+
+def sign_pack_words(
+    vec_col: str = "embedding", dims: int = 64, word_bits: int = 32
+) -> list:
+    """Sign-binarize a float vector and pack the bits into 32-bit words
+    carried as BIGINTs: word w bit d = 1 iff vec[w*32 + d] >= 0. The
+    binary-embedding compression (64 floats -> 8 bytes, 32x) that makes
+    exhaustive Hamming scans feasible at billion scale. 32-bit words (not
+    63) keep every packed value far from BIGINT sign territory, so the
+    same packing is exact integer arithmetic on any SQL engine.
+
+    Row-local: each word is ONE aggregate HOF over a 32-element sequence
+    (no explode, no shuffle), staying inside whole-stage codegen.
+    """
+    return [
+        F.expr(
+            f"aggregate(sequence(0, {word_bits - 1}), CAST(0 AS BIGINT),"
+            f" (acc, d) -> acc + IF(element_at({vec_col}, {w0} + d + 1) >= 0,"
+            f" shiftleft(CAST(1 AS BIGINT), d), CAST(0 AS BIGINT)))"
+        ).alias(f"w{wi}")
+        for wi, w0 in enumerate(range(0, dims, word_bits))
+    ]
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Hamming top-k over sign-binarized bit-packed embeddings:
+    the binary-quantization ANN path (FAISS IndexBinaryFlat) — distance
+    is popcount(xor) over two packed words, ~100x cheaper per candidate
+    than float cosine and 32x smaller in memory, at the cost of sign-only
+    resolution (the standard first-stage filter before a float rerank,
+    cf. rerank_topk).
+
+    queries must be small (broadcast); the corpus side packs in-row and
+    streams — one narrow scan, a broadcast nested-loop against k rows,
+    and the per-query top-k window. Output: query_id, neighbor_id,
+    hamming, rank — deterministic (neighbor_id) tiebreak, all-integer.
+    """
+    n_words = 2  # 64 dims / 32-bit words
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            w.alias(f"q{i}")
+            for i, w in enumerate(sign_pack_words(vec_col))
+        ],
+    )
+    c = widen(corpus).select(
+        F.col(id_col).alias("neighbor_id"), *sign_pack_words(vec_col)
+    )
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    hd = None
+    for i in range(n_words):
+        term = F.bit_count(
+            F.expr(f"q{i} ^ w{i}")
+        )
+        hd = term if hd is None else hd + term
+    scored = joined.select(
+        "query_id", "neighbor_id", hd.cast("int").alias("hamming")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

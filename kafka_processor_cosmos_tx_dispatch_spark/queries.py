@@ -13912,6 +13912,388 @@ def streaming_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_D_TOKS} AS t FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+        (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) >= 0.6
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(LENGTH(text) - (len(t) - 1) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_filter(t,
+                       x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+                       / CAST(len(t) AS DOUBLE) > 0.0
+                THEN 1 ELSE 0 END) AS weight
+      FROM toks),
+    pri AS (
+      SELECT doc_id, lang, CAST(weight AS INTEGER) AS weight,
+             list_min(list_transform(range(1, weight + 1), j ->
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))))
+               AS priority
+      FROM q WHERE weight >= 1)
+    SELECT doc_id, lang, weight, priority
+    FROM pri ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (operators/sampling.py:
+    weighted_reservoir) — the one-pass PPS sampler every corpus-ablation
+    loop needs: each document races with `quality` (0-4, the Gopher
+    gate) integer tickets, ticket j's priority is md5(id ':' j), and
+    the sample is the global bottom-100 by best ticket. Integer-weight
+    A-ES with no rand()/seed state: both engines draw the identical
+    sample from md5 alone, and adding a document never re-rolls another
+    document's priority — which also makes the sample incrementally
+    maintainable (bottom-k is a semilattice; a stream carries just the
+    current 100 rows as state).
+
+    Scale: priority is a row-local HOF (≤4 md5 calls in-row, no
+    explode); the global bottom-k compiles to TakeOrderedAndProject —
+    per-partition top-k then a 100-row driver merge, no global sort."""
+    from .functions import text as TX
+    from .operators.sampling import weighted_reservoir
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    weighted = docs.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text"), toks).cast("int").alias("weight"),
+    )
+    return weighted_reservoir(weighted, "weight", k=100)
+
+
+@register(
+    "sim_topk_hamming",
+    """
+    WITH packed AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(0, 32), d ->
+          CASE WHEN embedding[CAST(d AS INT) + 1] >= 0
+               THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS w0,
+        CAST(list_sum(list_transform(range(0, 32), d ->
+          CASE WHEN embedding[CAST(d AS INT) + 33] >= 0
+               THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS w1
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+                  AS INTEGER) AS hamming
+      FROM packed q JOIN packed c
+        ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py:hamming_topk):
+    sign-binarize each embedding and bit-pack it into two 32-bit words
+    (64 floats -> 8 bytes, the 32x compression that lets an exhaustive
+    scan hold a billion vectors in RAM — FAISS IndexBinaryFlat), then
+    rank candidates by popcount-XOR Hamming distance. The fifth ANN
+    path next to brute force, SRP-LSH, IVF, and PQ, and the standard
+    cheap first stage before a float rerank (sim_topk_rerank).
+
+    Scale: packing is one aggregate HOF per word inside the corpus scan
+    (no explode, whole-stage codegen); queries broadcast; distance is
+    two XOR+popcounts per candidate — all integer, so the oracle is the
+    identical packing in SQL."""
+    from .operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE
+    cs AS (SELECT o.o_custkey AS c, l.l_suppkey AS s, COUNT(*) AS n
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+    bestc AS (SELECT c, s FROM (SELECT c, s, ROW_NUMBER() OVER
+              (PARTITION BY c ORDER BY n DESC, s) AS rn FROM cs)
+              WHERE rn = 1),
+    bests AS (SELECT c, s FROM (SELECT c, s, ROW_NUMBER() OVER
+              (PARTITION BY s ORDER BY n DESC, c) AS rn FROM cs)
+              WHERE rn = 1),
+    e0 AS (SELECT c, s FROM bestc UNION SELECT c, s FROM bests),
+    edges AS (SELECT c AS a, 10000000 + s AS b FROM e0
+              UNION SELECT 10000000 + s, c FROM e0),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    lbl(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, lbl.l FROM lbl JOIN edges e ON e.a = lbl.n),
+    comp AS (SELECT n, MIN(l) AS component FROM lbl GROUP BY n)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(SUM(CASE WHEN n < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(SUM(CASE WHEN n >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the best-edge (nearest-neighbor) forest
+    of the purchase graph: keep each customer's single strongest
+    supplier edge and each supplier's single strongest customer edge
+    (count-desc, key-asc ties), union, and resolve components — the
+    Boruvka-step clustering that turns a bipartite interaction graph
+    into behavioral clusters. Best-edge sparsification is RELATIVE, so
+    the graph stays non-degenerate at every scale factor (an absolute
+    co-order threshold is one giant component at sf0.01 and near-empty
+    at sf0.1). Component id = min node id, the dedup-cluster convention.
+
+    The engine side reuses operators/dedup.py:connected_components —
+    accelerated min-label propagation with pointer jumping (O(log
+    diameter) checkpointed rounds, convergence detected by an observe()
+    metric on the same job). The oracle is a recursive-CTE min-label
+    closure — tractable exactly because the NN forest keeps components
+    small; the Spark side never enumerates the closure. Scale: the
+    best-edge windows partition by node key; each CC round is one
+    edges-to-labels equi-join, linear in |E|."""
+    from .operators.dedup import connected_components
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+    ws = W.partitionBy("s").orderBy(F.desc("n"), F.asc("c"))
+    bestc = cs.withColumn("rn", F.row_number().over(wc)).filter(
+        F.col("rn") == 1
+    )
+    bests = cs.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") == 1
+    )
+    e0 = bestc.select("c", "s").union(bests.select("c", "s")).distinct()
+    pairs = e0.select(
+        F.col("c").alias("doc_a"), (F.lit(10000000) + F.col("s")).alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.sum(F.when(F.col("doc_id") < 10000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("doc_id") >= 10000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+
+
+@register(
+    "text_cdc_chunks",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, GREATEST(LENGTH(text) - 7, 0) + 1)) AS i
+      FROM documents),
+    bnd AS (
+      SELECT doc_id, i + 7 AS cut FROM pos
+      WHERE substring(md5(substring(text, CAST(i AS INT), 8)), 1, 2) < '08'),
+    kept AS (
+      SELECT doc_id, cut FROM (
+        SELECT doc_id, cut,
+               LAG(cut, 1, -7) OVER (PARTITION BY doc_id ORDER BY cut) AS pc
+        FROM bnd) WHERE cut - pc >= 8),
+    cuts AS (SELECT doc_id, cut FROM kept
+             UNION SELECT doc_id, LENGTH(text) FROM documents
+             WHERE LENGTH(text) > 0),
+    spans AS (SELECT doc_id, cut,
+                     LAG(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut)
+                       AS prev
+              FROM cuts),
+    chunks AS (
+      SELECT s.doc_id,
+             md5(substring(d.text, CAST(s.prev + 1 AS INT),
+                           CAST(s.cut - s.prev AS INT))) AS fp,
+             s.cut - s.prev AS clen
+      FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+      WHERE s.cut > s.prev)
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(clen) AS BIGINT) AS chunk_len
+    FROM chunks GROUP BY fp HAVING COUNT(*) > 1
+    ORDER BY n_occ DESC, fp LIMIT 50
+    """,
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup — the rsync/LBFS/
+    data-pipeline trick that finds SHARED SUBSTRINGS across documents
+    without any pairwise comparison: a boundary falls wherever the
+    rolling 8-gram fingerprint (md5 here) lands in a 1/32 target band,
+    so two documents sharing a run of text cut it at the SAME offsets
+    and produce bit-identical chunks; duplicated chunks then surface
+    with one groupBy. Boundary placement is stateless per position
+    (the fingerprint is a pure function of the 8-gram), which is what
+    makes it embarrassingly parallel; a LAG-based anti-chain pass
+    enforces the >=8-char minimum chunk size (deterministic relational
+    variant of sequential CDC's skip rule — documented divergence:
+    suppression here compares against the previous RAW cut, sequential
+    CDC against the previous KEPT cut).
+
+    Scale: positions explode within a doc (bounded by doc length), the
+    only corpus-wide shuffles are the per-doc cut windows (doc-keyed)
+    and the final chunk-hash groupBy; blobs never move — only 16-byte
+    fingerprints. This is the substring-dedup primitive that scales
+    where the suffix-diagonal index (dedup_exact_substring) needs its
+    df cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.length("text") >= 8).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(7))
+        ).alias("i"),
+    )
+    bnd = pos.filter(
+        F.substring(
+            F.md5(F.expr("substring(text, i, 8)")), 1, 2
+        )
+        < "08"
+    ).select("doc_id", (F.col("i") + 7).cast("long").alias("cut"))
+    wdoc = W.partitionBy("doc_id").orderBy("cut")
+    kept = (
+        bnd.withColumn("pc", F.lag("cut", 1, -7).over(wdoc))
+        .filter(F.col("cut") - F.col("pc") >= 8)
+        .select("doc_id", "cut")
+    )
+    cuts = kept.union(
+        docs.filter(F.length("text") > 0).select(
+            "doc_id", F.length("text").cast("long").alias("cut")
+        )
+    ).distinct()
+    spans = cuts.withColumn("prev", F.lag("cut", 1, 0).over(wdoc))
+    chunks = (
+        spans.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("cut") > F.col("prev"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr("substring(text, CAST(prev + 1 AS INT),"
+                       " CAST(cut - prev AS INT))")
+            ).alias("fp"),
+            (F.col("cut") - F.col("prev")).alias("clen"),
+        )
+    )
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("clen").cast("long").alias("chunk_len"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "fp")
+        .limit(50)
+    )
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents
+                  WHERE lang = 'en'),
+    flat AS (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS w
+             FROM toks),
+    marked AS (
+      SELECT doc_id, p, w,
+             CASE WHEN list_contains({_SW['en']}, w)
+                       OR NOT regexp_matches(w, '^[a-z]+$')
+                  THEN 1 ELSE 0 END AS b
+      FROM flat),
+    isl AS (SELECT doc_id, p, w, b,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+            FROM marked),
+    members AS (SELECT doc_id, g, w FROM isl WHERE b = 0),
+    plen AS (SELECT doc_id, g, COUNT(*) AS phrase_len
+             FROM members GROUP BY doc_id, g),
+    stats AS (
+      SELECT m.w AS word, SUM(p2.phrase_len) AS degree, COUNT(*) AS freq
+      FROM members m JOIN plen p2 ON m.doc_id = p2.doc_id AND m.g = p2.g
+      GROUP BY m.w)
+    SELECT word, CAST(degree AS BIGINT) AS degree,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+    FROM stats ORDER BY score DESC, degree DESC, word LIMIT 30
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the English
+    corpus: candidate phrases are maximal runs of content tokens
+    between delimiters (stopwords or any non-[a-z] token), a word's
+    degree is the summed length of every phrase it appears in (its
+    co-occurrence mass), and score = degree/freq favors words that
+    travel in long multi-word phrases — the zero-model keyword
+    extractor that needs no training corpus.
+
+    All-integer until the single output division. Scale: phrase
+    segmentation is the gaps-and-islands pattern — posexplode, one
+    doc-keyed running-sum window, one (doc, island) agg — then one
+    word-keyed agg; no self-joins over the corpus, vocabulary-bounded
+    output."""
+    from .functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "p", "w"
+        ),
+    )
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    marked = toks.withColumn(
+        "b",
+        F.when(
+            F.array_contains(sw, F.col("w"))
+            | ~F.col("w").rlike("^[a-z]+$"),
+            1,
+        ).otherwise(0),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    isl = marked.withColumn("g", F.sum("b").over(wdoc))
+    members = isl.filter(F.col("b") == 0).select("doc_id", "g", "w")
+    plen = members.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    stats = (
+        members.join(plen, ["doc_id", "g"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.sum("phrase_len").cast("long").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+    )
+    return (
+        stats.withColumn(
+            "score",
+            F.col("degree").cast("double") / F.col("freq").cast("double"),
+        )
+        .orderBy(F.desc("score"), F.desc("degree"), "word")
+        .limit(30)
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -1554,3 +1554,231 @@ def test_mixture_eval_deviation_bounded_by_weight_sum(spark, sf_dir):
     for r in sample_mixture_eval(spark, sf_dir).collect():
         w = _MIX_WEIGHTS.get(r["lang"], 0)
         assert r["deviation_x_tot"] <= tot * (w + 1), r
+
+
+class TestWeightedReservoir:
+    def test_matches_pure_python_ticket_race(self, spark):
+        """The bottom-k by best md5 ticket must equal a from-scratch
+        Python implementation of the same integer-weight PPS race —
+        pins both the ticket hash layout (id ':' j) and the bottom-k
+        semantics."""
+        import hashlib
+
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        rows = [(i, (i % 5)) for i in range(200)]  # weights 0..4
+        df = spark.createDataFrame(rows, "doc_id long, weight int")
+        got = {
+            (r["doc_id"], r["priority"])
+            for r in weighted_reservoir(df, "weight", k=25).collect()
+        }
+
+        def pri(i, w):
+            return min(
+                hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+                for j in range(1, w + 1)
+            )
+
+        want = sorted(
+            ((pri(i, w), i) for i, w in rows if w >= 1),
+        )[:25]
+        assert got == {(i, p) for p, i in want}
+
+    def test_weight_zero_never_samples_and_sample_is_stable(self, spark):
+        """Adding rows never changes surviving rows' priorities: the
+        k=all sample of a subset is a sub-multiset of the superset's
+        priorities (the semilattice/stability property)."""
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        small = spark.createDataFrame(
+            [(i, 2) for i in range(50)], "doc_id long, weight int"
+        )
+        big = spark.createDataFrame(
+            [(i, 2) for i in range(100)], "doc_id long, weight int"
+        )
+        ps = {
+            r["doc_id"]: r["priority"]
+            for r in weighted_reservoir(small, "weight", k=1000).collect()
+        }
+        pb = {
+            r["doc_id"]: r["priority"]
+            for r in weighted_reservoir(big, "weight", k=1000).collect()
+        }
+        assert all(pb[i] == p for i, p in ps.items())
+        zero = spark.createDataFrame(
+            [(1, 0), (2, 1)], "doc_id long, weight int"
+        )
+        assert [
+            r["doc_id"]
+            for r in weighted_reservoir(zero, "weight", k=10).collect()
+        ] == [2]
+
+
+class TestHammingTopk:
+    def test_matches_pure_python_sign_pack(self, spark):
+        """Packing + popcount-XOR distance vs a from-scratch Python
+        reference on vectors exercising sign boundaries (exact zero is
+        a SET bit: >= 0)."""
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+            hamming_topk,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vecs = []
+        for i in range(30):
+            v = [rng.uniform(-1, 1) for _ in range(64)]
+            v[i % 64] = 0.0  # exact zero: must pack as bit set
+            vecs.append((i, v))
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+
+        import struct
+
+        def pack(v):
+            # float32 round-trip first: Spark stores array<float>
+            v = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+            return [
+                sum(1 << d for d in range(32) if v[w0 + d] >= 0)
+                for w0 in (0, 32)
+            ]
+
+        packed = {i: pack(v) for i, v in vecs}
+
+        def hd(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+            for r in hamming_topk(
+                df.where("vec_id < 3"), df, k=4
+            ).collect()
+        }
+        for q in range(3):
+            cands = sorted(
+                (hd(packed[q], packed[c]), c)
+                for c in packed
+                if c != q
+            )[:4]
+            for rank, (d, c) in enumerate(cands, start=1):
+                assert got[(q, rank)] == (c, d), (q, rank)
+
+
+class TestCdcChunks:
+    def test_chunks_reconstruct_documents_and_respect_min_size(
+        self, spark, sf_dir
+    ):
+        """Chunk spans tile each document exactly (concat of chunk
+        substrings == text) and every kept cut is >= 8 past the
+        previous raw cut, so no chunk except a doc's FINAL one is
+        shorter than 8 chars. Reimplements the span derivation in
+        Python from the same raw boundary rule."""
+        import hashlib
+
+        docs = {
+            1: "the quick brown fox jumps over the lazy dog " * 6,
+            2: "the quick brown fox jumps over the lazy dog " * 6,
+            3: "short",
+            4: "aaaabbbbccccddddeeeeffffgggghhhhiiiijjjjkkkk",
+        }
+
+        def cuts_of(text):
+            raw = [
+                i + 7
+                for i in range(1, max(len(text) - 7, 0) + 1)
+                if hashlib.md5(text[i - 1 : i + 7].encode()).hexdigest()[:2]
+                < "08"
+            ]
+            kept, prev = [], -7
+            for c in raw:
+                if c - prev >= 8:
+                    kept.append(c)
+                prev = c  # LAG semantics: compare against previous RAW cut
+            if len(text) > 0 and (not kept or kept[-1] != len(text)):
+                kept.append(len(text))
+            return kept
+
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            text_cdc_chunks,
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            ).write.parquet(f"{td}/documents.parquet")
+            got = {
+                r["fp"]: (r["n_occ"], r["n_docs"], r["chunk_len"])
+                for r in text_cdc_chunks(spark, td).collect()
+            }
+
+        from collections import Counter
+
+        chunk_occ = Counter()
+        chunk_docs = {}
+        chunk_len = {}
+        for i, t in docs.items():
+            cs = cuts_of(t)
+            prev = 0
+            rebuilt = ""
+            for c in cs:
+                chunk = t[prev:c]
+                rebuilt += chunk
+                fp = hashlib.md5(chunk.encode()).hexdigest()
+                chunk_occ[fp] += 1
+                chunk_docs.setdefault(fp, set()).add(i)
+                chunk_len[fp] = min(
+                    chunk_len.get(fp, 10**9), len(chunk)
+                )
+                prev = c
+            assert rebuilt == t  # spans tile the document
+        want = {
+            fp: (n, len(chunk_docs[fp]), chunk_len[fp])
+            for fp, n in chunk_occ.items()
+            if n > 1
+        }
+        assert got == dict(
+            sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+        )
+
+
+class TestRakeKeywords:
+    def test_degree_freq_on_crafted_phrases(self, spark):
+        """Hand-computed RAKE degree/freq: 'deep learning models' (len-3
+        phrase) and 'deep learning' (len-2) give deep/learning degree
+        3+2=5 freq 2, models degree 3 freq 1."""
+        import tempfile
+
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            text_rake_keywords,
+        )
+
+        text = "deep learning models in the deep learning, era"
+        # tokens: deep learning models in(sw) the(sw) deep learning,(punct) era
+        # phrases: [deep learning models] [deep] ... wait: 'learning,'
+        # has a comma -> boundary, so phrases are
+        # [deep learning models], [deep], [era]... recompute below.
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(1, text, "en", "s", len(text))],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            ).write.parquet(f"{td}/documents.parquet")
+            got = {
+                r["word"]: (r["degree"], r["freq"], r["score"])
+                for r in text_rake_keywords(spark, td).collect()
+            }
+        # phrases: [deep learning models] (in, the are stopwords),
+        # [deep] ('learning,' contains punctuation -> boundary), [era]
+        assert got["models"] == (3, 1, 3.0)
+        assert got["deep"] == (3 + 1, 2, 2.0)
+        assert got["learning"] == (3, 1, 3.0)
+        assert got["era"] == (1, 1, 1.0)

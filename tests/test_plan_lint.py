@@ -41,6 +41,7 @@ EAGER = {
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "graph_closeness_bfs",  # same labeled-BFS per-round materialization
+    "graph_connected_components",  # CC pointer-jump rounds run on call
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
@@ -97,6 +98,7 @@ BNLJ_OK = {
     "q_changepoint_cusum",  # 1-row floor-mean target broadcast
     "text_bpe_train",  # 1-row argmax merge-pair broadcast per iteration
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
+    "sim_topk_hamming",  # same bounded-query broadcast over packed words
     "sim_recall_at_k",  # same bounded-query broadcast on both result sides
     "sim_mutual_knn",  # bounded side-A broadcast vs side-B corpus (exact miner)
     "sim_range_search",  # same bounded-query broadcast, threshold filter
