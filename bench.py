@@ -208,6 +208,7 @@ HEADLINE = [
     "graph_connected_components",
     "text_cdc_chunks",
     "text_rake_keywords",
+    "streaming_weighted_reservoir",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

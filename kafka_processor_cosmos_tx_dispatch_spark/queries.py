@@ -13969,6 +13969,43 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_weighted_reservoir",
+    _ORACLE["sample_weighted_reservoir"],
+)
+def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_weighted_reservoir maintained over the documents STREAM
+    (streaming/incremental.py:incremental_weighted_reservoir): the
+    carried k-row bottom-k state is the anytime PPS sample of
+    everything seen so far. The ticket priorities are row-intrinsic
+    (md5 of id and ticket index — no rand()), so bottom-k merge is a
+    semilattice and the drained state is row-identical to the one-shot
+    batch sample under ANY micro-batch split — the oracle is literally
+    the batch query's SQL. Weighting (the Gopher quality score) is
+    stateless and computed inside each micro-batch."""
+    import tempfile
+
+    from .functions import text as TX
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_weighted_reservoir
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    toks = TX.tokens(F.col("text"))
+    weighted = stream.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text"), toks).cast("int").alias("weight"),
+    )
+    return incremental_weighted_reservoir(
+        weighted, tempfile.mkdtemp(prefix="swres_"), k=100
+    )
+
+
+@register(
     "sim_topk_hamming",
     """
     WITH packed AS (

@@ -1548,3 +1548,93 @@ def incremental_pipeline_curate(
             [], "doc_id long, n_tokens long, bin int, bin_pos int"
         )
     return spark.read.parquet(*outs)
+
+
+def make_weighted_reservoir_batch(state_dir: str, k: int, latest: dict):
+    """foreachBatch body of incremental_weighted_reservoir: carried
+    bottom-k sample state over a weighted document stream.
+
+    Per batch: score the batch's rows with the SAME deterministic md5
+    ticket race as operators/sampling.py:weighted_reservoir (priorities
+    are pure functions of (id, weight) — no rand(), no seed state, so a
+    row's priority is identical whenever and wherever it arrives), take
+    the batch's own bottom-k, union the carried k rows, keep the global
+    bottom-k. Correctness is structural: bottom-k by a row-intrinsic
+    priority is a SEMILATTICE merge (idempotent, commutative,
+    associative), so the final state equals the one-shot batch sample
+    under ANY split of the stream — including duplicated replays, which
+    makes this the one carried state here that is exactly-once even
+    WITHOUT the ledger; the batch-id skip is kept for uniform replay
+    cost, not correctness.
+
+    Scale: per-batch cost is one narrow scan of the batch (≤ w_max md5s
+    per row in-row) + a batch-local TakeOrderedAndProject + a (2k)-row
+    merge; state is exactly k rows regardless of stream length."""
+    state_root = os.path.join(state_dir, "state")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(state_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return
+        from ..operators.sampling import weighted_reservoir
+
+        spark = bdf.sparkSession
+        cand = weighted_reservoir(bdf, "weight", k=k).select(
+            "doc_id", "lang", "weight", "priority"
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        merged = cand.unionByName(carry) if carry is not None else cand
+        path = os.path.join(state_root, f"v{bid}")
+        # dropDuplicates makes the union a SET union — without it a
+        # replayed row would appear twice and bottom-k would keep both
+        # copies (the semilattice property holds on sets, not bags)
+        merged.dropDuplicates(["doc_id"]).orderBy(
+            "priority", "doc_id"
+        ).limit(k).write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_weighted_reservoir(
+    stream: DataFrame, state_dir: str, k: int = 100
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling maintained over a
+    stream (see make_weighted_reservoir_batch): the carried k-row
+    bottom-k state IS the sample at every point in the stream — the
+    anytime PPS sample a continuous ingest pipeline keeps of everything
+    it has ever seen, in k rows of state. After the bounded stream
+    drains, the state is row-identical to the one-shot batch sample
+    (split-invariance pinned in tests/test_streaming.py)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_weighted_reservoir_batch(
+                state_dir, k, {"bid": None, "path": None}
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_weighted_reservoir: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    _, path = _scan_state(os.path.join(state_dir, "state"))
+    if path is None:
+        return spark.createDataFrame(
+            [], "doc_id long, lang string, weight int, priority string"
+        )
+    return spark.read.parquet(path)

@@ -1084,3 +1084,63 @@ class TestIncrementalOhlc:
         got = {tuple(r) for r in streaming_ohlc(spark, sf_dir).collect()}
         # column order differs (n before open in both) — compare keyed
         assert got == want
+
+
+class TestIncrementalWeightedReservoir:
+    DOCS_SCHEMA = "doc_id long, lang string, weight int"
+    DOCS = [(i, "en", (i % 5)) for i in range(60)]
+
+    def _run(self, spark, workdir, batches):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_weighted_reservoir_batch,
+        )
+
+        body = make_weighted_reservoir_batch(
+            workdir, 10, {"bid": None, "path": None}
+        )
+        for bid, rows in enumerate(batches):
+            body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+        return body
+
+    def _readout(self, spark, workdir):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+        )
+        import os as _os
+
+        _, path = _scan_state(_os.path.join(workdir, "state"))
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    def test_split_invariance_and_replay(self, spark, tmp_path):
+        """Any micro-batch split — and any REPLAY, ledger or not: the
+        merge is a semilattice — yields the identical bottom-k sample
+        as the one-shot batch."""
+        one = str(tmp_path / "one")
+        self._run(spark, one, [self.DOCS])
+        want = self._readout(spark, one)
+        assert len(want) == 10
+        assert all(w >= 1 for (_, _, w, _) in want)  # weight-0 never samples
+
+        split = str(tmp_path / "split")
+        body = self._run(
+            spark, split, [self.DOCS[:7], self.DOCS[7:40], self.DOCS[40:]]
+        )
+        assert self._readout(spark, split) == want
+        # in-run replay skipped by ledger
+        body(spark.createDataFrame(self.DOCS[:7], self.DOCS_SCHEMA), 1)
+        assert self._readout(spark, split) == want
+
+        # cross-restart: fresh body re-scans the ledger, replay skipped;
+        # and even a FORCED duplicate merge (new bid, repeated rows)
+        # cannot change the state — idempotent semilattice
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_weighted_reservoir_batch,
+        )
+
+        restarted = make_weighted_reservoir_batch(
+            split, 10, {"bid": None, "path": None}
+        )
+        restarted(spark.createDataFrame(self.DOCS[:7], self.DOCS_SCHEMA), 0)
+        assert self._readout(spark, split) == want
+        restarted(spark.createDataFrame(self.DOCS, self.DOCS_SCHEMA), 9)
+        assert self._readout(spark, split) == want

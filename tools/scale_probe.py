@@ -677,6 +677,115 @@ def main() -> None:
 
     probe("frame_dedup", args.docs, frame_dedup)
 
+    # r12: deterministic weighted reservoir — priority is a row-local
+    # HOF (≤4 md5s in-row), the bottom-k is TakeOrderedAndProject
+    # (per-partition top-k + k-row driver merge): rows/s should track a
+    # bare md5 scan of the corpus
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    wr_src = ev.select(
+        F.col("event_id").alias("doc_id"),
+        (F.col("event_id") % 5).cast("int").alias("weight"),
+    )
+    probe(
+        "weighted_reservoir",
+        args.events,
+        lambda: run(weighted_reservoir(wr_src, "weight", k=100)),
+    )
+
+    # r12: binary-quantization ANN — pack is one aggregate HOF per
+    # 32-bit word inside the scan; distance is two XOR+popcounts per
+    # candidate against 10 broadcast queries
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        hamming_topk,
+    )
+
+    probe(
+        "hamming_topk",
+        args.vecs,
+        lambda: run(
+            hamming_topk(vecs.filter(F.col("vec_id") < 10), vecs, k=5)
+        ),
+    )
+
+    # r12: NN-forest connected components — best-edge windows (node-
+    # keyed) + pointer-jump CC rounds on the sparsified graph
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def nn_forest_cc():
+        cs = (
+            ev.groupBy(
+                F.col("user_id").alias("c"),
+                (F.col("event_id") % 5000).alias("s"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wc = _W.partitionBy("c").orderBy(F.desc("n"), F.asc("s"))
+        ws = _W.partitionBy("s").orderBy(F.desc("n"), F.asc("c"))
+        bestc = cs.withColumn("rn", F.row_number().over(wc)).filter(
+            F.col("rn") == 1
+        )
+        bests = cs.withColumn("rn", F.row_number().over(ws)).filter(
+            F.col("rn") == 1
+        )
+        e0 = (
+            bestc.select("c", "s").union(bests.select("c", "s")).distinct()
+        )
+        pairs = e0.select(
+            F.col("c").alias("doc_a"),
+            (F.lit(10_000_000) + F.col("s")).alias("doc_b"),
+        )
+        run(connected_components(pairs))
+
+    probe("nn_forest_cc", args.events, nn_forest_cc)
+
+    # r12: content-defined chunking — position explode is bounded by
+    # doc length; the corpus-wide shuffles move 16-byte fingerprints,
+    # never text
+    def cdc_chunks():
+        pos = docs.filter(F.length("text") >= 8).select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(7))
+            ).alias("i"),
+        )
+        bnd = pos.filter(
+            F.substring(F.md5(F.expr("substring(text, i, 8)")), 1, 2) < "08"
+        ).select("doc_id", (F.col("i") + 7).cast("long").alias("cut"))
+        wd = _W.partitionBy("doc_id").orderBy("cut")
+        kept = (
+            bnd.withColumn("pc", F.lag("cut", 1, -7).over(wd))
+            .filter(F.col("cut") - F.col("pc") >= 8)
+            .select("doc_id", "cut")
+        )
+        cuts = kept.union(
+            docs.select(
+                "doc_id", F.length("text").cast("long").alias("cut")
+            )
+        ).distinct()
+        spans = cuts.withColumn("prev", F.lag("cut", 1, 0).over(wd))
+        chunks = spans.join(docs, "doc_id").select(
+            "doc_id",
+            F.md5(
+                F.expr(
+                    "substring(text, CAST(prev + 1 AS INT),"
+                    " CAST(cut - prev AS INT))"
+                )
+            ).alias("fp"),
+        )
+        run(
+            chunks.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") > 1)
+        )
+
+    probe("cdc_chunks", args.docs, cdc_chunks)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
