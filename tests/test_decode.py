@@ -584,7 +584,9 @@ def test_descriptor_set_is_valid_protobuf(spark):
     files = [
         v for n, wt, v in protowire.parse_fields(data) if n == 1 and wt == 2
     ]
-    assert len(files) == 22  # r12 widening: +vesting/feegrant/staking-val/ibc-client/wkt
+    # r12 wave 2: +authz.proto/vesting.proto layout files, evidence (2),
+    # crisis, gov v1 (2)
+    assert len(files) == 29
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -763,3 +765,156 @@ def test_fused_decode_match_parity(spark):
         error_topic="error",
     )
     assert routes(out) == [(1, "dlq"), (2, "dlq"), (3, "dlq"), (4, "error")]
+
+
+def test_any_registry_r12_wave2():
+    """Round-12 second widening wave: the modern gov v1 module (a
+    proposal EMBEDS the sdk.Msgs it will execute as repeated Any —
+    nested recursion through a second package), authz MsgGrant
+    (authorization Any + expiration Timestamp inside a cross-file
+    Grant), evidence (Equivocation through the evidence Any), ibc
+    MsgTimeout/MsgAcknowledgement, periodic vesting, crisis. Mirrors
+    the classpath families ProtoTypeRegistry.kt:16-31 would scan."""
+    coin = _ld(1, b"uknow") + _ld(2, b"42")
+    ts = _varint(1 << 3) + _varint(1700000000)  # 2023-11-14T22:13:20Z
+
+    # gov v1 MsgSubmitProposal: messages = [MsgSend] — an Any INSIDE the
+    # proposal resolves through the same registry recursion
+    sub = (
+        _ld(1, _any(MSG_SEND_URL, _msg_send(OKP4_ADDR, "tesTo")))
+        + _ld(2, coin)
+        + _ld(3, OKP4_ADDR.encode())
+        + _ld(5, b"fund the node")
+    )
+    url = "type.googleapis.com/cosmos.gov.v1.MsgSubmitProposal"
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sub))))
+    m = tx["body"]["messages"][0]
+    assert m["@type"] == url
+    assert m["title"] == "fund the node"
+    assert m["messages"][0]["@type"] == MSG_SEND_URL
+    assert m["messages"][0]["fromAddress"] == OKP4_ADDR
+    assert m["initialDeposit"] == [{"denom": "uknow", "amount": "42"}]
+
+    # gov v1 MsgVote: enum option renders as the enum NAME (proto3 JSON)
+    vote = (
+        _varint(1 << 3)
+        + _varint(7)
+        + _ld(2, OKP4_ADDR.encode())
+        + _varint(3 << 3)
+        + _varint(4)
+    )
+    url = "type.googleapis.com/cosmos.gov.v1.MsgVote"
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, vote))))
+    m = tx["body"]["messages"][0]
+    assert m == {
+        "@type": url,
+        "proposalId": "7",
+        "voter": OKP4_ADDR,
+        "option": "VOTE_OPTION_NO_WITH_VETO",
+    }
+
+    # authz MsgGrant: Grant{authorization: GenericAuthorization Any,
+    # expiration: Timestamp string form}
+    auth = _ld(1, b"/cosmos.bank.v1beta1.MsgSend")
+    gen_url = "type.googleapis.com/cosmos.authz.v1beta1.GenericAuthorization"
+    grant = _ld(1, _any(gen_url, auth)) + _ld(2, ts)
+    mg = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41grantee")
+        + _ld(3, grant)
+    )
+    url = "type.googleapis.com/cosmos.authz.v1beta1.MsgGrant"
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, mg))))
+    m = tx["body"]["messages"][0]
+    assert m["grant"] == {
+        "authorization": {
+            "@type": gen_url,
+            "msg": "/cosmos.bank.v1beta1.MsgSend",
+        },
+        "expiration": "2023-11-14T22:13:20Z",
+    }
+
+    # evidence MsgSubmitEvidence → Equivocation (int64s as strings,
+    # Timestamp string form)
+    eq = (
+        _varint(1 << 3)
+        + _varint(123456)
+        + _ld(2, ts)
+        + _varint(3 << 3)
+        + _varint(1000)
+        + _ld(4, b"okp4valcons1xyz")
+    )
+    eq_url = "type.googleapis.com/cosmos.evidence.v1beta1.Equivocation"
+    url = "type.googleapis.com/cosmos.evidence.v1beta1.MsgSubmitEvidence"
+    sub_ev = _ld(1, OKP4_ADDR.encode()) + _ld(2, _any(eq_url, eq))
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sub_ev))))
+    m = tx["body"]["messages"][0]
+    assert m["evidence"] == {
+        "@type": eq_url,
+        "height": "123456",
+        "time": "2023-11-14T22:13:20Z",
+        "power": "1000",
+        "consensusAddress": "okp4valcons1xyz",
+    }
+
+    # ibc MsgTimeout: Packet + Height + uint64 nextSequenceRecv
+    packet = (
+        _varint(1 << 3)
+        + _varint(9)
+        + _ld(2, b"transfer")
+        + _ld(3, b"channel-0")
+        + _ld(4, b"transfer")
+        + _ld(5, b"channel-141")
+    )
+    height = _varint(1 << 3) + _varint(4) + _varint(2 << 3) + _varint(99)
+    url = "type.googleapis.com/ibc.core.channel.v1.MsgTimeout"
+    mt = (
+        _ld(1, packet)
+        + _ld(2, b"\x01\x02")
+        + _ld(3, height)
+        + _varint(4 << 3)
+        + _varint(10)
+        + _ld(5, OKP4_ADDR.encode())
+    )
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, mt))))
+    m = tx["body"]["messages"][0]
+    assert m["packet"]["sourceChannel"] == "channel-0"
+    assert m["proofHeight"] == {"revisionNumber": "4", "revisionHeight": "99"}
+    assert m["nextSequenceRecv"] == "10"
+
+    # periodic vesting: repeated Period (length int64 string + coins)
+    period = _varint(1 << 3) + _varint(86400) + _ld(2, coin)
+    url = (
+        "type.googleapis.com/cosmos.vesting.v1beta1."
+        "MsgCreatePeriodicVestingAccount"
+    )
+    pv = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41vestee")
+        + _varint(3 << 3)
+        + _varint(1690000000)
+        + _ld(4, period)
+        + _ld(4, period)
+    )
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, pv))))
+    m = tx["body"]["messages"][0]
+    assert m["startTime"] == "1690000000"
+    assert m["vestingPeriods"] == [
+        {"length": "86400", "amount": [{"denom": "uknow", "amount": "42"}]},
+        {"length": "86400", "amount": [{"denom": "uknow", "amount": "42"}]},
+    ]
+
+    # crisis MsgVerifyInvariant
+    url = "type.googleapis.com/cosmos.crisis.v1beta1.MsgVerifyInvariant"
+    vi_msg = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"bank")
+        + _ld(3, b"total-supply")
+    )
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(url, vi_msg))))
+    assert tx["body"]["messages"][0] == {
+        "@type": url,
+        "sender": OKP4_ADDR,
+        "invariantModuleName": "bank",
+        "invariantRoute": "total-supply",
+    }

@@ -551,12 +551,70 @@ FILES = [
                 ),
                 field("signer", 4, T_STRING),
             ),
+            # r12: the other two high-volume relayer messages — every
+            # successful transfer closes with an MsgAcknowledgement,
+            # every expired one with an MsgTimeout
+            message(
+                "MsgAcknowledgement",
+                field(
+                    "packet", 1, T_MESSAGE, OPT, ".ibc.core.channel.v1.Packet"
+                ),
+                field("acknowledgement", 2, T_BYTES),
+                field("proof_acked", 3, T_BYTES),
+                field(
+                    "proof_height",
+                    4,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 5, T_STRING),
+            ),
+            message(
+                "MsgTimeout",
+                field(
+                    "packet", 1, T_MESSAGE, OPT, ".ibc.core.channel.v1.Packet"
+                ),
+                field("proof_unreceived", 2, T_BYTES),
+                field(
+                    "proof_height",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("next_sequence_recv", 4, T_UINT64),
+                field("signer", 5, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        # upstream layout: Grant lives in authz.proto, the Msg* in
+        # tx.proto (which depends on it) — required for protobuf-java
+        # per-file dependency validation (ADVICE r11 #1)
+        "cosmos/authz/v1beta1/authz.proto",
+        "cosmos.authz.v1beta1",
+        ["google/protobuf/any.proto", "google/protobuf/timestamp.proto"],
+        [
+            # authorization is Any (GenericAuthorization & friends);
+            # expiration exercises the Timestamp JSON string form
+            message(
+                "Grant",
+                field("authorization", 1, T_MESSAGE, OPT, ANY),
+                field(
+                    "expiration",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".google.protobuf.Timestamp",
+                ),
+            ),
         ],
     ),
     file_proto(
         "cosmos/authz/v1beta1/tx.proto",
         "cosmos.authz.v1beta1",
-        ["google/protobuf/any.proto"],
+        ["google/protobuf/any.proto", "cosmos/authz/v1beta1/authz.proto"],
         [
             # msgs is repeated Any — the NESTED-Any recursion case
             # (an Any whose payload itself carries Anys)
@@ -564,6 +622,14 @@ FILES = [
                 "MsgExec",
                 field("grantee", 1, T_STRING),
                 field("msgs", 2, T_MESSAGE, REP, ANY),
+            ),
+            message(
+                "MsgGrant",
+                field("granter", 1, T_STRING),
+                field("grantee", 2, T_STRING),
+                field(
+                    "grant", 3, T_MESSAGE, OPT, ".cosmos.authz.v1beta1.Grant"
+                ),
             ),
             message(
                 "MsgRevoke",
@@ -589,9 +655,25 @@ FILES = [
         [message("MsgUnjail", field("validator_addr", 1, T_STRING))],
     ),
     file_proto(
-        "cosmos/vesting/v1beta1/tx.proto",
+        # upstream layout: Period lives in vesting.proto
+        "cosmos/vesting/v1beta1/vesting.proto",
         "cosmos.vesting.v1beta1",
         ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "Period",
+                field("length", 1, T_INT64),
+                field("amount", 2, T_MESSAGE, REP, COIN),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/vesting/v1beta1/tx.proto",
+        "cosmos.vesting.v1beta1",
+        [
+            "cosmos/base/v1beta1/coin.proto",
+            "cosmos/vesting/v1beta1/vesting.proto",
+        ],
         [
             message(
                 "MsgCreateVestingAccount",
@@ -600,7 +682,135 @@ FILES = [
                 field("amount", 3, T_MESSAGE, REP, COIN),
                 field("end_time", 4, T_INT64),
                 field("delayed", 5, T_BOOL),
+            ),
+            message(
+                "MsgCreatePermanentLockedAccount",
+                field("from_address", 1, T_STRING),
+                field("to_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, REP, COIN),
+            ),
+            message(
+                "MsgCreatePeriodicVestingAccount",
+                field("from_address", 1, T_STRING),
+                field("to_address", 2, T_STRING),
+                field("start_time", 3, T_INT64),
+                field(
+                    "vesting_periods",
+                    4,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.vesting.v1beta1.Period",
+                ),
+            ),
+        ],
+    ),
+    # --- round-12 widening: evidence / crisis / the modern gov v1
+    # module (proposals carry arbitrary sdk.Msgs as repeated Any — the
+    # same nested-Any recursion as authz MsgExec)
+    file_proto(
+        "cosmos/evidence/v1beta1/evidence.proto",
+        "cosmos.evidence.v1beta1",
+        ["google/protobuf/timestamp.proto"],
+        [
+            message(
+                "Equivocation",
+                field("height", 1, T_INT64),
+                field(
+                    "time", 2, T_MESSAGE, OPT, ".google.protobuf.Timestamp"
+                ),
+                field("power", 3, T_INT64),
+                field("consensus_address", 4, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/evidence/v1beta1/tx.proto",
+        "cosmos.evidence.v1beta1",
+        ["google/protobuf/any.proto"],
+        [
+            # evidence is Any (Equivocation) — nested-Any shape
+            message(
+                "MsgSubmitEvidence",
+                field("submitter", 1, T_STRING),
+                field("evidence", 2, T_MESSAGE, OPT, ANY),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/crisis/v1beta1/tx.proto",
+        "cosmos.crisis.v1beta1",
+        [],
+        [
+            message(
+                "MsgVerifyInvariant",
+                field("sender", 1, T_STRING),
+                field("invariant_module_name", 2, T_STRING),
+                field("invariant_route", 3, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/gov/v1/gov.proto",
+        "cosmos.gov.v1",
+        [],
+        [
+            message(
+                "WeightedVoteOption",
+                field("option", 1, T_ENUM, OPT, ".cosmos.gov.v1.VoteOption"),
+                field("weight", 2, T_STRING),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "VoteOption",
+                [
+                    ("VOTE_OPTION_UNSPECIFIED", 0),
+                    ("VOTE_OPTION_YES", 1),
+                    ("VOTE_OPTION_ABSTAIN", 2),
+                    ("VOTE_OPTION_NO", 3),
+                    ("VOTE_OPTION_NO_WITH_VETO", 4),
+                ],
             )
+        ],
+    ),
+    file_proto(
+        "cosmos/gov/v1/tx.proto",
+        "cosmos.gov.v1",
+        [
+            "google/protobuf/any.proto",
+            "cosmos/base/v1beta1/coin.proto",
+            "cosmos/gov/v1/gov.proto",
+        ],
+        [
+            # messages is repeated Any: a gov-v1 proposal EMBEDS the
+            # sdk.Msgs it will execute — nested-Any recursion again
+            message(
+                "MsgSubmitProposal",
+                field("messages", 1, T_MESSAGE, REP, ANY),
+                field("initial_deposit", 2, T_MESSAGE, REP, COIN),
+                field("proposer", 3, T_STRING),
+                field("metadata", 4, T_STRING),
+                field("title", 5, T_STRING),
+                field("summary", 6, T_STRING),
+            ),
+            message(
+                "MsgExecLegacyContent",
+                field("content", 1, T_MESSAGE, OPT, ANY),
+                field("authority", 2, T_STRING),
+            ),
+            message(
+                "MsgVote",
+                field("proposal_id", 1, T_UINT64),
+                field("voter", 2, T_STRING),
+                field("option", 3, T_ENUM, OPT, ".cosmos.gov.v1.VoteOption"),
+                field("metadata", 4, T_STRING),
+            ),
+            message(
+                "MsgDeposit",
+                field("proposal_id", 1, T_UINT64),
+                field("depositor", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, REP, COIN),
+            ),
         ],
     ),
     file_proto(
