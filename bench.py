@@ -209,6 +209,7 @@ HEADLINE = [
     "text_cdc_chunks",
     "text_rake_keywords",
     "streaming_weighted_reservoir",
+    "streaming_connected_components",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

@@ -14006,6 +14006,82 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_connected_components",
+    f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, md5({_D_NORM}) AS fp,
+                    md5(substring({_D_NORM}, 1, 32)) AS pfp
+             FROM documents),
+    keys AS (SELECT doc_id,
+                    1000000000 + ('0x' || substring(fp, 1, 12))::BIGINT
+                      AS knode
+             FROM base
+             UNION ALL
+             SELECT doc_id,
+                    2000000000000000
+                      + ('0x' || substring(pfp, 1, 12))::BIGINT
+             FROM base),
+    edges AS (SELECT doc_id AS a, knode AS b FROM keys
+              UNION SELECT knode, doc_id FROM keys),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    lbl(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, lbl.l FROM lbl JOIN edges e ON e.a = lbl.n),
+    comp AS (SELECT n, MIN(l) AS component FROM lbl GROUP BY n)
+    SELECT n AS doc_id, CAST(component AS BIGINT) AS component
+    FROM comp WHERE n < 1000000000
+    """,
+)
+def streaming_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution over the document stream
+    (streaming/incremental.py:incremental_connected_components): each
+    arriving document statelessly emits link-key edges — one to its
+    exact-content fingerprint node, one to its 32-char-prefix
+    fingerprint node (the multi-key ER shape: different evidence kinds
+    chain records transitively, so A~B by full text and B~C by shared
+    prefix puts {{A,B,C}} in ONE component across any number of
+    micro-batches) — and the carried (node, comp) labels absorb them by
+    CONTRACTION: batch edges are rewritten onto current component ids,
+    a batch-bounded pointer-jump CC merges what this batch connects,
+    and only the touched labels remap. The drained labels are
+    row-identical to the one-shot CC of the full edge set (oracle: the
+    recursive-CTE min-label closure over the same dual-key graph —
+    tractable because link-key components are small; key-node ids live
+    above 10^9 so the min-id component convention always lands on a
+    real doc_id)."""
+    import tempfile
+
+    from .functions.text import normalized
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_connected_components
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    norm = normalized(F.col("text"))
+    k1 = F.lit(1000000000) + F.conv(
+        F.substring(F.md5(norm), 1, 12), 16, 10
+    ).cast("long")
+    k2 = F.lit(2000000000000000) + F.conv(
+        F.substring(F.md5(F.substring(norm, 1, 32)), 1, 12), 16, 10
+    ).cast("long")
+    edges = stream.select(
+        F.col("doc_id").alias("node_a"),
+        F.explode(F.array(k1, k2)).alias("node_b"),
+    )
+    labels = incremental_connected_components(
+        edges, tempfile.mkdtemp(prefix="scc_")
+    )
+    return labels.filter(F.col("node") < 1000000000).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+@register(
     "sim_topk_hamming",
     """
     WITH packed AS (

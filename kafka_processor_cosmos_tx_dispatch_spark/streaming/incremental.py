@@ -1638,3 +1638,145 @@ def incremental_weighted_reservoir(
             [], "doc_id long, lang string, weight int, priority string"
         )
     return spark.read.parquet(path)
+
+
+def make_cc_batch(state_dir: str, latest: dict):
+    """foreachBatch body of incremental_connected_components: carried
+    (node, comp) labels maintained by CONTRACTION — the incremental
+    connected-components algorithm every streaming entity-resolution /
+    identity-graph system runs:
+
+    1. look up each batch edge endpoint's current component (left join
+       against the carried labels; unseen node → itself);
+    2. CONTRACT: rewrite batch edges onto component ids and drop
+       self-loops — merges triggered by this batch now live in a graph
+       whose size is bounded by the BATCH, not the corpus;
+    3. run the batch-scoped pointer-jumping CC
+       (operators/dedup.py:connected_components) on the contracted
+       graph → comp → new-comp mapping;
+    4. remap: carried labels (and the batch's new nodes) whose comp is
+       in the mapping move to the merged component; everything else is
+       untouched.
+
+    Invariant (pinned by split-invariance tests): after batch i the
+    labels equal the one-shot CC of every edge in batches ≤ i, with
+    component id = min node id (carried comps are the mins of their
+    sets; the contracted CC takes the min over merged comp ids = the
+    min over the union). Replays are IDEMPOTENT by construction —
+    re-contracting already-merged edges yields only self-loops, a
+    no-op — so the ledger skip is uniformity, not correctness.
+
+    Scale: per-batch cost is one node-keyed join of the batch's
+    endpoints against the label state plus a CC over a batch-bounded
+    contracted graph; state is one row per node ever seen (inherent to
+    CC — it IS the answer). At 100 TB bucket the label table by node so
+    the per-batch lookup join co-locates instead of reshuffling state.
+    """
+    state_root = os.path.join(state_dir, "labels")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(state_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return
+        from ..operators.dedup import connected_components
+
+        spark = bdf.sparkSession
+        edges = (
+            bdf.select("node_a", "node_b")
+            .filter(F.col("node_a") != F.col("node_b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        ends = (
+            edges.select(F.col("node_a").alias("node"))
+            .union(edges.select(F.col("node_b").alias("node")))
+            .distinct()
+        )
+        if carry is not None:
+            lk = ends.join(carry, "node", "left").select(
+                "node", F.coalesce("comp", F.col("node")).alias("comp")
+            )
+        else:
+            lk = ends.select("node", F.col("node").alias("comp"))
+        lk = lk.localCheckpoint()
+        ce = (
+            edges.join(
+                lk.select(
+                    F.col("node").alias("node_a"),
+                    F.col("comp").alias("ca"),
+                ),
+                "node_a",
+            )
+            .join(
+                lk.select(
+                    F.col("node").alias("node_b"),
+                    F.col("comp").alias("cb"),
+                ),
+                "node_b",
+            )
+            .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        all_lbl = (
+            carry.unionByName(lk).distinct() if carry is not None else lk
+        )
+        if ce.isEmpty():
+            merged = all_lbl
+        else:
+            mapping = connected_components(ce).select(
+                F.col("doc_id").alias("comp"),
+                F.col("component").alias("newcomp"),
+            )
+            merged = (
+                all_lbl.join(F.broadcast(mapping), "comp", "left")
+                .select(
+                    "node",
+                    F.coalesce("newcomp", F.col("comp")).alias("comp"),
+                )
+            )
+        path = os.path.join(state_root, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_connected_components(
+    edge_stream: DataFrame, state_dir: str
+) -> DataFrame:
+    """Connected components maintained over an EDGE STREAM (see
+    make_cc_batch): the carried (node, comp) labels are the anytime
+    component assignment of everything seen so far; after the bounded
+    stream drains they are row-identical to the one-shot batch CC of
+    the full edge set under any ordered or unordered micro-batch split
+    (contraction is order-insensitive)."""
+    q = (
+        edge_stream.writeStream.foreachBatch(
+            make_cc_batch(state_dir, {"bid": None, "path": None})
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_connected_components: stream did not finish in 300s"
+        )
+    spark = edge_stream.sparkSession
+    _, path = _scan_state(os.path.join(state_dir, "labels"))
+    if path is None:
+        return spark.createDataFrame([], "node long, comp long")
+    return spark.read.parquet(path)

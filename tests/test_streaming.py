@@ -1144,3 +1144,76 @@ class TestIncrementalWeightedReservoir:
         assert self._readout(spark, split) == want
         restarted(spark.createDataFrame(self.DOCS, self.DOCS_SCHEMA), 9)
         assert self._readout(spark, split) == want
+
+
+class TestIncrementalConnectedComponents:
+    EDGE_SCHEMA = "node_a long, node_b long"
+
+    def _run(self, spark, workdir, batches):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_cc_batch,
+        )
+
+        body = make_cc_batch(workdir, {"bid": None, "path": None})
+        for bid, rows in enumerate(batches):
+            body(spark.createDataFrame(rows, self.EDGE_SCHEMA), bid)
+        return body
+
+    def _readout(self, spark, workdir):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            _scan_state,
+        )
+        import os as _os
+
+        _, path = _scan_state(_os.path.join(workdir, "labels"))
+        return {
+            r["node"]: r["comp"]
+            for r in spark.read.parquet(path).collect()
+        }
+
+    # chain 1-2-3-4 built so NO single batch connects it: batch 0 has
+    # (3,4), batch 1 has (1,2), batch 2's (2,3) must merge TWO carried
+    # components {1,2} and {3,4} through the contraction; node 9 is an
+    # isolated self-edge (dropped), 7-8 a pair that never grows
+    BATCHES = [
+        [(3, 4), (9, 9)],
+        [(1, 2), (7, 8)],
+        [(2, 3)],
+    ]
+    WANT = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    def test_cross_batch_merge_and_replay(self, spark, tmp_path):
+        one = str(tmp_path / "one")
+        self._run(spark, one, [[e for b in self.BATCHES for e in b]])
+        assert self._readout(spark, one) == self.WANT
+
+        split = str(tmp_path / "split")
+        body = self._run(spark, split, self.BATCHES)
+        assert self._readout(spark, split) == self.WANT
+        # replay skipped (and harmless anyway: contraction of merged
+        # edges yields only self-loops)
+        body(spark.createDataFrame(self.BATCHES[1], self.EDGE_SCHEMA), 1)
+        assert self._readout(spark, split) == self.WANT
+
+        # cross-restart replay + a genuinely NEW batch joining the two
+        # surviving components through a fresh node
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_cc_batch,
+        )
+
+        restarted = make_cc_batch(split, {"bid": None, "path": None})
+        restarted(spark.createDataFrame(self.BATCHES[0], self.EDGE_SCHEMA), 0)
+        assert self._readout(spark, split) == self.WANT
+        restarted(
+            spark.createDataFrame([(8, 100), (100, 4)], self.EDGE_SCHEMA), 3
+        )
+        assert self._readout(spark, split) == {
+            n: 1 for n in (1, 2, 3, 4, 7, 8, 100)
+        }
+
+    def test_unordered_split_invariance(self, spark, tmp_path):
+        """Contraction is order-insensitive: reversed batch order gives
+        the identical final labels."""
+        rev = str(tmp_path / "rev")
+        self._run(spark, rev, list(reversed(self.BATCHES)))
+        assert self._readout(spark, rev) == self.WANT
