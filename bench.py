@@ -211,6 +211,7 @@ HEADLINE = [
     "streaming_weighted_reservoir",
     "streaming_connected_components",
     "sim_hamming_recall",
+    "dedup_cdc_pairs",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

@@ -917,3 +917,129 @@ def exact_substring_spans(
             "coverage_milli"
         ),
     )
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (queries.text_cdc_chunks is the
+    registered stats view over this): stateless rolling-8-gram md5
+    boundaries in a 1/32 target band, LAG-based >=8-char min-size
+    suppression, then per-doc spans fingerprinted. Returns
+    (doc_id, fp, clen) — one row per chunk.
+
+    Boundary placement is a pure function of the 8-gram, so two
+    documents sharing a run of text cut it at the SAME offsets and
+    produce bit-identical chunk fingerprints — the property both the
+    chunk-dedup stats and the containment pair miner build on. Scale:
+    the position explode is bounded by doc length; corpus-wide shuffles
+    move (doc_id, cut) longs and 16-byte fingerprints, never text (the
+    one text re-join is doc-keyed)."""
+    from pyspark.sql import Window as W
+
+    pos = docs.filter(F.length(text_col) >= 8).select(
+        "doc_id",
+        text_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(7))
+        ).alias("i"),
+    )
+    bnd = pos.filter(
+        F.substring(F.md5(F.expr(f"substring({text_col}, i, 8)")), 1, 2)
+        < "08"
+    ).select("doc_id", (F.col("i") + 7).cast("long").alias("cut"))
+    wdoc = W.partitionBy("doc_id").orderBy("cut")
+    kept = (
+        bnd.withColumn("pc", F.lag("cut", 1, -7).over(wdoc))
+        .filter(F.col("cut") - F.col("pc") >= 8)
+        .select("doc_id", "cut")
+    )
+    cuts = kept.union(
+        docs.filter(F.length(text_col) > 0).select(
+            "doc_id", F.length(text_col).cast("long").alias("cut")
+        )
+    ).distinct()
+    spans = cuts.withColumn("prev", F.lag("cut", 1, 0).over(wdoc))
+    return (
+        spans.join(docs.select("doc_id", text_col), "doc_id")
+        .filter(F.col("cut") > F.col("prev"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(
+                    f"substring({text_col}, CAST(prev + 1 AS INT),"
+                    " CAST(cut - prev AS INT))"
+                )
+            ).alias("fp"),
+            (F.col("cut") - F.col("prev")).alias("clen"),
+        )
+    )
+
+
+def cdc_containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs by CDC chunk containment — the
+    rsync/RefinedWeb-style alternative to MinHash: two documents are
+    candidates iff they share a literal >=8-char chunk (an equi-join on
+    chunk fingerprints, never all-pairs), and a pair is emitted when
+
+        |chunks(a) ∩ chunks(b)|  >=  (num/den) · min(|a|, |b|)
+
+    — containment, not Jaccard, so a small doc swallowed by a large one
+    still surfaces (the contamination/quote-detection semantics MinHash
+    Jaccard dilutes). The comparison is cross-multiplied integer
+    arithmetic; the one division happens only in the reported score.
+
+    Scale: chunk fingerprints with document frequency > max_df are
+    dropped from candidate generation (boilerplate chunks otherwise
+    create quadratic buckets — same role as the LSH max_bucket cap and
+    the substring index's df cap); every remaining bucket contributes
+    at most max_df² pairs, so the pair stream is linear in corpus size
+    with a constant factor, and blobs never shuffle — only 16-byte
+    fingerprints and counts."""
+    chunks = cdc_chunks(docs).select("doc_id", "fp").distinct()
+    sizes = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    df_ok = (
+        chunks.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    slim = chunks.join(df_ok, "fp")
+    a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b")
+    )
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("shared_chunks") * threshold_den
+            >= F.least("n_a", "n_b") * threshold_num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_chunks",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("shared_chunks").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

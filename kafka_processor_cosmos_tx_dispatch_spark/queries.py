@@ -14312,10 +14312,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_cdc_chunks",
-    """
-    WITH pos AS (
+_CDC_CHUNKS_SQL = """
+    pos AS (
       SELECT doc_id, text,
              unnest(range(1, GREATEST(LENGTH(text) - 7, 0) + 1)) AS i
       FROM documents),
@@ -14341,6 +14339,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              s.cut - s.prev AS clen
       FROM spans s JOIN documents d ON s.doc_id = d.doc_id
       WHERE s.cut > s.prev)
+"""  # the CDC span derivation, shared by text_cdc_chunks / dedup_cdc_pairs
+
+
+@register(
+    "text_cdc_chunks",
+    f"""
+    WITH {_CDC_CHUNKS_SQL}
     SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(MIN(clen) AS BIGINT) AS chunk_len
@@ -14368,47 +14373,13 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final chunk-hash groupBy; blobs never move — only 16-byte
     fingerprints. This is the substring-dedup primitive that scales
     where the suffix-diagonal index (dedup_exact_substring) needs its
-    df cap."""
+    df cap. Span derivation shared with dedup_cdc_pairs
+    (operators/dedup.py:cdc_chunks)."""
+    from .operators.dedup import cdc_chunks
+
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.filter(F.length("text") >= 8).select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(7))
-        ).alias("i"),
-    )
-    bnd = pos.filter(
-        F.substring(
-            F.md5(F.expr("substring(text, i, 8)")), 1, 2
-        )
-        < "08"
-    ).select("doc_id", (F.col("i") + 7).cast("long").alias("cut"))
-    wdoc = W.partitionBy("doc_id").orderBy("cut")
-    kept = (
-        bnd.withColumn("pc", F.lag("cut", 1, -7).over(wdoc))
-        .filter(F.col("cut") - F.col("pc") >= 8)
-        .select("doc_id", "cut")
-    )
-    cuts = kept.union(
-        docs.filter(F.length("text") > 0).select(
-            "doc_id", F.length("text").cast("long").alias("cut")
-        )
-    ).distinct()
-    spans = cuts.withColumn("prev", F.lag("cut", 1, 0).over(wdoc))
-    chunks = (
-        spans.join(docs.select("doc_id", "text"), "doc_id")
-        .filter(F.col("cut") > F.col("prev"))
-        .select(
-            "doc_id",
-            F.md5(
-                F.expr("substring(text, CAST(prev + 1 AS INT),"
-                       " CAST(cut - prev AS INT))")
-            ).alias("fp"),
-            (F.col("cut") - F.col("prev")).alias("clen"),
-        )
-    )
     return (
-        chunks.groupBy("fp")
+        cdc_chunks(docs).groupBy("fp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_occ"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
@@ -14417,6 +14388,51 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > 1)
         .orderBy(F.desc("n_occ"), "fp")
         .limit(50)
+    )
+
+
+@register(
+    "dedup_cdc_pairs",
+    f"""
+    WITH {_CDC_CHUNKS_SQL},
+    cset AS (SELECT DISTINCT doc_id, fp FROM chunks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM cset GROUP BY doc_id),
+    df_ok AS (SELECT fp FROM cset GROUP BY fp HAVING COUNT(*) <= 10),
+    slim AS (SELECT c.doc_id, c.fp FROM cset c JOIN df_ok USING (fp)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM slim a JOIN slim b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b, s.shared_chunks,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(s.shared_chunks AS DOUBLE)
+             / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE s.shared_chunks * 2 >= LEAST(na.n, nb.n)
+    """,
+)
+def dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by CDC chunk CONTAINMENT
+    (operators/dedup.py:cdc_containment_pairs) — the rsync/RefinedWeb
+    alternative to MinHash: candidates are docs sharing a literal
+    >=8-char chunk (equi-join on chunk fingerprints, never all-pairs),
+    emitted when shared chunks cover >= 1/2 of the SMALLER doc's chunk
+    set. Containment, not Jaccard, so a small document swallowed by a
+    large one still surfaces — the contamination/quote-detection
+    semantics Jaccard dilutes. Chunk fingerprints with document
+    frequency > 10 are dropped from candidate generation (the
+    boilerplate-bucket cap, same role as the LSH max_bucket); the
+    threshold compare is cross-multiplied integer arithmetic, the one
+    division only in the reported score."""
+    from .operators.dedup import cdc_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_containment_pairs(
+        docs, threshold_num=1, threshold_den=2, max_df=10
     )
 
 

@@ -1782,3 +1782,58 @@ class TestRakeKeywords:
         assert got["deep"] == (3 + 1, 2, 2.0)
         assert got["learning"] == (3, 1, 3.0)
         assert got["era"] == (1, 1, 1.0)
+
+
+class TestCdcContainmentPairs:
+    def test_containment_on_crafted_near_dups(self, spark):
+        """A doc fully contained in a larger one (quote/contamination
+        shape) must surface with containment 1.0 even though Jaccard
+        would be low; unrelated docs must not pair; a boilerplate chunk
+        shared by MANY docs is df-capped out of candidate generation."""
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+            cdc_chunks,
+            cdc_containment_pairs,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight "
+        ) * 4
+        big = base + ("unique continuation text here " * 10)
+        docs = [
+            (1, base),
+            (2, big),  # contains all of doc 1's text
+            (3, "completely different content with no shared runs " * 8),
+        ]
+        # df-cap check: one shared boilerplate sentence across 12 docs
+        boiler = "subscribe to our newsletter for updates today now "
+        docs += [(100 + i, boiler + f"unique tail {i} " * 20) for i in range(12)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in cdc_containment_pairs(df, max_df=10).collect()
+        }
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        # doc 1's chunks are cut at identical offsets inside doc 2 up to
+        # the junction chunk, so containment is high; n_a chunks mostly
+        # shared
+        assert r["containment"] >= 0.5
+        assert not any(3 in p for p in pairs)
+        # the boilerplate-only overlap (df = 12 > 10) must NOT create
+        # the ~66 boilerplate pairs
+        assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+        # chunk determinism: same text -> same fingerprints, offsets
+        # independent of the surrounding doc set
+        c1 = sorted(
+            r["fp"] for r in cdc_chunks(df.filter("doc_id = 1")).collect()
+        )
+        c1_again = sorted(
+            r["fp"]
+            for r in cdc_chunks(
+                spark.createDataFrame([(9, base)], "doc_id long, text string")
+            ).collect()
+        )
+        assert c1 == c1_again
