@@ -42,6 +42,7 @@ EAGER = {
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "graph_closeness_bfs",  # same labeled-BFS per-round materialization
     "graph_connected_components",  # CC pointer-jump rounds run on call
+    "graph_random_walks",  # adjacency localCheckpoint on call (4-step unroll)
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
