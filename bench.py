@@ -212,6 +212,7 @@ HEADLINE = [
     "streaming_connected_components",
     "sim_hamming_recall",
     "dedup_cdc_pairs",
+    "graph_random_walks",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

@@ -14081,6 +14081,135 @@ def streaming_connected_components(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_WALK_STEPS = 4
+
+
+def _walk_step_sql(i: int) -> str:
+    """One unrolled walk step: from w{i}'s node, pick the neighbor whose
+    adjacency rank equals hash(node, step) mod degree."""
+    return f"""
+    w{i + 1} AS (
+      SELECT w.seed, {i + 1} AS step, a.dst AS node
+      FROM w{i} w
+      JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+        AND a.rnk = 1 + (('0x' || substring(md5(
+              CAST(w.node AS VARCHAR) || ':' || CAST({i + 1} AS VARCHAR)
+            ), 1, 8))::BIGINT % d.deg))
+    """
+
+
+@register(
+    "graph_random_walks",
+    f"""
+    WITH cs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    edges AS (SELECT c AS src, 10000000 + s AS dst FROM cs
+              UNION SELECT 10000000 + s, c FROM cs),
+    adj AS (SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk
+            FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    w0 AS (SELECT src AS seed, 0 AS step, src AS node
+           FROM deg WHERE src < 20),
+    {",".join(_walk_step_sql(i).strip() for i in range(_WALK_STEPS))}
+    SELECT seed, CAST(step AS INTEGER) AS step, node
+    FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+          UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+          UNION ALL SELECT * FROM w4)
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the purchase graph — the
+    DeepWalk/node2vec CORPUS GENERATOR expressed as iterated equi-joins:
+    each step picks the neighbor whose adjacency rank (dst-sorted
+    ROW_NUMBER) equals hash(node, step) mod degree, so the "random"
+    choice is a pure function of (node, step) — any engine draws the
+    identical walks with no RNG state, the same trick as the md5 ticket
+    race in sample_weighted_reservoir. 20 seeds × 4 steps here; the
+    walk table (seed, step, node) is what a skip-gram embedding
+    trainer consumes.
+
+    Scale: one adjacency build (src-keyed window) + one degree agg,
+    then each step is ONE equi-join of the frontier against the
+    adjacency on (node, rank) — linear in walk count per step,
+    billions of walks are just a bigger frontier. The lazy 4-step
+    unroll shares the adjacency subplan across steps; deeper walks
+    would checkpoint the frontier per step (the iterative.py shell)
+    instead of growing the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).distinct()
+    adj = edges.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("src").orderBy("dst")),
+    ).localCheckpoint()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    walk = (
+        deg.filter(F.col("src") < 20)
+        .select(
+            F.col("src").alias("seed"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("node"),
+        )
+    )
+    out = walk
+    for i in range(_WALK_STEPS):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("node").cast("string"),
+                            F.lit(i + 1).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+        # (node, rnk) two-column EQUI-join: the frontier computes its
+        # pick rank first, so a hub node never fans out deg-wide before
+        # a filter — each frontier row matches exactly one adjacency row
+        walk = (
+            walk.join(deg.withColumnRenamed("src", "node"), "node")
+            .withColumn("rnk", (pick + 1).cast("int"))
+            .join(
+                adj.select(
+                    F.col("src").alias("node"),
+                    F.col("dst").alias("next_node"),
+                    "rnk",
+                ),
+                ["node", "rnk"],
+            )
+            .select(
+                "seed",
+                F.lit(i + 1).alias("step"),
+                F.col("next_node").alias("node"),
+            )
+        )
+        out = out.unionByName(walk)
+    return out.select(
+        "seed", F.col("step").cast("int").alias("step"), "node"
+    )
+
+
 @register(
     "sim_topk_hamming",
     """

@@ -1837,3 +1837,47 @@ class TestCdcContainmentPairs:
             ).collect()
         )
         assert c1 == c1_again
+
+
+def test_random_walks_follow_edges_deterministically(spark, sf_dir):
+    """Every walk step (u -> v) must be a real edge, and the chosen v
+    must equal the hash-rank rule recomputed in Python from the same
+    adjacency — pins the md5 pick, the rank convention (dst-sorted,
+    1-based), and the alternation structure of the bipartite graph."""
+    import hashlib
+
+    from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+        _WALK_STEPS,
+        graph_random_walks,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in cs:
+        c, s = r[0], 10000000 + r[1]
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+
+    walks = {}
+    for r in graph_random_walks(spark, sf_dir).collect():
+        walks.setdefault(r["seed"], {})[r["step"]] = r["node"]
+
+    assert walks and all(len(w) == _WALK_STEPS + 1 for w in walks.values())
+    for seed, w in walks.items():
+        assert w[0] == seed
+        for step in range(1, _WALK_STEPS + 1):
+            u, v = w[step - 1], w[step]
+            nbrs = sorted(adj[u])
+            h = int(hashlib.md5(f"{u}:{step}".encode()).hexdigest()[:8], 16)
+            assert v == nbrs[h % len(nbrs)], (seed, step)
