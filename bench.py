@@ -213,6 +213,8 @@ HEADLINE = [
     "sim_hamming_recall",
     "dedup_cdc_pairs",
     "graph_random_walks",
+    "text_skipgram_pairs",
+    "text_neg_sampling_table",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

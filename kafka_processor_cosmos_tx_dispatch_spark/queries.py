@@ -14566,6 +14566,135 @@ def dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_skipgram_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents
+                  WHERE lang = 'en'),
+    flat AS (SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS w
+             FROM toks),
+    offs AS (SELECT unnest([-2, -1, 1, 2]) AS d),
+    ctx AS (
+      SELECT c.w AS center, x.w AS context
+      FROM flat c
+      CROSS JOIN offs o
+      JOIN flat x ON x.doc_id = c.doc_id AND x.p = c.p + o.d)
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ctx GROUP BY center, context
+    ORDER BY n DESC, center, context LIMIT 100
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with a ±2 window —
+    the word2vec/fastText training-pair generator: each token pairs
+    with its neighbors at offsets {{-2,-1,1,2}}, counted corpus-wide.
+    The window is an EQUI-join, not a range join: context positions are
+    materialized by a 4-row offset explode on the center side, then
+    joined on (doc_id, position) — so the plan is one position-keyed
+    shuffle and scales linearly in tokens × window, never tokens².
+    Top-100 pairs by count (deterministic tiebreak) as the view; the
+    full pair stream is what a trainer would consume."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    flat = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "p", "w"
+        ),
+    )
+    ctx = (
+        flat.select(
+            "doc_id",
+            F.col("w").alias("center"),
+            F.explode(
+                F.array(*[F.lit(d) for d in (-2, -1, 1, 2)])
+            ).alias("d"),
+            (F.col("p") + F.col("d")).alias("cp"),
+        )
+        .join(
+            flat.select(
+                "doc_id",
+                F.col("p").alias("cp"),
+                F.col("w").alias("context"),
+            ),
+            ["doc_id", "cp"],
+        )
+    )
+    return (
+        ctx.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "center", "context")
+        .limit(100)
+    )
+
+
+@register(
+    "text_neg_sampling_table",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents
+                  WHERE lang = 'en'),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+      HAVING COUNT(*) >= 5),
+    wt AS (
+      SELECT w, cnt,
+             CAST(FLOOR(1048576.0 * sqrt(CAST(cnt AS DOUBLE)
+                    * sqrt(CAST(cnt AS DOUBLE)))) AS BIGINT) AS w_fixed
+      FROM counts),
+    tot AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS tw FROM wt)
+    SELECT w AS word, cnt,
+           w_fixed,
+           CAST(w_fixed AS DOUBLE) / CAST(t.tw AS DOUBLE) AS prob
+    FROM wt CROSS JOIN tot t
+    """,
+)
+def text_neg_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution: unigram counts
+    raised to the 3/4 power, normalized. cnt^0.75 is computed as
+    sqrt(cnt · sqrt(cnt)) — two correctly-rounded IEEE sqrts and one
+    multiply, the same no-transcendentals trick as
+    sample_temperature_weights' alpha=0.5 — then fixed-pointed to
+    floor(2^20 · x) so the normalizing sum is an exact integer and the
+    final shares are single divides. Words under 5 occurrences are
+    dropped (the min-count vocab rule). Scale: one exploded token agg
+    into a vocab-bounded table; the 1-row total broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    wt = counts.select(
+        "w",
+        "cnt",
+        F.floor(
+            F.lit(1048576.0)
+            * F.sqrt(
+                F.col("cnt").cast("double")
+                * F.sqrt(F.col("cnt").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("w_fixed"),
+    ).localCheckpoint()
+    tot = wt.agg(F.sum("w_fixed").cast("long").alias("tw"))
+    return wt.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("word"),
+        "cnt",
+        "w_fixed",
+        (F.col("w_fixed").cast("double") / F.col("tw").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+@register(
     "text_rake_keywords",
     f"""
     WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents

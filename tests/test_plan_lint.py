@@ -46,6 +46,7 @@ EAGER = {
     "q_gap_fill_locf",
     "q_sketch_countmin",
     "sample_temperature_weights",
+    "text_neg_sampling_table",  # same vocab-table checkpoint + 1-row total
     "streaming_incremental_merge",
     "text_tfidf_topterms",
     "text_token_rarity",
@@ -178,6 +179,7 @@ EAGER_BNLJ_OK = {
     "q_gap_fill_locf",  # 1-row ts-bounds aggregate crossJoin
     "q_sketch_countmin",  # 1-row sketch-table broadcast into the probe
     "sample_temperature_weights",  # 1-row normalization aggregate
+    "text_neg_sampling_table",  # same 1-row normalization-total crossJoin
     "text_tfidf_topterms",  # 1-row corpus-size aggregate
     "text_token_rarity",  # 1-row corpus-size aggregate
     "streaming_incremental_merge",  # 1-row snapshot watermark aggregate
