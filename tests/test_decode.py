@@ -584,9 +584,9 @@ def test_descriptor_set_is_valid_protobuf(spark):
     files = [
         v for n, wt, v in protowire.parse_fields(data) if n == 1 and wt == 2
     ]
-    # r12 wave 2: +authz.proto/vesting.proto layout files, evidence (2),
-    # crisis, gov v1 (2)
-    assert len(files) == 29
+    # r12: +authz.proto/vesting.proto layout files, evidence (2),
+    # crisis, gov v1 (2), upgrade (2)
+    assert len(files) == 31
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -917,4 +917,34 @@ def test_any_registry_r12_wave2():
         "sender": OKP4_ADDR,
         "invariantModuleName": "bank",
         "invariantRoute": "total-supply",
+    }
+
+
+def test_any_registry_r12_wave3_upgrade():
+    """Upgrade module: MsgSoftwareUpgrade nested INSIDE a gov-v1
+    proposal's messages Any list — the double-nesting real chain
+    governance produces (proposal → sdk.Msg → Plan with a Timestamp)."""
+    ts = _varint(1 << 3) + _varint(1700000000)
+    plan = (
+        _ld(1, b"v2-upgrade")
+        + _ld(2, ts)
+        + _varint(3 << 3)
+        + _varint(4200000)
+        + _ld(4, b"{}")
+    )
+    up_url = "type.googleapis.com/cosmos.upgrade.v1beta1.MsgSoftwareUpgrade"
+    up = _ld(1, b"okp41gov") + _ld(2, plan)
+    sub_url = "type.googleapis.com/cosmos.gov.v1.MsgSubmitProposal"
+    sub = _ld(1, _any(up_url, up)) + _ld(3, OKP4_ADDR.encode())
+    tx = protowire.decode_tx(_tx_raw(_ld(1, _any(sub_url, sub))))
+    inner = tx["body"]["messages"][0]["messages"][0]
+    assert inner == {
+        "@type": up_url,
+        "authority": "okp41gov",
+        "plan": {
+            "name": "v2-upgrade",
+            "time": "2023-11-14T22:13:20Z",
+            "height": "4200000",
+            "info": "{}",
+        },
     }

@@ -750,6 +750,42 @@ FILES = [
         ],
     ),
     file_proto(
+        # upgrade: the msgs a gov-v1 proposal most commonly EMBEDS in
+        # its messages Any list — Plan carries the Timestamp string form
+        "cosmos/upgrade/v1beta1/upgrade.proto",
+        "cosmos.upgrade.v1beta1",
+        ["google/protobuf/timestamp.proto"],
+        [
+            message(
+                "Plan",
+                field("name", 1, T_STRING),
+                field(
+                    "time", 2, T_MESSAGE, OPT, ".google.protobuf.Timestamp"
+                ),
+                field("height", 3, T_INT64),
+                field("info", 4, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/upgrade/v1beta1/tx.proto",
+        "cosmos.upgrade.v1beta1",
+        ["cosmos/upgrade/v1beta1/upgrade.proto"],
+        [
+            message(
+                "MsgSoftwareUpgrade",
+                field("authority", 1, T_STRING),
+                field(
+                    "plan", 2, T_MESSAGE, OPT, ".cosmos.upgrade.v1beta1.Plan"
+                ),
+            ),
+            message(
+                "MsgCancelUpgrade",
+                field("authority", 1, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
         "cosmos/gov/v1/gov.proto",
         "cosmos.gov.v1",
         [],
