@@ -786,6 +786,67 @@ def main() -> None:
 
     probe("cdc_chunks", args.docs, cdc_chunks)
 
+    # r12: deterministic random walks — 2,000 seeds x 4 steps over the
+    # 5M-event bipartite graph; each step is one (node, rank) equi-join
+    # against the checkpointed adjacency, so cost is frontier-linear
+    def random_walks():
+        cs = (
+            ev.select(
+                F.col("user_id").alias("src"),
+                (F.lit(10_000_000) + F.col("event_id") % 5000).alias("dst"),
+            )
+            .distinct()
+        )
+        edges = cs.union(
+            cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        adj = edges.withColumn(
+            "rnk",
+            F.row_number().over(_W.partitionBy("src").orderBy("dst")),
+        ).localCheckpoint()
+        deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        walk = deg.filter(F.col("src") < 2000).select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("node"),
+        )
+        out = walk
+        for i in range(4):
+            pick = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("node").cast("string"),
+                                F.lit(i + 1).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("deg")
+            )
+            walk = (
+                walk.join(deg.withColumnRenamed("src", "node"), "node")
+                .withColumn("rnk", (pick + 1).cast("int"))
+                .join(
+                    adj.select(
+                        F.col("src").alias("node"),
+                        F.col("dst").alias("next_node"),
+                        "rnk",
+                    ),
+                    ["node", "rnk"],
+                )
+                .select("seed", F.col("next_node").alias("node"))
+            )
+            out = out.unionByName(walk)
+        run(out)
+
+    probe("random_walks_2kseed_4step", args.events, random_walks)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
