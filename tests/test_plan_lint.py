@@ -101,6 +101,7 @@ BNLJ_OK = {
     "text_bpe_train",  # 1-row argmax merge-pair broadcast per iteration
     "sim_topk_bruteforce",  # bounded query set broadcast vs corpus
     "sim_topk_hamming",  # same bounded-query broadcast over packed words
+    "sim_topk_hamming_rerank",  # stage 1 IS sim_topk_hamming; rerank bounded
     "sim_recall_at_k",  # same bounded-query broadcast on both result sides
     "sim_hamming_recall",  # same shape: exact + hamming sides both bounded
     "sim_mutual_knn",  # bounded side-A broadcast vs side-B corpus (exact miner)
