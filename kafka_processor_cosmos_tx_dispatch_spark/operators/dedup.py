@@ -1043,3 +1043,105 @@ def cdc_containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-granularity exact dedup (the RefinedWeb/Dolma pipeline stage)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level EXACT paragraph dedup with document reassembly: split
+    every document into non-overlapping `size`-token passages (the same
+    paragraph proxy as passage-LSH — this corpus has no newlines),
+    fingerprint each passage, keep exactly ONE copy of every distinct
+    passage corpus-wide (the first occurrence in (doc_id, chunk_idx)
+    order), and rebuild each document from its surviving passages.
+
+    This is the stage crawl pipelines run between whole-document exact
+    dedup and near-dup: boilerplate paragraphs (headers, footers,
+    license blocks) repeat across MILLIONS of otherwise-distinct pages,
+    so document-granularity fingerprints never fire, while removing the
+    repeated paragraph everywhere but its first occurrence recovers the
+    bulk of the duplication.
+
+    Output: (doc_id, n_chunks, n_kept, text_dedup) for EVERY input
+    document — a doc whose every passage already appeared elsewhere
+    comes back with n_kept = 0 and text_dedup = ''.
+
+    Plan/scale: chunking is a narrow Generate (no shuffle); the
+    keep-first rule is one hash-agg on the passage fingerprint
+    (min composite key, window-free — map-side partial agg makes the
+    shuffle proportional to #distinct passages) followed by an
+    equi-join back on the SAME fingerprint key (shares the hash
+    partitioning); reassembly is one doc-keyed agg. Nothing is
+    quadratic; the fingerprint shuffle carries 16-byte digests, never
+    passage text. The composite keeper key is doc_id·1024 + chunk_idx,
+    exact while chunk_idx < 1024 (enforced below — at size=32 that is
+    docs up to 32k tokens; raise `size` for longer documents).
+    """
+    t = TX.tokens(F.col(text_col))
+
+    def mk(tc: F.Column) -> F.Column:
+        n_chunks = (
+            (F.greatest(F.size(tc) - size, F.lit(0)) + (size - 1))
+            .cast("long")
+            / size
+        ).cast("long") + 1
+        return F.struct(
+            tc.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
+        )
+
+    chunked = (
+        docs.select(F.col(id_col).alias("doc_id"), EX.bind(t, mk).alias("s"))
+        .select("doc_id", F.col("s.t").alias("t"), F.explode("s.idx").alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("chunk_idx") * size + 1, size)
+            ).alias("p"),
+        )
+        .withColumn("fp", F.md5(F.col("p")))
+        .withColumn(
+            "ck",
+            F.col("doc_id") * 1024
+            + F.col("chunk_idx")
+            # assert_true yields NULL on pass and raises on violation, so
+            # coalesce keeps the composite exact while enforcing the bound
+            + F.coalesce(
+                F.assert_true(
+                    F.col("chunk_idx") < 1024,
+                    F.lit("paragraph_dedup: document exceeds 1024 chunks"),
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    keepers = chunked.groupBy("fp").agg(F.min("ck").alias("keep_ck"))
+    flagged = chunked.join(keepers, "fp").withColumn(
+        "kept", (F.col("ck") == F.col("keep_ck")).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept") == 1,
+                            F.struct("chunk_idx", "p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+        ).alias("text_dedup"),
+    )

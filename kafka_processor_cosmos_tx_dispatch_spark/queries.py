@@ -14884,6 +14884,50 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_paragraph_exact",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i*32+1 : i*32+32], ' ') AS p
+      FROM toks, unnest(generate_series(0,
+           (greatest(len(t) - 32, 0) + 31) // 32)) AS u(i)),
+    fps AS (SELECT doc_id, chunk_idx, p, md5(p) AS f,
+                   doc_id * 1024 + chunk_idx AS ck FROM ch),
+    kp AS (SELECT f, MIN(ck) AS keep_ck FROM fps GROUP BY f)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ck = keep_ck THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN ck = keep_ck THEN p END, ' '
+                               ORDER BY chunk_idx), '') AS text_dedup
+    FROM fps JOIN kp USING (f)
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity exact dedup with reassembly
+    (operators/dedup.py:paragraph_dedup) — the RefinedWeb/Dolma stage
+    between whole-document exact dedup and near-dup: every distinct
+    32-token passage survives exactly ONCE corpus-wide (first occurrence
+    in (doc_id, chunk_idx) order); each document is rebuilt from its
+    surviving passages, so boilerplate that repeats across millions of
+    otherwise-distinct pages (headers, license blocks) is removed
+    everywhere but its first occurrence — invisible to document
+    fingerprints, recovered here.
+
+    Scale: narrow chunk Generate → ONE hash-agg on the 16-byte passage
+    fingerprint (min composite key, window-free, map-side partial) →
+    fingerprint equi-join sharing that partitioning → one doc-keyed
+    reassembly agg. Shuffle volume is digests + kept passage text;
+    nothing quadratic, no skew hazard beyond AQE's reach."""
+    from .operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, size=32)
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
