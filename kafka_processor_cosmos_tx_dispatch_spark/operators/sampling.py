@@ -7,7 +7,7 @@ are reproducible fleet-wide and the DuckDB oracle can replay them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,4 +148,98 @@ def weighted_reservoir(
         .withColumn("priority", pri)
         .orderBy("priority", id_col)
         .limit(k)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 4096,
+    scale: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much its hashed-bigram feature distribution looks like the
+    TARGET subset (rows where `target` is true) relative to the RAW
+    corpus (all rows). The pipeline use: compute weights once over the
+    crawl, then importance-resample (e.g. weighted_reservoir over the
+    weights) to tilt a 100 TB raw corpus toward a small quality domain.
+
+    Feature space: word bigrams hashed into `buckets` buckets (the
+    paper's hashed n-gram model). Per-bucket weight is the smoothed
+    likelihood ratio in INTEGER fixed-point —
+
+        lr_fp[b] = (cnt_target[b] + 1) * scale DIV (cnt_raw[b] + 1)
+
+    and a document scores the sum of lr_fp over its bigram occurrences.
+    This is the LINEAR-domain variant of the paper's log-ratio sum:
+    per-bucket it is the same monotone smoothed ratio, and keeping it
+    integer makes the score exactly reproducible across engines (the
+    log-domain float sum pins neither summation order nor libm). The
+    global normalizer (raw_total + B)/(target_total + B) multiplies
+    every bucket equally and is omitted — it cannot change any ranking
+    an importance resampler consumes. Since target ⊆ raw,
+    lr_fp ≤ scale, so a 60-bigram document scores < 2²⁶ — no overflow
+    at any corpus size.
+
+    Output: (doc_id, n_feats, dsir_fp) for every document with ≥1
+    bigram (single-token docs carry no feature and drop, like the
+    bigram-LM family).
+
+    Plan/scale: bigram+bucket derivation is one index-aware HOF (narrow,
+    no posexplode alignment shuffle); the count table is ONE map-side-
+    combinable agg whose result is ≤ `buckets` rows REGARDLESS of corpus
+    size — it re-enters as a broadcast, so per-doc scoring is a
+    broadcast equi-join + one doc-keyed agg. The corpus text itself is
+    never shuffled. cnt_target and cnt_raw come from the same pass
+    (conditional agg), not two scans."""
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("__t"),
+        F.split(text_col, " ").alias("a"),
+    )
+    bg = arr.select(
+        "doc_id",
+        "__t",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN"
+                " filter(transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                " element_at(a, i + 1) AS w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '')"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "__t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("bkt"),
+    )
+    bt = bg.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("__t"), 1)).alias("ct"),
+    )
+    return (
+        bg.join(F.broadcast(bt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.expr(f"(ct + 1) * {scale} DIV (cr + 1)")).alias(
+                "dsir_fp"
+            ),
+        )
     )

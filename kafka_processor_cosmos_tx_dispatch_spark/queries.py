@@ -14928,6 +14928,46 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs, size=32)
 
 
+@register(
+    "sample_dsir_weights",
+    """
+    WITH arr AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                 FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(a[i] || ' ' || a[i + 1]), 1, 15))::BIGINT
+               % 4096 AS bkt
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    bt AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+      FROM bg GROUP BY bkt)
+    SELECT bg.doc_id, COUNT(*) AS n_feats,
+           CAST(SUM((ct + 1) * 1048576 // (cr + 1)) AS BIGINT) AS dsir_fp
+    FROM bg JOIN bt USING (bkt)
+    GROUP BY bg.doc_id
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py:dsir_weights; Xie
+    et al. 2023): hashed-bigram likelihood-ratio score of every document
+    against the English subset as the target domain — the reweighting
+    pass that importance-resampling data selection runs over the raw
+    crawl before drawing the training sample. Integer fixed-point
+    per-bucket ratios (the linear-domain, cross-engine-exact variant of
+    the paper's log sum; the rank-neutral global normalizer omitted).
+
+    Scale: the feature-count table is ≤4096 rows regardless of corpus
+    size (one conditional map-side agg) and re-enters as a BROADCAST;
+    scoring is a broadcast equi-join + one doc-keyed agg — the corpus
+    is never shuffled."""
+    from .operators.sampling import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=F.col("lang") == "en")
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -1947,3 +1947,40 @@ def test_paragraph_dedup_survivor_uniqueness(spark, sf_dir):
         ).alias("f")
     )
     assert total_kept == chunks.distinct().count()
+
+
+def test_dsir_weights_target_ordering(spark):
+    """Pin the DSIR contract on a hand corpus: (a) a doc whose bigrams
+    all appear in the target subset outscores (per-feature) a doc whose
+    bigrams never do, (b) per-bucket ratios are bounded by the
+    fixed-point scale (target ⊆ raw), and (c) a single-token doc carries
+    no feature and drops."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+        dsir_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good clean prose here", "en"),      # target
+            (1, "good clean prose here", "fr"),      # = target bigrams
+            (2, "zz1 zz2 zz3 zz4", "fr"),            # disjoint from target
+            (3, "solo", "fr"),                        # no bigram
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, target=F.col("lang") == "en").collect()
+    }
+    assert 3 not in got  # (c)
+    assert got[1]["n_feats"] == got[2]["n_feats"] == 3
+    # (a): doc 1's bigrams each appear once in target and twice raw ->
+    # lr = 2*S DIV 3 per bucket; doc 2's never in target -> lr = S DIV 2
+    s = 1 << 20
+    assert got[1]["dsir_fp"] == 3 * (2 * s // 3)
+    assert got[2]["dsir_fp"] == 3 * (s // 2)
+    assert got[1]["dsir_fp"] > got[2]["dsir_fp"]
+    # (b): no per-doc score exceeds n_feats * scale
+    for r in got.values():
+        assert r["dsir_fp"] <= r["n_feats"] * s
