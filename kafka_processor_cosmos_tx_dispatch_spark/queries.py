@@ -14968,6 +14968,113 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target=F.col("lang") == "en")
 
 
+@register(
+    "sim_matryoshka_recall",
+    f"""
+    WITH {_D_FLAT},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id < 10
+        AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    pnorms AS (
+      SELECT vec_id,
+             SUM(CAST(floor(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS n
+      FROM flat WHERE pos <= 16 GROUP BY vec_id),
+    pdots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(CAST(floor(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*{_FIXED})
+                 AS BIGINT)) AS d
+      FROM flat q JOIN flat c ON q.pos = c.pos AND q.pos <= 16
+        AND c.pos <= 16 AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    pscored AS (
+      SELECT query_id, neighbor_id,
+             (d / {_FIXED}) / sqrt((nq.n / {_FIXED}) * (nc.n / {_FIXED}))
+               AS cos_sim
+      FROM pdots
+      JOIN pnorms nq ON nq.vec_id = query_id
+      JOIN pnorms nc ON nc.vec_id = neighbor_id),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM pscored) WHERE rn <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id
+      AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PREFIX-dimension retrieval (the Matryoshka/MRL
+    truncation: score with only the first 16 of 64 dims) against the
+    full-dimension exact cosine baseline — the eval that sizes the
+    adaptive-retrieval ladder: how much rank order does a 4x-cheaper
+    prefix scan keep, before the full-dim rerank pays for the rest.
+    Composition: brute_force_topk over SLICED vectors (the prefix is
+    just a narrower embedding — same fixed-point dot/norm machinery,
+    zero new scoring code) vs the same operator on full vectors; the
+    eval join is |Q|*k rows, scale-free. At 100 TB the prefix scan
+    reads 1/4 the bytes of the full scan with the identical plan —
+    that byte ratio, times the recall this query MEASURES, is the
+    prefix ladder's whole value proposition."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def prefix(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+
+    q10 = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q10, emb, k=5).select("query_id", "neighbor_id")
+    approx = brute_force_topk(prefix(q10), prefix(emb), k=5).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["p_neighbor"]),
+            "left",
+        )
+        .drop(approx["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("p_neighbor").cast("long").alias("n_hit"),
+            (
+                F.count("p_neighbor").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -847,6 +847,81 @@ def main() -> None:
 
     probe("random_walks_2kseed_4step", args.events, random_walks)
 
+    # r11 backfill: PCA top-2 — two power iterations (four linear
+    # passes + dims-cell aggs) plus the in-row Hotelling deflation;
+    # should read ~2x the single-component power-iteration cost
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.similarity import (
+        pca_top2_components,
+    )
+
+    vecs = _vecs(spark, args.vecs).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x / F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    probe("pca_top2", args.vecs, lambda: run(pca_top2_components(vecs, rounds=2)))
+
+    # r11 backfill: the two query-level document operators, run through
+    # the REGISTERED query functions against a scaled documents table
+    # with the testdata schema (so the probe exercises the exact plan
+    # the bench measures, at 50x its doc count)
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
+
+    holdout_dir = f"{WORKDIR}/qdocs"
+    docs.select(
+        "doc_id",
+        "text",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+            ((F.col("doc_id") % 4) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 7)).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{holdout_dir}/documents.parquet")
+
+    # six-stage eval-shard plan: df-capped substring index + banded LSH
+    # + hash split + per-lang prefix window — the bounded-joins claim
+    probe(
+        "pipeline_eval_holdout",
+        args.docs,
+        lambda: run(Q.pipeline_eval_holdout(spark, holdout_dir)),
+    )
+    # speech-span x scene interval join: two doc-keyed shuffles + one
+    # doc_id equi-join with interval residual
+    probe(
+        "multimodal_av_align",
+        args.docs,
+        lambda: run(Q.multimodal_av_align(spark, holdout_dir)),
+    )
+
+    # r11 backfill: arrival-monitor steady state — 4 ORDERED micro-batch
+    # splits (the monitor fails loud on unordered bridges) over the 5M
+    # events; per-batch cost = one lag window + full-outer state merge
+    from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+        make_arrival_monitor_batch,
+    )
+
+    def arrival_monitor():
+        import shutil as _sh
+
+        workdir = f"{WORKDIR}/sarr"
+        _sh.rmtree(workdir, ignore_errors=True)
+        body = make_arrival_monitor_batch(workdir, {"bid": None, "path": None})
+        src = ev.select("user_id", "event_id", "ts")
+        span = 2_592_000 // 4
+        for bid in range(4):
+            body(
+                src.filter(
+                    (F.col("event_id") % 2_592_000).between(
+                        bid * span, (bid + 1) * span - 1
+                    )
+                ),
+                bid,
+            )
+
+    probe("arrival_monitor_4batches", args.events, arrival_monitor)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
