@@ -585,8 +585,10 @@ def test_descriptor_set_is_valid_protobuf(spark):
         v for n, wt, v in protowire.parse_fields(data) if n == 1 and wt == 2
     ]
     # r12: +authz.proto/vesting.proto layout files, evidence (2),
-    # crisis, gov v1 (2), upgrade (2)
-    assert len(files) == 31
+    # crisis, gov v1 (2), upgrade (2); wave 4: params, distribution
+    # proposal, bank/staking authz payloads, ed25519 + multisig keys,
+    # wasm types.proto
+    assert len(files) == 38
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -596,6 +598,31 @@ def test_descriptor_set_is_valid_protobuf(spark):
     per_file: dict[str, dict] = {}
     for f in files:
         fname, pkg, deps, type_names, declared = None, "", [], [], []
+
+        def walk_message(buf: bytes, scope: str) -> None:
+            # DescriptorProto: name=1, field=2, nested_type=3, enum_type=4
+            mname, nested, nenums = None, [], []
+            for n2, _, v2 in protowire.parse_fields(buf):
+                if n2 == 1:
+                    mname = v2.decode()
+                elif n2 == 2:  # field
+                    for n3, _, v3 in protowire.parse_fields(v2):
+                        if n3 == 6:  # type_name
+                            type_names.append(v3.decode())
+                elif n2 == 3:
+                    nested.append(v2)
+                elif n2 == 4:
+                    nenums.append(v2)
+            fqn = f"{scope}.{mname}" if scope else mname
+            declared.append(fqn)
+            for nb in nested:
+                walk_message(nb, fqn)
+            for eb in nenums:
+                for n3, _, v3 in protowire.parse_fields(eb):
+                    if n3 == 1:
+                        declared.append(f"{fqn}.{v3.decode()}")
+
+        msg_bufs = []
         for n, wt, v in protowire.parse_fields(f):
             if n == 1:
                 fname = v.decode()
@@ -603,16 +630,15 @@ def test_descriptor_set_is_valid_protobuf(spark):
                 pkg = v.decode()
             elif n == 3:
                 deps.append(v.decode())
-            elif n in (4, 5):
-                mname = None
+            elif n == 4:
+                msg_bufs.append(v)
+            elif n == 5:
                 for n2, _, v2 in protowire.parse_fields(v):
                     if n2 == 1:
-                        mname = v2.decode()
-                    elif n == 4 and n2 == 2:  # field
-                        for n3, _, v3 in protowire.parse_fields(v2):
-                            if n3 == 6:  # type_name
-                                type_names.append(v3.decode())
-                declared.append(f"{pkg}.{mname}" if pkg else mname)
+                        ename = v2.decode()
+                        declared.append(f"{pkg}.{ename}" if pkg else ename)
+        for mb in msg_bufs:
+            walk_message(mb, pkg)
         names.append(fname)
         pkgs.append(pkg)
         per_file[fname] = {
@@ -948,3 +974,231 @@ def test_any_registry_r12_wave3_upgrade():
             "info": "{}",
         },
     }
+
+
+def test_any_registry_r12_wave4():
+    """Round-12 fourth widening wave: gov proposal CONTENT types (the
+    Any inside v1beta1 MsgSubmitProposal.content — ParameterChange /
+    CommunityPoolSpend, the classic chain-governance payloads),
+    authorization payloads inside authz Grant (SendAuthorization,
+    StakeAuthorization with its NESTED Validators message + enum),
+    feegrant AllowedMsgAllowance (an allowance Any WRAPPING an
+    allowance — fourth recursion shape), ed25519 validator pubkeys, the
+    amino multisig pubkey (repeated-Any pubkey recursion, uint32
+    threshold as a JSON NUMBER), and the wasm store/admin completion
+    (AccessConfig enum; MsgClearAdmin's contract field is 3 — field 2
+    is reserved upstream)."""
+    import base64 as _b64
+
+    coin = _ld(1, b"uknow") + _ld(2, b"42")
+
+    # 1. ParameterChangeProposal through v1beta1 MsgSubmitProposal.content
+    pc = _ld(1, b"staking") + _ld(2, b"MaxValidators") + _ld(3, b"120")
+    prop = _ld(1, b"raise cap") + _ld(2, b"desc") + _ld(3, pc)
+    pcp_url = (
+        "type.googleapis.com/cosmos.params.v1beta1.ParameterChangeProposal"
+    )
+    url = "type.googleapis.com/cosmos.gov.v1beta1.MsgSubmitProposal"
+    sub = _ld(1, _any(pcp_url, prop)) + _ld(2, coin) + _ld(3, OKP4_ADDR.encode())
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sub))))["body"][
+        "messages"
+    ][0]
+    assert m["content"] == {
+        "@type": pcp_url,
+        "title": "raise cap",
+        "description": "desc",
+        "changes": [
+            {"subspace": "staking", "key": "MaxValidators", "value": "120"}
+        ],
+    }
+
+    # 2. CommunityPoolSpendProposal content
+    cps = (
+        _ld(1, b"fund dev")
+        + _ld(2, b"grant")
+        + _ld(3, OKP4_ADDR.encode())
+        + _ld(4, coin)
+    )
+    cps_url = (
+        "type.googleapis.com/"
+        "cosmos.distribution.v1beta1.CommunityPoolSpendProposal"
+    )
+    sub = _ld(1, _any(cps_url, cps)) + _ld(3, OKP4_ADDR.encode())
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sub))))["body"][
+        "messages"
+    ][0]
+    assert m["content"]["recipient"] == OKP4_ADDR
+    assert m["content"]["amount"] == [{"denom": "uknow", "amount": "42"}]
+
+    # 3. authz MsgGrant -> SendAuthorization / StakeAuthorization
+    send_auth = _ld(1, coin) + _ld(2, b"okp41allowed")
+    sa_url = "type.googleapis.com/cosmos.bank.v1beta1.SendAuthorization"
+    grant = _ld(1, _any(sa_url, send_auth))
+    mg = _ld(1, OKP4_ADDR.encode()) + _ld(2, b"okp41grantee") + _ld(3, grant)
+    url_g = "type.googleapis.com/cosmos.authz.v1beta1.MsgGrant"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_g, mg))))["body"][
+        "messages"
+    ][0]
+    assert m["grant"]["authorization"] == {
+        "@type": sa_url,
+        "spendLimit": [{"denom": "uknow", "amount": "42"}],
+        "allowList": ["okp41allowed"],
+    }
+
+    validators = _ld(1, b"okp4valoper1a") + _ld(1, b"okp4valoper1b")
+    stake_auth = (
+        _ld(1, coin) + _ld(2, validators) + _varint(4 << 3) + _varint(1)
+    )
+    st_url = "type.googleapis.com/cosmos.staking.v1beta1.StakeAuthorization"
+    grant = _ld(1, _any(st_url, stake_auth))
+    mg = _ld(1, OKP4_ADDR.encode()) + _ld(2, b"okp41grantee") + _ld(3, grant)
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_g, mg))))["body"][
+        "messages"
+    ][0]
+    assert m["grant"]["authorization"] == {
+        "@type": st_url,
+        "maxTokens": {"denom": "uknow", "amount": "42"},
+        "allowList": {"address": ["okp4valoper1a", "okp4valoper1b"]},
+        "authorizationType": "AUTHORIZATION_TYPE_DELEGATE",
+    }
+
+    # 4. AllowedMsgAllowance: an allowance Any wrapping BasicAllowance
+    basic = _ld(1, coin)
+    ba_url = "type.googleapis.com/cosmos.feegrant.v1beta1.BasicAllowance"
+    ama = (
+        _ld(1, _any(ba_url, basic))
+        + _ld(2, b"/cosmos.bank.v1beta1.MsgSend")
+        + _ld(2, b"/cosmos.gov.v1beta1.MsgVote")
+    )
+    ama_url = (
+        "type.googleapis.com/cosmos.feegrant.v1beta1.AllowedMsgAllowance"
+    )
+    mga = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp41grantee")
+        + _ld(3, _any(ama_url, ama))
+    )
+    url_fg = "type.googleapis.com/cosmos.feegrant.v1beta1.MsgGrantAllowance"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_fg, mga))))["body"][
+        "messages"
+    ][0]
+    assert m["allowance"] == {
+        "@type": ama_url,
+        "allowance": {
+            "@type": ba_url,
+            "spendLimit": [{"denom": "uknow", "amount": "42"}],
+        },
+        "allowedMessages": [
+            "/cosmos.bank.v1beta1.MsgSend",
+            "/cosmos.gov.v1beta1.MsgVote",
+        ],
+    }
+
+    # 5. ed25519 validator pubkey through MsgCreateValidator.pubkey
+    key = bytes(range(32))
+    ed_url = "type.googleapis.com/cosmos.crypto.ed25519.PubKey"
+    mcv = (
+        _ld(4, OKP4_ADDR.encode())
+        + _ld(5, b"okp4valoper1xyz")
+        + _ld(6, _any(ed_url, _ld(1, key)))
+        + _ld(7, coin)
+    )
+    url_cv = "type.googleapis.com/cosmos.staking.v1beta1.MsgCreateValidator"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_cv, mcv))))["body"][
+        "messages"
+    ][0]
+    assert m["pubkey"] == {
+        "@type": ed_url,
+        "key": _b64.b64encode(key).decode(),
+    }
+
+    # 6. amino multisig through SignerInfo.public_key: repeated-Any
+    # pubkey recursion; uint32 threshold renders as a JSON NUMBER
+    sec_url = "type.googleapis.com/cosmos.crypto.secp256k1.PubKey"
+    multi = (
+        _varint(1 << 3)
+        + _varint(2)
+        + _ld(2, _any(sec_url, _ld(1, b"\x02" + bytes(32))))
+        + _ld(2, _any(ed_url, _ld(1, key)))
+    )
+    ms_url = "type.googleapis.com/cosmos.crypto.multisig.LegacyAminoPubKey"
+    signer = _ld(1, _any(ms_url, multi)) + _varint(3 << 3) + _varint(9)
+    auth = _ld(1, signer)
+    tx = protowire.decode_tx(_tx_raw(_ld(2, b"memo only"), auth))
+    si = tx["authInfo"]["signerInfos"][0]
+    assert si["sequence"] == "9"
+    pk = si["publicKey"]
+    assert pk["@type"] == ms_url
+    assert pk["threshold"] == 2  # uint32: JSON number, not string
+    assert [p["@type"] for p in pk["publicKeys"]] == [sec_url, ed_url]
+    assert pk["publicKeys"][1]["key"] == _b64.b64encode(key).decode()
+
+    # 7. wasm completion: MsgStoreCode AccessConfig enum + MsgClearAdmin
+    wasm = b"\x00asm\x01\x00\x00\x00"
+    acc = _varint(1 << 3) + _varint(3)  # ACCESS_TYPE_EVERYBODY
+    msc = _ld(1, OKP4_ADDR.encode()) + _ld(2, wasm) + _ld(5, acc)
+    url_sc = "type.googleapis.com/cosmwasm.wasm.v1.MsgStoreCode"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_sc, msc))))["body"][
+        "messages"
+    ][0]
+    assert m["wasmByteCode"] == _b64.b64encode(wasm).decode()
+    assert m["instantiatePermission"] == {
+        "permission": "ACCESS_TYPE_EVERYBODY"
+    }
+
+    mca = _ld(1, OKP4_ADDR.encode()) + _ld(3, b"okp4contract1")
+    url_ca = "type.googleapis.com/cosmwasm.wasm.v1.MsgClearAdmin"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url_ca, mca))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url_ca,
+        "sender": OKP4_ADDR,
+        "contract": "okp4contract1",
+    }
+
+
+def test_routing_on_proposal_content_field(spark):
+    """A governance-desk routing rule predicating INSIDE the proposal
+    content Any (param subspace / spend recipient) must route through
+    dispatch — impossible before wave 4, when ParameterChangeProposal /
+    CommunityPoolSpendProposal rendered under the opaque-Any policy and
+    the recursive-descent predicate silently never matched."""
+    coin = _ld(1, b"uknow") + _ld(2, b"42")
+    pcp_url = (
+        "type.googleapis.com/cosmos.params.v1beta1.ParameterChangeProposal"
+    )
+    sub_url = "type.googleapis.com/cosmos.gov.v1beta1.MsgSubmitProposal"
+    pc = _ld(1, b"staking") + _ld(2, b"MaxValidators") + _ld(3, b"120")
+    prop = _ld(1, b"raise cap") + _ld(3, pc)
+    tx_param = _tx_raw(
+        _ld(1, _any(sub_url, _ld(1, _any(pcp_url, prop))))
+    )
+    cps_url = (
+        "type.googleapis.com/"
+        "cosmos.distribution.v1beta1.CommunityPoolSpendProposal"
+    )
+    cps = _ld(1, b"fund") + _ld(3, OKP4_ADDR.encode()) + _ld(4, coin)
+    tx_spend = _tx_raw(
+        _ld(1, _any(sub_url, _ld(1, _any(cps_url, cps))))
+    )
+    rules = [
+        DispatchRule(
+            "staking-param-change",
+            "topic-params",
+            "$..changes[?(@.subspace == 'staking')]",
+        ),
+        DispatchRule(
+            "pool-spend-to-us",
+            "topic-spend",
+            f"$..content[?(@.recipient == '{OKP4_ADDR}')]",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, tx_param), (2, tx_spend), (3, TX1)], "tx_id int, value binary"
+    )
+    routed = dsp.dispatch(
+        decode_tx_records(df), rules, json_col="tx_json", error_col="error"
+    )
+    got = sorted((r["tx_id"], r["topic"]) for r in routed.collect())
+    assert got == [(1, "topic-params"), (2, "topic-spend"), (3, "dlq")]

@@ -51,7 +51,7 @@ def s(field_no: int, text: str) -> bytes:
 OPT, REP = 1, 3
 # types
 T_UINT64, T_STRING, T_MESSAGE, T_BYTES, T_ENUM = 4, 9, 11, 12, 14
-T_INT64, T_INT32, T_BOOL = 3, 5, 8
+T_INT64, T_INT32, T_BOOL, T_UINT32 = 3, 5, 8, 13
 
 
 def field(
@@ -75,9 +75,19 @@ def field(
     return out
 
 
-def message(name: str, *fields: bytes) -> bytes:
-    """DescriptorProto: name=1, field=2 (repeated)."""
-    return s(1, name) + b"".join(ld(2, f) for f in fields)
+def message(
+    name: str,
+    *fields: bytes,
+    nested: tuple[bytes, ...] = (),
+    msg_enums: tuple[bytes, ...] = (),
+) -> bytes:
+    """DescriptorProto: name=1, field=2, nested_type=3, enum_type=4."""
+    out = s(1, name) + b"".join(ld(2, f) for f in fields)
+    for n in nested:
+        out += ld(3, n)
+    for e in msg_enums:
+        out += ld(4, e)
+    return out
 
 
 def enum_type(name: str, values: list[tuple[str, int]]) -> bytes:
@@ -447,9 +457,38 @@ FILES = [
     # public protos (wasmd proto/cosmwasm/wasm/v1/tx.proto, ibc-go
     # proto/ibc/..., cosmos-sdk proto/cosmos/...).
     file_proto(
+        # AccessConfig/AccessType live in types.proto upstream (wasmd
+        # proto/cosmwasm/wasm/v1/types.proto)
+        "cosmwasm/wasm/v1/types.proto",
+        "cosmwasm.wasm.v1",
+        [],
+        [
+            message(
+                "AccessConfig",
+                field(
+                    "permission", 1, T_ENUM, OPT, ".cosmwasm.wasm.v1.AccessType"
+                ),
+                field("address", 2, T_STRING),
+                field("addresses", 3, T_STRING, REP),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "AccessType",
+                [
+                    ("ACCESS_TYPE_UNSPECIFIED", 0),
+                    ("ACCESS_TYPE_NOBODY", 1),
+                    ("ACCESS_TYPE_ONLY_ADDRESS", 2),
+                    ("ACCESS_TYPE_EVERYBODY", 3),
+                    ("ACCESS_TYPE_ANY_OF_ADDRESSES", 4),
+                ],
+            )
+        ],
+    ),
+    file_proto(
         "cosmwasm/wasm/v1/tx.proto",
         "cosmwasm.wasm.v1",
-        ["cosmos/base/v1beta1/coin.proto"],
+        ["cosmos/base/v1beta1/coin.proto", "cosmwasm/wasm/v1/types.proto"],
         [
             # field 4 is reserved upstream (removed callback_sig) —
             # funds really is 5
@@ -475,6 +514,32 @@ FILES = [
                 field("contract", 2, T_STRING),
                 field("code_id", 3, T_UINT64),
                 field("msg", 4, T_BYTES),
+            ),
+            # fields 3/4 are reserved upstream (removed source/builder) —
+            # instantiate_permission really is 5
+            message(
+                "MsgStoreCode",
+                field("sender", 1, T_STRING),
+                field("wasm_byte_code", 2, T_BYTES),
+                field(
+                    "instantiate_permission",
+                    5,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmwasm.wasm.v1.AccessConfig",
+                ),
+            ),
+            message(
+                "MsgUpdateAdmin",
+                field("sender", 1, T_STRING),
+                field("new_admin", 2, T_STRING),
+                field("contract", 3, T_STRING),
+            ),
+            # field 2 is reserved upstream — contract really is 3
+            message(
+                "MsgClearAdmin",
+                field("sender", 1, T_STRING),
+                field("contract", 3, T_STRING),
             ),
         ],
     ),
@@ -856,6 +921,7 @@ FILES = [
         "cosmos/feegrant/v1beta1/feegrant.proto",
         "cosmos.feegrant.v1beta1",
         [
+            "google/protobuf/any.proto",
             "google/protobuf/timestamp.proto",
             "google/protobuf/duration.proto",
             "cosmos/base/v1beta1/coin.proto",
@@ -893,6 +959,13 @@ FILES = [
                     OPT,
                     ".google.protobuf.Timestamp",
                 ),
+            ),
+            # allowance is itself an Any (Basic/Periodic) — an allowance
+            # WRAPPING an allowance, the fourth nested-Any recursion shape
+            message(
+                "AllowedMsgAllowance",
+                field("allowance", 1, T_MESSAGE, OPT, ANY),
+                field("allowed_messages", 2, T_STRING, REP),
             ),
         ],
     ),
@@ -934,6 +1007,138 @@ FILES = [
                 field("client_id", 1, T_STRING),
                 field("header", 2, T_MESSAGE, OPT, ANY),
                 field("signer", 3, T_STRING),
+            ),
+        ],
+    ),
+    # --- round-12 wave 4: gov proposal CONTENT types (the Anys inside
+    # v1beta1 MsgSubmitProposal.content / v1 MsgExecLegacyContent),
+    # authorization payloads (the Anys inside authz Grant), validator
+    # pubkey variants (ed25519 + the repeated-Any amino multisig), and
+    # wasm admin/store completion — continuing toward the reference's
+    # scan-everything classpath registry (ProtoTypeRegistry.kt:16-31)
+    file_proto(
+        "cosmos/params/v1beta1/params.proto",
+        "cosmos.params.v1beta1",
+        [],
+        [
+            message(
+                "ParameterChangeProposal",
+                field("title", 1, T_STRING),
+                field("description", 2, T_STRING),
+                field(
+                    "changes",
+                    3,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.params.v1beta1.ParamChange",
+                ),
+            ),
+            message(
+                "ParamChange",
+                field("subspace", 1, T_STRING),
+                field("key", 2, T_STRING),
+                field("value", 3, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        # upstream layout: the proposal lives in distribution.proto,
+        # not tx.proto
+        "cosmos/distribution/v1beta1/distribution.proto",
+        "cosmos.distribution.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "CommunityPoolSpendProposal",
+                field("title", 1, T_STRING),
+                field("description", 2, T_STRING),
+                field("recipient", 3, T_STRING),
+                field("amount", 4, T_MESSAGE, REP, COIN),
+            ),
+        ],
+    ),
+    file_proto(
+        "cosmos/bank/v1beta1/authz.proto",
+        "cosmos.bank.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "SendAuthorization",
+                field("spend_limit", 1, T_MESSAGE, REP, COIN),
+                field("allow_list", 2, T_STRING, REP),
+            ),
+        ],
+    ),
+    file_proto(
+        # Validators is a NESTED message upstream; the oneof grouping of
+        # allow_list/deny_list is erased here (wire + JSON identical —
+        # oneofs are an encode-side constraint, not a decode-side one)
+        "cosmos/staking/v1beta1/authz.proto",
+        "cosmos.staking.v1beta1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "StakeAuthorization",
+                field("max_tokens", 1, T_MESSAGE, OPT, COIN),
+                field(
+                    "allow_list",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.staking.v1beta1.StakeAuthorization.Validators",
+                ),
+                field(
+                    "deny_list",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".cosmos.staking.v1beta1.StakeAuthorization.Validators",
+                ),
+                field(
+                    "authorization_type",
+                    4,
+                    T_ENUM,
+                    OPT,
+                    ".cosmos.staking.v1beta1.AuthorizationType",
+                ),
+                nested=(
+                    message("Validators", field("address", 1, T_STRING, REP)),
+                ),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "AuthorizationType",
+                [
+                    ("AUTHORIZATION_TYPE_UNSPECIFIED", 0),
+                    ("AUTHORIZATION_TYPE_DELEGATE", 1),
+                    ("AUTHORIZATION_TYPE_UNDELEGATE", 2),
+                    ("AUTHORIZATION_TYPE_REDELEGATE", 3),
+                    ("AUTHORIZATION_TYPE_CANCEL_UNBONDING_DELEGATION", 4),
+                ],
+            )
+        ],
+    ),
+    file_proto(
+        "cosmos/crypto/ed25519/keys.proto",
+        "cosmos.crypto.ed25519",
+        [],
+        # validator consensus keys are ed25519 — MsgCreateValidator's
+        # pubkey Any resolves here instead of the opaque fallback
+        [message("PubKey", field("key", 1, T_BYTES))],
+    ),
+    file_proto(
+        "cosmos/crypto/multisig/keys.proto",
+        "cosmos.crypto.multisig",
+        ["google/protobuf/any.proto"],
+        [
+            # public_keys is repeated Any whose payloads are THEMSELVES
+            # pubkey types — the pubkey-recursion shape (a multisig of
+            # multisigs resolves arbitrarily deep)
+            message(
+                "LegacyAminoPubKey",
+                field("threshold", 1, T_UINT32),
+                field("public_keys", 2, T_MESSAGE, REP, ANY),
             ),
         ],
     ),
