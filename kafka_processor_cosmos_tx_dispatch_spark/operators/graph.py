@@ -607,3 +607,124 @@ def weighted_pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             ranks = materialize(ranks, reliable)
     return ranks
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001 with a bounded seed
+    set and hop bound — the standard scale approximation: exact
+    betweenness is all-pairs): per seed, a level-synchronous BFS that
+    carries SIGMA (shortest-path counts — sigma_d(v) = Σ sigma over
+    level-(d-1) predecessors, exact int64), then the backward dependency
+    sweep from the deepest level,
+
+        delta(v) = Σ_{w : dist(w)=dist(v)+1, (v,w)∈E}
+                       sigma(v) · (scale + delta(w)) DIV sigma(w)
+
+    in integer fixed-point (each (v,w) term is one exact integer
+    division; the per-node sum is order-insensitive, so both engines
+    reproduce it bit-for-bit — the float form pins neither). Output:
+    (node, bc_fp) = Σ over seeds of delta, nodes with positive
+    dependency only (leaves and untouched nodes are exact zeros).
+
+    Scale: forward state is O(Σ per-seed reach) like bfs_hops_labeled —
+    linear in the BOUNDED seed count; sigma rides the same (seed, node)
+    rows at no extra shuffle. The backward sweep is one
+    level-(d)⋈edges⋈level-(d+1) equi-join per level (successor pairs
+    only — no all-pairs), keyed on (seed, node) throughout. Every level
+    is materialized through the iterative shell; rounds is small and
+    fixed so the plan never stacks."""
+    reliable = resolve_reliable(edges.sparkSession, None)
+    e = edges.select("src", "dst")
+    und = materialize(
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+        strip=False,
+    )
+    level0 = materialize(
+        sources.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("seed"),
+            F.col("node"),
+            F.lit(1).cast("long").alias("sigma"),
+        ),
+        reliable,
+        strip=False,
+    )
+    levels = [level0]
+    visited = level0.select("seed", "node")
+    for _ in range(1, rounds + 1):
+        nxt = (
+            und.join(
+                levels[-1].withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+        )
+        nxt = materialize(nxt, reliable, strip=False)
+        levels.append(nxt)
+        visited = materialize(
+            visited.unionAll(nxt.select("seed", "node")), reliable
+        )
+    # backward dependency sweep: deepest level has delta = 0
+    delta = levels[-1].select(
+        "seed", "node", F.lit(0).cast("long").alias("delta")
+    )
+    out = None
+    for d in range(rounds - 1, 0, -1):
+        succ = delta.select(
+            "seed",
+            F.col("node").alias("w"),
+            "delta",
+        ).join(
+            levels[d + 1].select(
+                "seed", F.col("node").alias("w"), "sigma"
+            ),
+            ["seed", "w"],
+        )
+        pairs = (
+            levels[d]
+            .withColumnRenamed("sigma", "sigma_v")
+            .join(und.withColumnRenamed("src", "node"), "node")
+            .join(
+                succ.withColumnRenamed("w", "dst").withColumnRenamed(
+                    "sigma", "sigma_w"
+                ),
+                ["seed", "dst"],
+            )
+        )
+        dlevel = pairs.groupBy("seed", "node").agg(
+            F.sum(
+                F.expr(f"sigma_v * ({scale} + delta) DIV sigma_w")
+            ).alias("delta")
+        )
+        # nodes of this level with no successor pair hold delta = 0
+        dlevel = materialize(
+            dlevel.unionAll(
+                levels[d]
+                .select("seed", "node")
+                .join(dlevel.select("seed", "node"), ["seed", "node"], "left_anti")
+                .withColumn("delta", F.lit(0).cast("long"))
+            ),
+            reliable,
+            strip=False,
+        )
+        out = dlevel if out is None else out.unionAll(dlevel)
+        delta = dlevel
+    if out is None:
+        return level0.select("node").limit(0).withColumn(
+            "bc_fp", F.lit(0).cast("long")
+        )
+    return (
+        out.groupBy("node")
+        .agg(F.sum("delta").alias("bc_fp"))
+        .filter(F.col("bc_fp") > 0)
+    )

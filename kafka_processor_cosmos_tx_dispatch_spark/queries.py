@@ -15075,6 +15075,98 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_betweenness_sampled",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS src, 10000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    d0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT)
+             AS sigma FROM und WHERE src < 5),
+    n1 AS (SELECT d0.seed, u.dst AS node, CAST(SUM(d0.sigma) AS BIGINT)
+             AS sigma
+           FROM d0 JOIN und u ON u.src = d0.node GROUP BY 1, 2),
+    d1 AS (SELECT n1.* FROM n1 WHERE NOT EXISTS (SELECT 1 FROM d0
+             WHERE d0.seed = n1.seed AND d0.node = n1.node)),
+    n2 AS (SELECT d1.seed, u.dst AS node, CAST(SUM(d1.sigma) AS BIGINT)
+             AS sigma
+           FROM d1 JOIN und u ON u.src = d1.node GROUP BY 1, 2),
+    d2 AS (SELECT n2.* FROM n2
+           WHERE NOT EXISTS (SELECT 1 FROM d0
+             WHERE d0.seed = n2.seed AND d0.node = n2.node)
+             AND NOT EXISTS (SELECT 1 FROM d1
+             WHERE d1.seed = n2.seed AND d1.node = n2.node)),
+    n3 AS (SELECT d2.seed, u.dst AS node, CAST(SUM(d2.sigma) AS BIGINT)
+             AS sigma
+           FROM d2 JOIN und u ON u.src = d2.node GROUP BY 1, 2),
+    d3 AS (SELECT n3.* FROM n3
+           WHERE NOT EXISTS (SELECT 1 FROM d0
+             WHERE d0.seed = n3.seed AND d0.node = n3.node)
+             AND NOT EXISTS (SELECT 1 FROM d1
+             WHERE d1.seed = n3.seed AND d1.node = n3.node)
+             AND NOT EXISTS (SELECT 1 FROM d2
+             WHERE d2.seed = n3.seed AND d2.node = n3.node)),
+    dl2 AS (
+      SELECT v.seed, v.node,
+             CAST(SUM(v.sigma * (1048576 + 0) // w.sigma) AS BIGINT)
+               AS delta
+      FROM d2 v JOIN und u ON u.src = v.node
+      JOIN d3 w ON w.seed = v.seed AND w.node = u.dst
+      GROUP BY 1, 2),
+    dl2f AS (SELECT d2.seed, d2.node, COALESCE(dl2.delta, 0) AS delta
+             FROM d2 LEFT JOIN dl2 USING (seed, node)),
+    dl1 AS (
+      SELECT v.seed, v.node,
+             CAST(SUM(v.sigma * (1048576 + w.delta) // w.sigma) AS BIGINT)
+               AS delta
+      FROM d1 v JOIN und u ON u.src = v.node
+      JOIN (SELECT f.seed, f.node, f.delta, d2.sigma
+            FROM dl2f f JOIN d2 USING (seed, node)) w
+        ON w.seed = v.seed AND w.node = u.dst
+      GROUP BY 1, 2),
+    dl1f AS (SELECT d1.seed, d1.node, COALESCE(dl1.delta, 0) AS delta
+             FROM d1 LEFT JOIN dl1 USING (seed, node)),
+    alld AS (SELECT * FROM dl2f UNION ALL SELECT * FROM dl1f)
+    SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_fp
+    FROM alld GROUP BY node HAVING SUM(delta) > 0
+    """,
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality
+    (operators/graph.py:betweenness_sampled; Brandes 2001 with a
+    5-landmark seed set and a 3-hop bound — the standard approximation
+    at scale, since exact betweenness is all-pairs): forward labeled BFS
+    carrying exact int64 shortest-path counts, then the backward
+    dependency sweep with each (v,w) successor term one exact integer
+    division — both engines reproduce the sum bit-for-bit (the float
+    form pins neither summation order nor libm). Completes the
+    centrality family: degree (histogram), closeness (landmark
+    harmonic), eigenvector (PageRank/HITS), and now betweenness.
+
+    Scale: forward state linear in Σ per-seed reach like
+    graph_closeness_bfs; the backward sweep is one
+    level⋈edges⋈next-level equi-join per level (successor pairs only,
+    never all-pairs), keyed on (seed, node) throughout. The oracle
+    unrolls the same three levels as plain CTEs."""
+    from .operators.graph import betweenness_sampled
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") < 5
+    )
+    return betweenness_sampled(edges, seeds, rounds=3)
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

@@ -310,3 +310,65 @@ def test_personalized_pagerank_rejects_empty_seed_set(spark):
     ghost_seeds = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="no seed appears"):
         personalized_pagerank(edges, ghost_seeds, rounds=1)
+
+
+def test_betweenness_sampled_matches_brandes_reference(spark):
+    """Pin betweenness_sampled against a from-scratch bounded-depth
+    Brandes reference (same integer fixed-point dependency terms) on a
+    hand graph with branching, path-count merging (two equal-length
+    paths 0->3), and a chain tail — sigma merging and the backward
+    sweep's per-successor division both exercised."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        betweenness_sampled,
+    )
+
+    S = 1 << 20
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 6)]
+    seeds = [0, 5]
+
+    def ref():
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        bc = {}
+        for s in seeds:
+            dist, sigma = {s: 0}, {s: 1}
+            frontier = [s]
+            for d in range(1, 4):
+                nxt = sorted(
+                    {
+                        v
+                        for u in frontier
+                        for v in adj.get(u, ())
+                        if v not in dist
+                    }
+                )
+                for v in nxt:
+                    dist[v] = d
+                    sigma[v] = sum(
+                        sigma[u]
+                        for u in adj.get(v, ())
+                        if dist.get(u) == d - 1
+                    )
+                frontier = nxt
+            delta = {v: 0 for v in dist}
+            for d in range(2, 0, -1):
+                for v in [x for x in dist if dist[x] == d]:
+                    delta[v] = sum(
+                        sigma[v] * (S + delta[w]) // sigma[w]
+                        for w in adj.get(v, ())
+                        if dist.get(w) == d + 1
+                    )
+            for v, dl in delta.items():
+                if dist[v] > 0 and dl > 0:
+                    bc[v] = bc.get(v, 0) + dl
+        return bc
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["bc_fp"]
+        for r in betweenness_sampled(e, src, rounds=3).collect()
+    }
+    assert got == ref()
