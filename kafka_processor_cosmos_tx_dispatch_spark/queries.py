@@ -15167,6 +15167,112 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(edges, seeds, rounds=3)
 
 
+@register(
+    "text_gopher_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_D_TOKS}, w -> w <> '') AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+               AS n_chars,
+             CAST(len(list_filter(t,
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(list_distinct(list_filter(t, w -> list_contains(
+                    ['the','be','to','of','and','that','have','with'], w))))
+               AS BIGINT) AS n_stop
+      FROM toks)
+    SELECT doc_id, n_words,
+           n_chars * 1000 // n_words AS mean_wlen_fp,
+           (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            + CASE WHEN 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+                   THEN 2 ELSE 0 END
+            + CASE WHEN 5 * n_alpha >= 4 * n_words THEN 4 ELSE 0 END
+            + CASE WHEN n_stop >= 2 THEN 8 ELSE 0 END) AS rules_mask,
+           (n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2) AS gopher_pass
+    FROM st WHERE n_words > 0
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, the filter bundle
+    Dolma/RedPajama-style pipelines apply verbatim), per document as a
+    RULES BITMASK plus the conjunctive pass flag: (1) word count in
+    [50, 100k], (2) mean word length in [3, 10] — cross-multiplied so
+    the bound check is exact integers, (4) ≥80%% of words contain an
+    alphabetic character, (8) ≥2 distinct stop words from the published
+    8-word list. The bitmask (not just the verdict) is the practical
+    output: pipeline dashboards track WHICH rule kills documents per
+    source before tuning thresholds. Differs from text_quality_score
+    (additive heuristic score) by being the named, thresholded,
+    auditable rule set.
+
+    Scale: entirely ROW-LOCAL — one tokenize plus four HOF aggregates
+    inside a single projection; no shuffle at all (the plan is scan →
+    project). Exactly the shape that saturates IO at 100 TB."""
+    from .functions import exprs as EX
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+
+    def stats(tc: F.Column) -> F.Column:
+        stop = F.array(
+            *[
+                F.lit(w)
+                for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+            ]
+        )
+        return F.struct(
+            F.size(tc).cast("long").alias("n_words"),
+            F.aggregate(
+                tc,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).alias("n_chars"),
+            F.size(
+                F.filter(tc, lambda w: w.rlike("[a-zA-Z]"))
+            ).cast("long").alias("n_alpha"),
+            F.size(
+                F.array_distinct(
+                    F.filter(tc, lambda w: F.array_contains(stop, w))
+                )
+            ).cast("long").alias("n_stop"),
+        )
+
+    st = docs.select("doc_id", EX.bind(t, stats).alias("s")).select(
+        "doc_id", "s.*"
+    )
+    nw, nc, na, ns = (
+        F.col("n_words"),
+        F.col("n_chars"),
+        F.col("n_alpha"),
+        F.col("n_stop"),
+    )
+    r1 = nw.between(50, 100000)
+    r2 = (3 * nw <= nc) & (nc <= 10 * nw)
+    r3 = 5 * na >= 4 * nw
+    r4 = ns >= 2
+    mask = (
+        F.when(r1, 1).otherwise(0)
+        + F.when(r2, 2).otherwise(0)
+        + F.when(r3, 4).otherwise(0)
+        + F.when(r4, 8).otherwise(0)
+    )
+    return st.filter(nw > 0).select(
+        "doc_id",
+        "n_words",
+        F.expr("n_chars * 1000 DIV n_words").alias("mean_wlen_fp"),
+        mask.cast("long").alias("rules_mask"),
+        (r1 & r2 & r3 & r4).alias("gopher_pass"),
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
