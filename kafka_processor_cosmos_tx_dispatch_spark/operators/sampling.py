@@ -151,6 +151,55 @@ def weighted_reservoir(
     )
 
 
+def dsir_bigram_buckets(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, __t, bkt) — one row per word-bigram OCCURRENCE, with the
+    bigram hashed into `buckets` buckets and the target-membership flag.
+    The shared feature derivation of dsir_weights and its streaming twin
+    (streaming/incremental.py:incremental_dsir_weights): both sides MUST
+    hash identically or the carried model state diverges from the batch
+    oracle. Row-local (one index-aware HOF + one md5 per bigram)."""
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("__t"),
+        F.split(text_col, " ").alias("a"),
+    )
+    return arr.select(
+        "doc_id",
+        "__t",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN"
+                " filter(transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                " element_at(a, i + 1) AS w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '')"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "__t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("bkt"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,
@@ -195,39 +244,8 @@ def dsir_weights(
     broadcast equi-join + one doc-keyed agg. The corpus text itself is
     never shuffled. cnt_target and cnt_raw come from the same pass
     (conditional agg), not two scans."""
-    arr = docs.select(
-        F.col(id_col).alias("doc_id"),
-        target.alias("__t"),
-        F.split(text_col, " ").alias("a"),
-    )
-    bg = arr.select(
-        "doc_id",
-        "__t",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(a) >= 2 THEN"
-                " filter(transform(sequence(1, size(a) - 1),"
-                " i -> struct(element_at(a, i) AS w1,"
-                " element_at(a, i + 1) AS w2)),"
-                " p -> p.w1 <> '' AND p.w2 <> '')"
-                " ELSE array() END"
-            )
-        ).alias("p"),
-    ).select(
-        "doc_id",
-        "__t",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % buckets
-        ).alias("bkt"),
+    bg = dsir_bigram_buckets(
+        docs, target, buckets=buckets, id_col=id_col, text_col=text_col
     )
     bt = bg.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("cr"),

@@ -15273,6 +15273,54 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dsir_weights",
+    """
+    WITH arr AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                 FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(a[i] || ' ' || a[i + 1]), 1, 15))::BIGINT
+               % 4096 AS bkt
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    bt AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+      FROM bg GROUP BY bkt)
+    SELECT bg.doc_id, COUNT(*) AS n_feats,
+           CAST(SUM((ct + 1) * 1048576 // (cr + 1)) AS BIGINT) AS dsir_fp
+    FROM bg JOIN bt USING (bkt)
+    GROUP BY bg.doc_id
+    """,
+)
+def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of sample_dsir_weights — the DSIR hashed-bigram
+    model (per-bucket raw/target counts) maintained continuously over
+    the document stream (streaming/incremental.py:
+    incremental_dsir_weights: carried ≤4096-row count table absorbed
+    with a full-outer integer sum per micro-batch, batch-id-ledgered
+    exactly-once; per-document feature rows archived as disjoint
+    deltas), scored at drain time by ONE broadcast join of the final
+    model onto the archives. Bucket counts are associative-commutative
+    integers and features are row-local, so the drained weights are
+    row-identical to the batch operator under ANY micro-batch split —
+    the batch SQL is the oracle (split-invariance + cross-restart
+    replay pinned in tests/test_streaming.py)."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_dsir_weights
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    return incremental_dsir_weights(stream, tempfile.mkdtemp(prefix="sdsir_"))
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

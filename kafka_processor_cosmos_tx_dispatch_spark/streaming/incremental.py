@@ -1780,3 +1780,138 @@ def incremental_connected_components(
     if path is None:
         return spark.createDataFrame([], "node long, comp long")
     return spark.read.parquet(path)
+
+
+def make_dsir_batch(work_dir: str, buckets: int, latest: dict):
+    """foreachBatch body of incremental_dsir_weights: the DSIR
+    hashed-bigram MODEL (per-bucket raw/target counts) maintained over a
+    document stream, batch-id-ledgered exactly-once.
+
+    Per batch: (1) the batch's per-document feature rows
+    (doc_id, bkt, c) are written as an archive delta — features are a
+    pure row-local function of the document, so deltas are disjoint and
+    split-independent; (2) the carried ≤`buckets`-row count table
+    absorbs the batch's bucket counts with a full-outer sum merge (a
+    bucket absent from the batch keeps its counts — the domain-cap
+    lesson). Counts are associative-commutative integers, so ANY
+    ordered or unordered split drains to the same model. Replays are
+    skipped via the `latest` ledger, recovering from disk (_scan_state)
+    across restarts."""
+    from ..operators.sampling import dsir_bigram_buckets
+
+    model_root = os.path.join(work_dir, "model")
+    feats_root = os.path.join(work_dir, "feats")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(model_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch
+        spark = bdf.sparkSession
+        bg = dsir_bigram_buckets(
+            bdf, target=F.col("lang") == "en", buckets=buckets
+        )
+        feats = bg.groupBy("doc_id", "bkt").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        feats.write.mode("overwrite").parquet(
+            os.path.join(feats_root, f"b{bid}")
+        )
+        part = bg.groupBy("bkt").agg(
+            F.count(F.lit(1)).cast("long").alias("b_cr"),
+            F.count(F.when(F.col("__t"), 1)).cast("long").alias("b_ct"),
+        )
+        carry = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if carry is None:
+            merged = part.select(
+                "bkt",
+                F.col("b_cr").alias("cr"),
+                F.col("b_ct").alias("ct"),
+            )
+        else:
+            j = carry.join(part, "bkt", "full_outer")
+            merged = j.select(
+                "bkt",
+                (
+                    F.coalesce("cr", F.lit(0)) + F.coalesce("b_cr", F.lit(0))
+                ).alias("cr"),
+                (
+                    F.coalesce("ct", F.lit(0)) + F.coalesce("b_ct", F.lit(0))
+                ).alias("ct"),
+            )
+        path = os.path.join(model_root, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_dsir_weights(
+    stream: DataFrame,
+    work_dir: str,
+    buckets: int = 4096,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Streaming twin of operators/sampling.py:dsir_weights — the DSIR
+    importance-reweighting model maintained CONTINUOUSLY over a document
+    stream (the production shape: the count table tracks the crawl as it
+    arrives; see make_dsir_batch), with scoring at drain time: the final
+    ≤`buckets`-row model broadcast-joins the accumulated per-document
+    feature archives. Because bucket counts are associative integers and
+    features are row-local, the drained (doc_id, n_feats, dsir_fp)
+    relation is row-identical to the batch operator under ANY micro-batch
+    split — the batch SQL is the oracle."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_dsir_batch(work_dir, buckets, {"bid": None, "path": None})
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_dsir_weights: stream did not finish in 300s"
+        )
+    return dsir_drained(stream.sparkSession, work_dir, scale=scale)
+
+
+def dsir_drained(spark, work_dir: str, scale: int = 1 << 20) -> DataFrame:
+    """Drain endpoint of the streaming DSIR twin: score the accumulated
+    per-document feature archives with the FINAL carried model (one
+    broadcast join + one doc-keyed agg). Shared by
+    incremental_dsir_weights and the split-invariance tests."""
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(work_dir, "feats", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    bid, path = _scan_state(os.path.join(work_dir, "model"))
+    if not outs or path is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_feats long, dsir_fp long"
+        )
+    model = spark.read.parquet(path)
+    feats = spark.read.parquet(*outs)
+    return (
+        feats.join(F.broadcast(model), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(
+                F.expr(f"c * ((ct + 1) * {scale} DIV (cr + 1))")
+            ).alias("dsir_fp"),
+        )
+    )

@@ -1217,3 +1217,106 @@ class TestIncrementalConnectedComponents:
         rev = str(tmp_path / "rev")
         self._run(spark, rev, list(reversed(self.BATCHES)))
         assert self._readout(spark, rev) == self.WANT
+
+
+class TestIncrementalDsir:
+    DOCS_SCHEMA = "doc_id long, text string, lang string"
+    DOCS = [
+        (0, "good clean prose here", "en"),
+        (1, "good clean prose here", "fr"),
+        (2, "zz1 zz2 zz3 zz4", "fr"),
+        (3, "good clean zz1 zz2", "en"),
+        (4, "prose here zz3 zz4", "fr"),
+        (5, "solo", "fr"),  # no bigram -> never scored
+    ]
+
+    def _run(self, spark, workdir, batches, replay_bid=None, restart_at=None):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_dsir_batch,
+        )
+
+        latest = {"bid": None, "path": None}
+        body = make_dsir_batch(workdir, 4096, latest)
+        for bid, rows in enumerate(batches):
+            if restart_at == bid:
+                # simulate a restart: fresh ledger must recover from disk
+                latest = {"bid": None, "path": None}
+                body = make_dsir_batch(workdir, 4096, latest)
+            body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+            if replay_bid == bid:
+                body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+
+    def _readout(self, spark, workdir):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            dsir_drained,
+        )
+
+        return sorted(tuple(r) for r in dsir_drained(spark, workdir).collect())
+
+    def test_split_invariance_replay_and_restart(self, spark, tmp_path):
+        """The model is an associative-commutative count table and the
+        features are row-local, so ANY split — ordered, unordered,
+        singleton batches — drains to the one-shot answer; a replayed
+        batch is skipped via the ledger, and a replay arriving AFTER a
+        restart (fresh ledger) is skipped via the on-disk state scan."""
+        one = self._run(spark, str(tmp_path / "a"), [self.DOCS])
+        one = self._readout(spark, str(tmp_path / "a"))
+        assert len(one) == 5  # doc 5 has no bigram
+
+        shuffled = [
+            [self.DOCS[4], self.DOCS[1]],
+            [self.DOCS[5], self.DOCS[0]],
+            [self.DOCS[3], self.DOCS[2]],
+        ]
+        self._run(spark, str(tmp_path / "b"), shuffled, replay_bid=1)
+        assert self._readout(spark, str(tmp_path / "b")) == one
+
+        self._run(spark, str(tmp_path / "c"), shuffled, restart_at=2)
+        assert self._readout(spark, str(tmp_path / "c")) == one
+
+        # stale replay after restart: re-deliver batch 0 with a FRESH
+        # ledger after the full run — state must not double-count
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_dsir_batch,
+        )
+
+        body = make_dsir_batch(
+            str(tmp_path / "c"), 4096, {"bid": None, "path": None}
+        )
+        body(spark.createDataFrame(shuffled[0], self.DOCS_SCHEMA), 0)
+        assert self._readout(spark, str(tmp_path / "c")) == one
+
+    def test_matches_batch_operator(self, spark, tmp_path):
+        """Drained streaming weights are row-identical to the batch
+        dsir_weights over the same corpus."""
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+            dsir_weights,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(self.DOCS, self.DOCS_SCHEMA)
+        want = sorted(
+            tuple(r)
+            for r in dsir_weights(
+                docs, target=F.col("lang") == "en"
+            ).collect()
+        )
+        self._run(
+            spark,
+            str(tmp_path / "m"),
+            [[self.DOCS[0], self.DOCS[5]], [self.DOCS[2], self.DOCS[4]],
+             [self.DOCS[1], self.DOCS[3]]],
+        )
+        assert self._readout(spark, str(tmp_path / "m")) == want
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            sample_dsir_weights,
+            streaming_dsir_weights,
+        )
+
+        want = {tuple(r) for r in sample_dsir_weights(spark, sf_dir).collect()}
+        got = {
+            tuple(r) for r in streaming_dsir_weights(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) >= 1
