@@ -922,6 +922,38 @@ def main() -> None:
 
     probe("arrival_monitor_4batches", args.events, arrival_monitor)
 
+    # r12 session 2: paragraph dedup (fingerprint hash-agg + reassembly),
+    # DSIR weights (4096-row broadcast model), sampled betweenness
+    # (labeled BFS + backward dependency sweep)
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        betweenness_sampled,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    probe("paragraph_dedup", args.docs, lambda: run(paragraph_dedup(docs)))
+    probe(
+        "dsir_weights",
+        args.docs,
+        lambda: run(dsir_weights(docs, target=F.col("doc_id") % 4 == 0)),
+    )
+
+    def betweenness():
+        cs = ev.select(
+            F.col("user_id").alias("src"),
+            (F.lit(10_000_000) + F.col("event_id") % 5000).alias("dst"),
+        ).distinct()
+        seeds = cs.select(F.col("src").alias("node")).filter(
+            F.col("node") < 5
+        )
+        run(betweenness_sampled(cs, seeds, rounds=3))
+
+    probe("betweenness_5seed_3hop", args.events, betweenness)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
