@@ -947,8 +947,12 @@ def main() -> None:
             F.col("user_id").alias("src"),
             (F.lit(10_000_000) + F.col("event_id") % 5000).alias("dst"),
         ).distinct()
+        # between(0, 4), NOT < 5: the synthetic user_id is a SIGNED hash
+        # residue, so `< 5` would admit every negative id — ~5,000 seeds
+        # instead of 5 (found the hard way: the labeled-BFS state went
+        # seeds-linear as documented and 5,000 seeds spilled the disk)
         seeds = cs.select(F.col("src").alias("node")).filter(
-            F.col("node") < 5
+            F.col("node").between(0, 4)
         )
         run(betweenness_sampled(cs, seeds, rounds=3))
 
