@@ -15321,6 +15321,77 @@ def streaming_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dsir_weights(stream, tempfile.mkdtemp(prefix="sdsir_"))
 
 
+@register(
+    "pipeline_dsir_select",
+    """
+    WITH arr AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                 FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(a[i] || ' ' || a[i + 1]), 1, 15))::BIGINT
+               % 4096 AS bkt
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    bt AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+      FROM bg GROUP BY bkt),
+    wts AS (
+      SELECT bg.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM((ct + 1) * 1048576 // (cr + 1)) AS BIGINT) AS dsir_fp
+      FROM bg JOIN bt USING (bkt)
+      GROUP BY bg.doc_id),
+    qw AS (
+      SELECT w.doc_id, w.n_feats, w.dsir_fp,
+             CAST((w.dsir_fp // w.n_feats) // 131072 + 1 AS INTEGER)
+               AS weight
+      FROM wts w JOIN documents d USING (doc_id)
+      WHERE d.lang <> 'en'),
+    pri AS (
+      SELECT doc_id, n_feats, dsir_fp, weight,
+             list_min(list_transform(range(1, weight + 1), j ->
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))))
+               AS priority
+      FROM qw WHERE weight >= 1)
+    SELECT doc_id, n_feats, dsir_fp, weight
+    FROM pri ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EIGHTH pipeline ending and the DSIR paper's actual endgame
+    (Xie et al. 2023 §3: weight, then importance-RESAMPLE): hashed-
+    bigram importance weights against the English target → per-feature
+    normalized into a small-integer PPS weight (dsir_fp DIV n_feats is
+    the average per-bucket ratio in (0, 2²⁰]; DIV 2¹⁷ + 1 maps it to
+    1..9 — integer throughout) → the deterministic md5-ticket bottom-k
+    reservoir draws the 100-document selection from the NON-target pool
+    (target docs are what the sample is tilted TOWARD, not drawn from).
+    Composition of two existing operators (dsir_weights +
+    weighted_reservoir), zero new machinery — the point of building
+    them as composable pieces.
+
+    Scale: the model is a 4096-row broadcast, the weight map is
+    row-local, and the selection is TakeOrderedAndProject — per-
+    partition top-k then a k-row driver merge. The corpus is never
+    shuffled end to end."""
+    from .operators.sampling import dsir_weights, weighted_reservoir
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = dsir_weights(docs, target=F.col("lang") == "en")
+    qw = (
+        wts.join(
+            docs.filter(F.col("lang") != "en").select("doc_id"), "doc_id"
+        )
+        .withColumn(
+            "weight",
+            F.expr("CAST((dsir_fp DIV n_feats) DIV 131072 + 1 AS INT)"),
+        )
+    )
+    return weighted_reservoir(qw, k=100, weight_col="weight").select(
+        "doc_id", "n_feats", "dsir_fp", "weight"
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
