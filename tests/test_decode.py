@@ -587,8 +587,8 @@ def test_descriptor_set_is_valid_protobuf(spark):
     # r12: +authz.proto/vesting.proto layout files, evidence (2),
     # crisis, gov v1 (2), upgrade (2); wave 4: params, distribution
     # proposal, bank/staking authz payloads, ed25519 + multisig keys,
-    # wasm types.proto
-    assert len(files) == 38
+    # wasm types.proto; wave 5: ibc channel.proto
+    assert len(files) == 39
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -1202,3 +1202,71 @@ def test_routing_on_proposal_content_field(spark):
     )
     got = sorted((r["tx_id"], r["topic"]) for r in routed.collect())
     assert got == [(1, "topic-params"), (2, "topic-spend"), (3, "dlq")]
+
+
+def test_any_registry_r12_wave5_channel_handshake():
+    """Round-12 fifth widening wave: the IBC channel-handshake
+    lifecycle (open init/try/ack/confirm, close init/confirm) plus the
+    Channel/Counterparty sub-messages with their State/Order enums —
+    what a relayer emits before any packet flows. Pins the enum NAME
+    rendering for two enums in one message and the Height JSON shape on
+    the confirm path."""
+    counterparty = _ld(1, b"transfer") + _ld(2, b"channel-9")
+    channel = (
+        _varint(1 << 3)
+        + _varint(1)  # STATE_INIT
+        + _varint(2 << 3)
+        + _varint(1)  # ORDER_UNORDERED
+        + _ld(3, counterparty)
+        + _ld(4, b"connection-0")
+        + _ld(5, b"ics20-1")
+    )
+    url = "type.googleapis.com/ibc.core.channel.v1.MsgChannelOpenInit"
+    init = _ld(1, b"transfer") + _ld(2, channel) + _ld(3, OKP4_ADDR.encode())
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, init))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "portId": "transfer",
+        "channel": {
+            "state": "STATE_INIT",
+            "ordering": "ORDER_UNORDERED",
+            "counterparty": {"portId": "transfer", "channelId": "channel-9"},
+            "connectionHops": ["connection-0"],
+            "version": "ics20-1",
+        },
+        "signer": OKP4_ADDR,
+    }
+
+    height = _varint(1 << 3) + _varint(2) + _varint(2 << 3) + _varint(7777)
+    url = "type.googleapis.com/ibc.core.channel.v1.MsgChannelOpenConfirm"
+    conf = (
+        _ld(1, b"transfer")
+        + _ld(2, b"channel-12")
+        + _ld(3, b"\x01\x02")
+        + _ld(4, height)
+        + _ld(5, OKP4_ADDR.encode())
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, conf))))["body"][
+        "messages"
+    ][0]
+    assert m["channelId"] == "channel-12"
+    assert m["proofHeight"] == {
+        "revisionNumber": "2",
+        "revisionHeight": "7777",
+    }
+
+    url = "type.googleapis.com/ibc.core.channel.v1.MsgChannelCloseInit"
+    close = _ld(1, b"transfer") + _ld(2, b"channel-12") + _ld(
+        3, OKP4_ADDR.encode()
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, close))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "portId": "transfer",
+        "channelId": "channel-12",
+        "signer": OKP4_ADDR,
+    }

@@ -580,9 +580,62 @@ FILES = [
         ],
     ),
     file_proto(
+        # Channel/Counterparty + State/Order enums live in channel.proto
+        # upstream (ibc-go proto/ibc/core/channel/v1/channel.proto)
+        "ibc/core/channel/v1/channel.proto",
+        "ibc.core.channel.v1",
+        [],
+        [
+            message(
+                "Channel",
+                field("state", 1, T_ENUM, OPT, ".ibc.core.channel.v1.State"),
+                field(
+                    "ordering", 2, T_ENUM, OPT, ".ibc.core.channel.v1.Order"
+                ),
+                field(
+                    "counterparty",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.channel.v1.Counterparty",
+                ),
+                field("connection_hops", 4, T_STRING, REP),
+                field("version", 5, T_STRING),
+            ),
+            message(
+                "Counterparty",
+                field("port_id", 1, T_STRING),
+                field("channel_id", 2, T_STRING),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "State",
+                [
+                    ("STATE_UNINITIALIZED_UNSPECIFIED", 0),
+                    ("STATE_INIT", 1),
+                    ("STATE_TRYOPEN", 2),
+                    ("STATE_OPEN", 3),
+                    ("STATE_CLOSED", 4),
+                ],
+            ),
+            enum_type(
+                "Order",
+                [
+                    ("ORDER_NONE_UNSPECIFIED", 0),
+                    ("ORDER_UNORDERED", 1),
+                    ("ORDER_ORDERED", 2),
+                ],
+            ),
+        ],
+    ),
+    file_proto(
         "ibc/core/channel/v1/tx.proto",
         "ibc.core.channel.v1",
-        ["ibc/core/client/v1/client.proto"],
+        [
+            "ibc/core/client/v1/client.proto",
+            "ibc/core/channel/v1/channel.proto",
+        ],
         [
             message(
                 "Packet",
@@ -649,6 +702,93 @@ FILES = [
                     ".ibc.core.client.v1.Height",
                 ),
                 field("next_sequence_recv", 4, T_UINT64),
+                field("signer", 5, T_STRING),
+            ),
+            # r12 wave 5: the channel-handshake lifecycle — what a
+            # relayer emits before any packet flows and when a channel
+            # winds down
+            message(
+                "MsgChannelOpenInit",
+                field("port_id", 1, T_STRING),
+                field(
+                    "channel",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.channel.v1.Channel",
+                ),
+                field("signer", 3, T_STRING),
+            ),
+            message(
+                "MsgChannelOpenTry",
+                field("port_id", 1, T_STRING),
+                field("previous_channel_id", 2, T_STRING),
+                field(
+                    "channel",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.channel.v1.Channel",
+                ),
+                field("counterparty_version", 4, T_STRING),
+                field("proof_init", 5, T_BYTES),
+                field(
+                    "proof_height",
+                    6,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 7, T_STRING),
+            ),
+            message(
+                "MsgChannelOpenAck",
+                field("port_id", 1, T_STRING),
+                field("channel_id", 2, T_STRING),
+                field("counterparty_channel_id", 3, T_STRING),
+                field("counterparty_version", 4, T_STRING),
+                field("proof_try", 5, T_BYTES),
+                field(
+                    "proof_height",
+                    6,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 7, T_STRING),
+            ),
+            message(
+                "MsgChannelOpenConfirm",
+                field("port_id", 1, T_STRING),
+                field("channel_id", 2, T_STRING),
+                field("proof_ack", 3, T_BYTES),
+                field(
+                    "proof_height",
+                    4,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 5, T_STRING),
+            ),
+            message(
+                "MsgChannelCloseInit",
+                field("port_id", 1, T_STRING),
+                field("channel_id", 2, T_STRING),
+                field("signer", 3, T_STRING),
+            ),
+            message(
+                "MsgChannelCloseConfirm",
+                field("port_id", 1, T_STRING),
+                field("channel_id", 2, T_STRING),
+                field("proof_init", 3, T_BYTES),
+                field(
+                    "proof_height",
+                    4,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
                 field("signer", 5, T_STRING),
             ),
         ],
