@@ -15392,6 +15392,72 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_dsir_ess",
+    """
+    WITH arr AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                 FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(a[i] || ' ' || a[i + 1]), 1, 15))::BIGINT
+               % 4096 AS bkt
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE a[i] <> '' AND a[i + 1] <> ''),
+    bt AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+      FROM bg GROUP BY bkt),
+    wts AS (
+      SELECT bg.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM((ct + 1) * 1048576 // (cr + 1)) AS BIGINT) AS dsir_fp
+      FROM bg JOIN bt USING (bkt)
+      GROUP BY bg.doc_id),
+    qw AS (
+      SELECT d.lang, (w.dsir_fp // w.n_feats) // 131072 + 1 AS wq
+      FROM wts w JOIN documents d USING (doc_id)
+      WHERE d.lang <> 'en')
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wq) AS BIGINT) AS sum_w,
+           CAST(SUM(wq) * SUM(wq) * 1000 // SUM(wq * wq) AS BIGINT)
+             AS ess_permille
+    FROM qw GROUP BY lang
+    """,
+)
+def sample_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR selection weights, per source
+    language pool — the importance-sampling health check run BEFORE
+    drawing (Kong 1992: ESS = (Σw)²/Σw²; reported here in permille of a
+    perfectly uniform pool): an ESS collapse means a few documents
+    dominate the tilted distribution and the resampled shard will be
+    near-duplicates of them — the practitioner's signal to widen the
+    bucket count or soften the target. Computed over the SAME quantized
+    1..9 integer weights pipeline_dsir_select actually draws with, so
+    the diagnostic measures the sampler that runs, not an idealization —
+    and (Σw)²·1000 DIV Σw² stays exact int64 at any corpus size
+    (quantized weights are ≤9, so Σw² ≤ 81·n).
+
+    Scale: the same broadcast-model scoring as sample_dsir_weights plus
+    one lang-keyed agg — nothing new shuffles."""
+    from .operators.sampling import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = dsir_weights(docs, target=F.col("lang") == "en")
+    qw = wts.join(
+        docs.filter(F.col("lang") != "en").select("doc_id", "lang"),
+        "doc_id",
+    ).select(
+        "lang",
+        F.expr("(dsir_fp DIV n_feats) DIV 131072 + 1").alias("wq"),
+    )
+    return qw.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("wq").cast("long").alias("sum_w"),
+        F.expr("CAST(SUM(wq) * SUM(wq) * 1000 DIV SUM(wq * wq) AS BIGINT)")
+        .alias("ess_permille"),
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
