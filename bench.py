@@ -330,6 +330,15 @@ HEADLINE = [
     "q_sketch_merge_hll",
     "q_time_bucket_rollup",
     "q_drift_chi2",
+    # --- r12 session-2 additions
+    "dedup_paragraph_exact",
+    "sample_dsir_weights",
+    "streaming_dsir_weights",
+    "pipeline_dsir_select",
+    "sample_dsir_ess",
+    "sim_matryoshka_recall",
+    "graph_betweenness_sampled",
+    "text_gopher_quality",
 ]
 
 
