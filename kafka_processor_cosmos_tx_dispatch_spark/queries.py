@@ -15187,11 +15187,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks)
     SELECT doc_id, n_words,
            n_chars * 1000 // n_words AS mean_wlen_fp,
-           (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
             + CASE WHEN 3 * n_words <= n_chars AND n_chars <= 10 * n_words
                    THEN 2 ELSE 0 END
             + CASE WHEN 5 * n_alpha >= 4 * n_words THEN 4 ELSE 0 END
-            + CASE WHEN n_stop >= 2 THEN 8 ELSE 0 END) AS rules_mask,
+            + CASE WHEN n_stop >= 2 THEN 8 ELSE 0 END AS BIGINT)
+             AS rules_mask,
            (n_words BETWEEN 50 AND 100000
             AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
             AND 5 * n_alpha >= 4 * n_words

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "sim_topk_hamming_rerank",  # stage 1 IS sim_topk_hamming; rerank bounded
     "sim_recall_at_k",  # same bounded-query broadcast on both result sides
     "sim_hamming_recall",  # same shape: exact + hamming sides both bounded
+    "sim_matryoshka_recall",  # same shape: exact + prefix sides both bounded
     "sim_mutual_knn",  # bounded side-A broadcast vs side-B corpus (exact miner)
     "sim_range_search",  # same bounded-query broadcast, threshold filter
     "sim_knn_classify",  # same bounded-query broadcast + label vote
