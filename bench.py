@@ -337,6 +337,7 @@ HEADLINE = [
     "pipeline_dsir_select",
     "sample_dsir_ess",
     "sim_matryoshka_recall",
+    "streaming_paragraph_dedup",
     "graph_betweenness_sampled",
     "text_gopher_quality",
 ]

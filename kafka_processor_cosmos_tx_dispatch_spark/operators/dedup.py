@@ -1050,6 +1050,59 @@ def cdc_containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+def paragraph_chunks(
+    docs: DataFrame,
+    size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, p, fp, ck) — the non-overlapping `size`-token
+    passages of every document with their md5 fingerprint and the
+    composite keeper key doc_id·1024 + chunk_idx. Shared derivation of
+    paragraph_dedup and its streaming twin
+    (streaming/incremental.py:incremental_paragraph_dedup): both sides
+    MUST chunk and fingerprint identically or the carried seen-set
+    diverges from the batch oracle. Narrow (one Generate, no shuffle)."""
+    t = TX.tokens(F.col(text_col))
+
+    def mk(tc: F.Column) -> F.Column:
+        n_chunks = (
+            (F.greatest(F.size(tc) - size, F.lit(0)) + (size - 1))
+            .cast("long")
+            / size
+        ).cast("long") + 1
+        return F.struct(
+            tc.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
+        )
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), EX.bind(t, mk).alias("s"))
+        .select("doc_id", F.col("s.t").alias("t"), F.explode("s.idx").alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("chunk_idx") * size + 1, size)
+            ).alias("p"),
+        )
+        .withColumn("fp", F.md5(F.col("p")))
+        .withColumn(
+            "ck",
+            F.col("doc_id") * 1024
+            + F.col("chunk_idx")
+            # assert_true yields NULL on pass and raises on violation, so
+            # coalesce keeps the composite exact while enforcing the bound
+            + F.coalesce(
+                F.assert_true(
+                    F.col("chunk_idx") < 1024,
+                    F.lit("paragraph_dedup: document exceeds 1024 chunks"),
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     size: int = 32,
@@ -1085,44 +1138,7 @@ def paragraph_dedup(
     exact while chunk_idx < 1024 (enforced below — at size=32 that is
     docs up to 32k tokens; raise `size` for longer documents).
     """
-    t = TX.tokens(F.col(text_col))
-
-    def mk(tc: F.Column) -> F.Column:
-        n_chunks = (
-            (F.greatest(F.size(tc) - size, F.lit(0)) + (size - 1))
-            .cast("long")
-            / size
-        ).cast("long") + 1
-        return F.struct(
-            tc.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
-        )
-
-    chunked = (
-        docs.select(F.col(id_col).alias("doc_id"), EX.bind(t, mk).alias("s"))
-        .select("doc_id", F.col("s.t").alias("t"), F.explode("s.idx").alias("chunk_idx"))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.concat_ws(
-                " ", F.slice(F.col("t"), F.col("chunk_idx") * size + 1, size)
-            ).alias("p"),
-        )
-        .withColumn("fp", F.md5(F.col("p")))
-        .withColumn(
-            "ck",
-            F.col("doc_id") * 1024
-            + F.col("chunk_idx")
-            # assert_true yields NULL on pass and raises on violation, so
-            # coalesce keeps the composite exact while enforcing the bound
-            + F.coalesce(
-                F.assert_true(
-                    F.col("chunk_idx") < 1024,
-                    F.lit("paragraph_dedup: document exceeds 1024 chunks"),
-                ).cast("long"),
-                F.lit(0).cast("long"),
-            ),
-        )
-    )
+    chunked = paragraph_chunks(docs, size=size, id_col=id_col, text_col=text_col)
     keepers = chunked.groupBy("fp").agg(F.min("ck").alias("keep_ck"))
     flagged = chunked.join(keepers, "fp").withColumn(
         "kept", (F.col("ck") == F.col("keep_ck")).cast("int")

@@ -15459,6 +15459,38 @@ def sample_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_paragraph_dedup",
+    _ORACLE["dedup_paragraph_exact"],  # the twin shares the batch oracle
+)
+def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of dedup_paragraph_exact — corpus-level paragraph
+    dedup with reassembly over the continuously-arriving document stream
+    (streaming/incremental.py:incremental_paragraph_dedup): carried SEEN
+    passage-fingerprint set, batch-id-ledgered exactly-once; each batch
+    applies the batch operator's within-batch keep-first rule, then
+    drops anything an earlier batch already kept — prefix semantics
+    (taxonomy class (2)), so under the doc_id-ordered split the drained
+    shard is row-identical to the batch operator and the batch SQL is
+    the oracle (split-invariance + replay + restart pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from .streaming.dispatch import file_stream_reader
+    from .streaming.incremental import incremental_paragraph_dedup
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    return incremental_paragraph_dedup(
+        stream, tempfile.mkdtemp(prefix="spard_")
+    )
+
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):

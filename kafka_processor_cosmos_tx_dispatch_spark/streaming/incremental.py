@@ -1915,3 +1915,136 @@ def dsir_drained(spark, work_dir: str, scale: int = 1 << 20) -> DataFrame:
             ).alias("dsir_fp"),
         )
     )
+
+
+def make_paragraph_dedup_batch(work_dir: str, size: int, latest: dict):
+    """foreachBatch body of incremental_paragraph_dedup: corpus-level
+    paragraph-exact dedup with document reassembly maintained over a
+    document stream — the carried state is the SEEN passage-fingerprint
+    set, batch-id-ledgered exactly-once.
+
+    Per batch: (1) chunk the batch's documents with the SAME derivation
+    as the batch operator (operators/dedup.py:paragraph_chunks); (2)
+    within-batch keep-first (min composite key per fingerprint — the
+    batch operator's exact rule, applied to what arrived together); (3)
+    anti-join the carried seen set (a passage that arrived in ANY
+    earlier batch is dropped here — prefix semantics, class (2) of the
+    streaming-expressibility taxonomy: under a doc_id-ORDERED split the
+    drained shard is row-identical to the batch operator, which keeps
+    the minimal (doc_id, chunk_idx) occurrence); (4) reassemble and
+    append the batch's finished document rows (documents are row-local
+    to their batch, so rows never revise); (5) fold the batch's kept
+    fingerprints into the seen set.
+
+    Scale: per batch one fingerprint hash-agg + one anti-join against
+    the seen set (both keyed on the 16-byte digest) + one doc-keyed
+    reassembly agg; state grows with DISTINCT passages, the same bound
+    as the batch operator's shuffle."""
+    from ..operators.dedup import paragraph_chunks
+
+    seen_root = os.path.join(work_dir, "seen")
+    out_root = os.path.join(work_dir, "out")
+
+    def merge_batch(bdf: DataFrame, bid: int) -> None:
+        if latest["bid"] is None:
+            latest["bid"], latest["path"] = _scan_state(seen_root)
+        if latest["bid"] is not None and bid <= latest["bid"]:
+            return  # replayed batch
+        spark = bdf.sparkSession
+        chunked = paragraph_chunks(bdf, size=size)
+        keepers = chunked.groupBy("fp").agg(F.min("ck").alias("keep_ck"))
+        flagged = chunked.join(keepers, "fp").withColumn(
+            "kept_in_batch", (F.col("ck") == F.col("keep_ck")).cast("int")
+        )
+        seen = (
+            spark.read.parquet(latest["path"])
+            if latest["path"] is not None
+            else None
+        )
+        if seen is not None:
+            flagged = flagged.join(
+                seen.withColumnRenamed("fp", "seen_fp"),
+                flagged["fp"] == F.col("seen_fp"),
+                "left",
+            ).withColumn(
+                "kept",
+                F.when(
+                    F.col("seen_fp").isNotNull(), F.lit(0)
+                ).otherwise(F.col("kept_in_batch")),
+            )
+        else:
+            flagged = flagged.withColumn("kept", F.col("kept_in_batch"))
+        out = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1,
+                                F.struct("chunk_idx", "p"),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+            ).alias("text_dedup"),
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_root, f"b{bid}"))
+        new_seen = flagged.select("fp").distinct()
+        merged = (
+            new_seen
+            if seen is None
+            else seen.unionByName(new_seen).distinct()
+        )
+        path = os.path.join(seen_root, f"v{bid}")
+        merged.write.mode("overwrite").parquet(path)
+        prev_path = latest["path"]
+        latest.update(path=path, bid=bid)
+        if prev_path is not None and prev_path != path:
+            import shutil
+
+            shutil.rmtree(prev_path, ignore_errors=True)
+
+    return merge_batch
+
+
+def incremental_paragraph_dedup(
+    stream: DataFrame, work_dir: str, size: int = 32
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py:paragraph_dedup — paragraph-
+    exact dedup with reassembly over a continuously-arriving document
+    stream (see make_paragraph_dedup_batch). Returns the accumulated
+    reassembled documents after the bounded stream drains; under a
+    doc_id-ordered micro-batch split the result is row-identical to the
+    batch operator (prefix keep-first semantics)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_paragraph_dedup_batch(
+                work_dir, size, {"bid": None, "path": None}
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_paragraph_dedup: stream did not finish in 300s"
+        )
+    spark = stream.sparkSession
+    import glob
+
+    outs = [
+        p
+        for p in glob.glob(os.path.join(work_dir, "out", "b*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not outs:
+        return spark.createDataFrame(
+            [], "doc_id long, n_chunks long, n_kept long, text_dedup string"
+        )
+    return spark.read.parquet(*outs)

@@ -1320,3 +1320,103 @@ class TestIncrementalDsir:
             tuple(r) for r in streaming_dsir_weights(spark, sf_dir).collect()
         }
         assert got == want and len(got) >= 1
+
+
+class TestIncrementalParagraphDedup:
+    DOCS_SCHEMA = "doc_id long, text string"
+    BOILER = "b1 b2 b3 b4"
+    DOCS = [
+        (0, "b1 b2 b3 b4 a1 a2 a3 a4"),
+        (1, "c1 c2 c3 c4 b1 b2 b3 b4"),  # loses the boiler chunk
+        (2, "b1 b2 b3 b4"),  # entirely boilerplate
+        (3, "d1 d2 d3 d4 d1 d2 d3 d4 e1"),  # within-doc repeat
+        (4, "c1 c2 c3 c4 f1"),  # loses its first chunk to doc 1
+    ]
+
+    def _run(self, spark, workdir, batches, replay_bid=None, restart_at=None):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_paragraph_dedup_batch,
+        )
+
+        latest = {"bid": None, "path": None}
+        body = make_paragraph_dedup_batch(workdir, 4, latest)
+        for bid, rows in enumerate(batches):
+            if restart_at == bid:
+                latest = {"bid": None, "path": None}
+                body = make_paragraph_dedup_batch(workdir, 4, latest)
+            body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+            if replay_bid == bid:
+                body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+
+    def _readout(self, spark, workdir):
+        import glob
+        import os as _os
+
+        outs = [
+            p
+            for p in glob.glob(_os.path.join(workdir, "out", "b*"))
+            if _os.path.exists(_os.path.join(p, "_SUCCESS"))
+        ]
+        return sorted(tuple(r) for r in spark.read.parquet(*outs).collect())
+
+    def test_ordered_split_invariance_replay_and_restart(
+        self, spark, tmp_path
+    ):
+        """Under any doc_id-ORDERED split (prefix semantics) the drained
+        shard matches the batch operator; replays are skipped via the
+        ledger, including a stale replay arriving after a restart."""
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, self.DOCS_SCHEMA)
+        want = sorted(
+            tuple(r) for r in paragraph_dedup(docs, size=4).collect()
+        )
+
+        self._run(spark, str(tmp_path / "a"), [self.DOCS])
+        assert self._readout(spark, str(tmp_path / "a")) == want
+
+        splits = [self.DOCS[:2], self.DOCS[2:3], self.DOCS[3:]]
+        self._run(spark, str(tmp_path / "b"), splits, replay_bid=1)
+        assert self._readout(spark, str(tmp_path / "b")) == want
+
+        self._run(spark, str(tmp_path / "c"), splits, restart_at=2)
+        assert self._readout(spark, str(tmp_path / "c")) == want
+
+        # stale replay with a FRESH ledger after the full run: the seen
+        # set must not change and no output may duplicate
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_paragraph_dedup_batch,
+        )
+
+        body = make_paragraph_dedup_batch(
+            str(tmp_path / "c"), 4, {"bid": None, "path": None}
+        )
+        body(spark.createDataFrame(splits[0], self.DOCS_SCHEMA), 0)
+        assert self._readout(spark, str(tmp_path / "c")) == want
+
+    def test_cross_batch_drop_is_first_occurrence(self, spark, tmp_path):
+        """A passage arriving in batch 1 that batch 0 already kept is
+        dropped from the LATER document — and a document whose every
+        passage is stale reassembles to the empty string."""
+        splits = [self.DOCS[:1], self.DOCS[1:3]]
+        self._run(spark, str(tmp_path / "d"), splits)
+        got = {r[0]: r for r in self._readout(spark, str(tmp_path / "d"))}
+        assert got[1][2] == 1 and got[1][3] == "c1 c2 c3 c4"
+        assert got[2][2] == 0 and got[2][3] == ""
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            dedup_paragraph_exact,
+            streaming_paragraph_dedup,
+        )
+
+        want = {
+            tuple(r) for r in dedup_paragraph_exact(spark, sf_dir).collect()
+        }
+        got = {
+            tuple(r)
+            for r in streaming_paragraph_dedup(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) >= 1
