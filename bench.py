@@ -338,6 +338,7 @@ HEADLINE = [
     "sample_dsir_ess",
     "sim_matryoshka_recall",
     "streaming_paragraph_dedup",
+    "dedup_funnel_report",
     "graph_betweenness_sampled",
     "text_gopher_quality",
 ]

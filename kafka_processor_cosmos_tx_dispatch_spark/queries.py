@@ -15491,6 +15491,118 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "dedup_funnel_report",
+    f"""
+    WITH ex AS (
+      SELECT MIN(doc_id) AS doc_id FROM
+        (SELECT doc_id, md5({_D_NORM}) AS fp FROM documents)
+      GROUP BY fp),
+    exd AS (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+    {_minhash_sig_sql("exd")},
+    drops AS (
+      SELECT DISTINCT b.doc_id FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near AS (SELECT * FROM exd
+             WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    ptoks AS (SELECT doc_id, {_D_TOKS} AS t FROM near),
+    pch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i*32+1 : i*32+32], ' ') AS p
+      FROM ptoks, unnest(generate_series(0,
+           (greatest(len(t) - 32, 0) + 31) // 32)) AS u(i)),
+    pfps AS (SELECT doc_id, chunk_idx, p, md5(p) AS f,
+                    doc_id * 1024 + chunk_idx AS ck FROM pch),
+    pkp AS (SELECT f, MIN(ck) AS keep_ck FROM pfps GROUP BY f),
+    pkept AS (SELECT doc_id, p FROM pfps JOIN pkp USING (f)
+              WHERE ck = keep_ck),
+    tok AS (SELECT doc_id,
+                   CAST(len(list_filter({_D_TOKS}, w -> w <> ''))
+                        AS BIGINT) AS nt
+            FROM documents)
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM tok
+    UNION ALL
+    SELECT 'b_exact', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+    FROM tok JOIN exd USING (doc_id)
+    UNION ALL
+    SELECT 'c_near', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+    FROM tok JOIN near USING (doc_id)
+    UNION ALL
+    SELECT 'd_paragraph', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(SUM(len(string_split(p, ' '))) AS BIGINT)
+    FROM pkept
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL dashboard: how many documents and tokens survive
+    each curation stage in production order — raw → exact (document
+    fingerprints) → near (conservative LSH: the higher id of every
+    candidate pair drops) → paragraph (corpus-level passage keep-first,
+    counting surviving tokens) — the one-glance report a pipeline owner
+    reads before arguing about thresholds; monotone by construction, and
+    the stage-to-stage deltas ARE the yield of each dedup family on this
+    corpus. Pure composition of three existing operators plus one token
+    count; each stage reuses the exact machinery its standalone query
+    pins.
+
+    Scale: the same bounded joins as the standalone stages (fingerprint
+    hash-agg, capped band-key equi-join, passage-digest agg) feeding
+    4 one-row aggregates — nothing new shuffles."""
+    from .operators.dedup import (
+        drop_exact_duplicates,
+        minhash_lsh_pairs,
+        paragraph_chunks,
+    )
+    from .functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+    ).cast("long")
+    tok = docs.select("doc_id", ntok.alias("nt"))
+
+    def stage(name: str, ids: DataFrame) -> DataFrame:
+        return (
+            tok.join(ids.select("doc_id"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens"),
+            )
+            .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        )
+
+    ex = drop_exact_duplicates(docs)
+    drops = (
+        minhash_lsh_pairs(
+            ex, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = ex.join(drops, "doc_id", "left_anti")
+    chunked = paragraph_chunks(near, size=32)
+    keepers = chunked.groupBy("fp").agg(F.min("ck").alias("keep_ck"))
+    pkept = chunked.join(keepers, "fp").filter(
+        F.col("ck") == F.col("keep_ck")
+    )
+    para = pkept.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("p", " "))).cast("long").alias("n_tokens"),
+    ).select(F.lit("d_paragraph").alias("stage"), "n_docs", "n_tokens")
+    raw = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    ).select(F.lit("a_raw").alias("stage"), "n_docs", "n_tokens")
+    return (
+        raw.unionByName(stage("b_exact", ex))
+        .unionByName(stage("c_near", near))
+        .unionByName(para)
+    )
+
+
 def _family(name: str) -> str:
     """Coarse family tag for interleaving (prefix heuristics)."""
     if name.startswith("dispatch"):
