@@ -587,8 +587,8 @@ def test_descriptor_set_is_valid_protobuf(spark):
     # r12: +authz.proto/vesting.proto layout files, evidence (2),
     # crisis, gov v1 (2), upgrade (2); wave 4: params, distribution
     # proposal, bank/staking authz payloads, ed25519 + multisig keys,
-    # wasm types.proto; wave 5: ibc channel.proto
-    assert len(files) == 39
+    # wasm types.proto; wave 5: ibc channel.proto; wave 6: group (2)
+    assert len(files) == 41
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -1269,4 +1269,63 @@ def test_any_registry_r12_wave5_channel_handshake():
         "portId": "transfer",
         "channelId": "channel-12",
         "signer": OKP4_ADDR,
+    }
+
+
+def test_any_registry_r12_wave6_group_module():
+    """Round-12 sixth widening wave: the group module — on-chain
+    multisig governance. MsgSubmitProposal's `messages` repeated Any is
+    the FIFTH nested-Any recursion carrier; MsgVote pins the THIRD
+    VoteOption enum package (fqn-keyed enum tables keep the three
+    same-named enums apart) plus the Exec enum in the same message."""
+    member = _ld(1, b"okp41member") + _ld(2, b"3")
+    mcg = _ld(1, OKP4_ADDR.encode()) + _ld(2, member) + _ld(3, b"devs")
+    url = "type.googleapis.com/cosmos.group.v1.MsgCreateGroup"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, mcg))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "admin": OKP4_ADDR,
+        "members": [{"address": "okp41member", "weight": "3"}],
+        "metadata": "devs",
+    }
+
+    # group proposal embedding a MsgSend — recursion through the group
+    # package; exec enum renders by name
+    sub = (
+        _ld(1, b"okp41policyaddr")
+        + _ld(2, OKP4_ADDR.encode())
+        + _ld(4, _any(MSG_SEND_URL, _msg_send(OKP4_ADDR, "tesTo")))
+        + _varint(5 << 3)
+        + _varint(1)  # EXEC_TRY
+    )
+    url = "type.googleapis.com/cosmos.group.v1.MsgSubmitProposal"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sub))))["body"][
+        "messages"
+    ][0]
+    assert m["groupPolicyAddress"] == "okp41policyaddr"
+    assert m["proposers"] == [OKP4_ADDR]
+    assert m["messages"][0]["@type"] == MSG_SEND_URL
+    assert m["messages"][0]["fromAddress"] == OKP4_ADDR
+    assert m["exec"] == "EXEC_TRY"
+
+    # MsgVote: the group package's own VoteOption (third enum package
+    # with this name) — must resolve via cosmos.group.v1, not gov's
+    vote = (
+        _varint(1 << 3)
+        + _varint(12)
+        + _ld(2, OKP4_ADDR.encode())
+        + _varint(3 << 3)
+        + _varint(2)  # VOTE_OPTION_ABSTAIN
+    )
+    url = "type.googleapis.com/cosmos.group.v1.MsgVote"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, vote))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "proposalId": "12",
+        "voter": OKP4_ADDR,
+        "option": "VOTE_OPTION_ABSTAIN",
     }

@@ -1268,6 +1268,86 @@ FILES = [
         [message("PubKey", field("key", 1, T_BYTES))],
     ),
     file_proto(
+        # group-module governance: VoteOption lives in types.proto
+        # upstream (a THIRD VoteOption enum package, after gov v1beta1
+        # and gov v1 — name collisions across packages are exactly what
+        # the fqn-keyed enum table exists for)
+        "cosmos/group/v1/types.proto",
+        "cosmos.group.v1",
+        [],
+        [],
+        enums=[
+            enum_type(
+                "VoteOption",
+                [
+                    ("VOTE_OPTION_UNSPECIFIED", 0),
+                    ("VOTE_OPTION_YES", 1),
+                    ("VOTE_OPTION_ABSTAIN", 2),
+                    ("VOTE_OPTION_NO", 3),
+                    ("VOTE_OPTION_NO_WITH_VETO", 4),
+                ],
+            )
+        ],
+    ),
+    file_proto(
+        "cosmos/group/v1/tx.proto",
+        "cosmos.group.v1",
+        ["google/protobuf/any.proto", "cosmos/group/v1/types.proto"],
+        [
+            message(
+                "MemberRequest",
+                field("address", 1, T_STRING),
+                field("weight", 2, T_STRING),
+                field("metadata", 3, T_STRING),
+            ),
+            message(
+                "MsgCreateGroup",
+                field("admin", 1, T_STRING),
+                field(
+                    "members",
+                    2,
+                    T_MESSAGE,
+                    REP,
+                    ".cosmos.group.v1.MemberRequest",
+                ),
+                field("metadata", 3, T_STRING),
+            ),
+            # messages is repeated Any: a group proposal EMBEDS the
+            # sdk.Msgs it will execute — the fifth nested-Any recursion
+            # carrier (after authz MsgExec, gov v1, staking pubkey,
+            # feegrant AllowedMsgAllowance)
+            message(
+                "MsgSubmitProposal",
+                field("group_policy_address", 1, T_STRING),
+                field("proposers", 2, T_STRING, REP),
+                field("metadata", 3, T_STRING),
+                field("messages", 4, T_MESSAGE, REP, ANY),
+                field("exec", 5, T_ENUM, OPT, ".cosmos.group.v1.Exec"),
+            ),
+            message(
+                "MsgVote",
+                field("proposal_id", 1, T_UINT64),
+                field("voter", 2, T_STRING),
+                field(
+                    "option", 3, T_ENUM, OPT, ".cosmos.group.v1.VoteOption"
+                ),
+                field("metadata", 4, T_STRING),
+                field("exec", 5, T_ENUM, OPT, ".cosmos.group.v1.Exec"),
+            ),
+            message(
+                "MsgExec",
+                field("proposal_id", 1, T_UINT64),
+                field("executor", 2, T_STRING),
+            ),
+        ],
+        enums=[
+            enum_type(
+                "Exec",
+                [("EXEC_UNSPECIFIED", 0), ("EXEC_TRY", 1)],
+            )
+        ],
+    ),
+    file_proto(
         "cosmos/crypto/multisig/keys.proto",
         "cosmos.crypto.multisig",
         ["google/protobuf/any.proto"],
