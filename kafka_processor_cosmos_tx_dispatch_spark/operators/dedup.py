@@ -1062,7 +1062,18 @@ def paragraph_chunks(
     paragraph_dedup and its streaming twin
     (streaming/incremental.py:incremental_paragraph_dedup): both sides
     MUST chunk and fingerprint identically or the carried seen-set
-    diverges from the batch oracle. Narrow (one Generate, no shuffle)."""
+    diverges from the batch oracle. Narrow (one Generate, no shuffle).
+
+    Empty-document semantics (ADVICE r12, deliberate): a zero-token /
+    whitespace-only document still emits ONE chunk — the empty passage
+    (p='', fp=md5('')) — so all empty docs dedup against each other and
+    exactly one keeps text_dedup=''. This mirrors the paired oracle SQL
+    and keeps the "one output row per input doc" contract; filtering
+    them to n_chunks=0 would drop empty docs from the reassembly.
+
+    The composite keeper key assumes doc_id >= 0 (a negative id would
+    invert the (doc_id, chunk_idx) keep-first order under the ·1024
+    packing); enforced below alongside the 1024-chunk bound."""
     t = TX.tokens(F.col(text_col))
 
     def mk(tc: F.Column) -> F.Column:
@@ -1091,11 +1102,15 @@ def paragraph_chunks(
             F.col("doc_id") * 1024
             + F.col("chunk_idx")
             # assert_true yields NULL on pass and raises on violation, so
-            # coalesce keeps the composite exact while enforcing the bound
+            # coalesce keeps the composite exact while enforcing both the
+            # chunk bound and the non-negative doc_id the packing assumes
             + F.coalesce(
                 F.assert_true(
-                    F.col("chunk_idx") < 1024,
-                    F.lit("paragraph_dedup: document exceeds 1024 chunks"),
+                    (F.col("chunk_idx") < 1024) & (F.col("doc_id") >= 0),
+                    F.lit(
+                        "paragraph_dedup: document exceeds 1024 chunks"
+                        " or doc_id is negative"
+                    ),
                 ).cast("long"),
                 F.lit(0).cast("long"),
             ),

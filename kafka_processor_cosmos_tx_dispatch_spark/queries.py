@@ -15532,7 +15532,8 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok JOIN near USING (doc_id)
     UNION ALL
     SELECT 'd_paragraph', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
-           CAST(SUM(len(string_split(p, ' '))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split(p, ' '), w -> w <> '')))
+                AS BIGINT)
     FROM pkept
     """,
 )
@@ -15590,7 +15591,14 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     para = pkept.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("p", " "))).cast("long").alias("n_tokens"),
+        # empty-filtered tokenization, the SAME counting rule as stages
+        # a_raw..c_near (ADVICE r12: size(split('',' ')) reads 1, which
+        # could break the funnel's monotonicity on a corpus with
+        # empty/whitespace-only documents — the lone kept empty passage
+        # must count 0 tokens, not 1)
+        F.sum(
+            F.size(F.filter(F.split("p", " "), lambda w: w != ""))
+        ).cast("long").alias("n_tokens"),
     ).select(F.lit("d_paragraph").alias("stage"), "n_docs", "n_tokens")
     raw = tok.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

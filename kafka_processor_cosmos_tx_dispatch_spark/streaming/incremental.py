@@ -1782,10 +1782,14 @@ def incremental_connected_components(
     return spark.read.parquet(path)
 
 
-def make_dsir_batch(work_dir: str, buckets: int, latest: dict):
+def make_dsir_batch(work_dir: str, buckets: int, latest: dict, target=None):
     """foreachBatch body of incremental_dsir_weights: the DSIR
     hashed-bigram MODEL (per-bucket raw/target counts) maintained over a
-    document stream, batch-id-ledgered exactly-once.
+    document stream, batch-id-ledgered exactly-once. `target` is the
+    target-domain predicate Column (or column-name string), defaulting
+    to lang=='en' like the registered query — pass your own to score
+    against any other target subset (ADVICE r12: the default used to be
+    hard-coded, silently scoring non-English reuses against English).
 
     Per batch: (1) the batch's per-document feature rows
     (doc_id, bkt, c) are written as an archive delta — features are a
@@ -1808,8 +1812,11 @@ def make_dsir_batch(work_dir: str, buckets: int, latest: dict):
         if latest["bid"] is not None and bid <= latest["bid"]:
             return  # replayed batch
         spark = bdf.sparkSession
+        tgt = F.col(target) if isinstance(target, str) else target
         bg = dsir_bigram_buckets(
-            bdf, target=F.col("lang") == "en", buckets=buckets
+            bdf,
+            target=tgt if tgt is not None else F.col("lang") == "en",
+            buckets=buckets,
         )
         feats = bg.groupBy("doc_id", "bkt").agg(
             F.count(F.lit(1)).cast("long").alias("c")
@@ -1860,6 +1867,7 @@ def incremental_dsir_weights(
     work_dir: str,
     buckets: int = 4096,
     scale: int = 1 << 20,
+    target=None,
 ) -> DataFrame:
     """Streaming twin of operators/sampling.py:dsir_weights — the DSIR
     importance-reweighting model maintained CONTINUOUSLY over a document
@@ -1872,7 +1880,9 @@ def incremental_dsir_weights(
     split — the batch SQL is the oracle."""
     q = (
         stream.writeStream.foreachBatch(
-            make_dsir_batch(work_dir, buckets, {"bid": None, "path": None})
+            make_dsir_batch(
+                work_dir, buckets, {"bid": None, "path": None}, target=target
+            )
         )
         .trigger(availableNow=True)
         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
