@@ -720,6 +720,11 @@ def main() -> None:
         **streaming_decode_throughput(spark),
     }
     _add_prev_round_deltas(detail, timings, stats)
+    _write_detail(detail, sf_num)  # hedge: record classic deltas first
+    ab_flag = os.environ.get("BENCH_AB", "1")
+    if ab_flag == "force" or (ab_flag != "0" and sf_num == 0.1):
+        spark.stop()  # free the JVM/cores for the alternated processes
+        _ab_alternated(names, sf_dir, detail)
     detail_path = _write_detail(detail, sf_num)
 
     # The driver captures only a ~2000-char stdout TAIL: r6's enriched
@@ -728,6 +733,8 @@ def main() -> None:
     # summary — per-query detail lives in the detail file above.
     compact_keys = (
         "metric value unit sf n_queries delta_basis delta_vs_prev_pct "
+        "ab_delta_vs_prev_pct ab_spread_pct ab_pair_deltas_pct ab_pairs "
+        "ab_order ab_shared_queries ab_ref ab_time_s ab_error "
         "delta_vs_prev_pct_normalized delta_vs_prev_pct_min "
         "delta_vs_prev_pct_median delta_vs_prev_pct_min_normalized "
         "delta_vs_prev_pct_median_normalized noise_queries "
@@ -904,6 +911,176 @@ def _add_prev_round_deltas(
         )
         detail["delta_queries_noise"] = noise
         detail["noise_queries"] = len(noise)
+
+
+def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
+    """The HEADLINE cross-round delta, measured by counterbalanced
+    A/B alternation (r12 verdict #1 — productizing the proven
+    tools/ab_bench.py protocol): check out the prior round's tree in a
+    detached git worktree and run the shared registry through fresh
+    processes in A B B A order (A = prev tree, B = HEAD), one sample
+    per query per run. Each (A_k, B_k) pair runs minutes apart on the
+    same box, so box weather hits both sides of a pair almost equally;
+    the ABBA counterbalance cancels LINEAR drift exactly in the pair
+    mean (pair 1 biases +r, pair 2 −r under drift rate r per slot),
+    which probe normalization never could (PROBES.md r12: same-code
+    trees minutes apart read ±12% per query; the r12 record's trimmed
+    cal spread was 64%; alternated same-code bisects read <5%).
+
+    Sets detail["ab_*"] and, on success, promotes the alternated
+    shared-set delta to the headline delta_vs_prev_pct
+    (delta_basis = "ab_alternated"); the classic min/median/normalized
+    deltas stay recorded under their existing keys. Any failure is
+    recorded as ab_error and the classic headline stands.
+
+    Knobs: BENCH_AB=0 disables; BENCH_AB_REF overrides the prior-round
+    ref (default: the commit that last touched the newest driver
+    BENCH_r*.json — the round-final tree); BENCH_AB_PASSES (4),
+    BENCH_AB_ITERS (1), BENCH_AB_ORDER (abba|abab),
+    BENCH_AB_BUDGET_S (2700) — after the first run, remaining passes
+    are dropped in pairs if the projection exceeds the budget."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    t_start = time.time()
+    rounds = _round_files()
+    if not rounds:
+        detail["ab_error"] = "no prior round bench record"
+        return
+    prev_n = rounds[-1][0]
+    ref = os.environ.get("BENCH_AB_REF")
+    if not ref:
+        try:
+            ref = subprocess.run(
+                ["git", "rev-list", "-1", "HEAD", "--",
+                 f"BENCH_r{prev_n:02d}.json"],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+        except Exception as exc:  # noqa: BLE001 — record, don't crash bench
+            detail["ab_error"] = f"git rev-list failed: {exc}"
+            return
+    if not ref:
+        detail["ab_error"] = f"no commit found for BENCH_r{prev_n:02d}.json"
+        return
+
+    passes = max(2, int(os.environ.get("BENCH_AB_PASSES", "4")))
+    iters = max(1, int(os.environ.get("BENCH_AB_ITERS", "1")))
+    order_kind = os.environ.get("BENCH_AB_ORDER", "abba")
+    budget = float(os.environ.get("BENCH_AB_BUDGET_S", "2700"))
+    if order_kind == "abab":
+        order = ["A" if i % 2 == 0 else "B" for i in range(passes)]
+    else:  # abba blocks: A B B A | A B B A ...
+        order = [("A", "B", "B", "A")[i % 4] for i in range(passes)]
+
+    wt = tempfile.mkdtemp(prefix="ab_prev_")
+    names_file = os.path.join(wt, "_ab_names.txt")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref],
+            cwd=here, check=True, capture_output=True, timeout=120,
+        )
+        with open(names_file, "w") as fh:
+            fh.write("\n".join(names))
+        runner = os.path.join(here, "tools", "ab_bench.py")
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        runs: dict[str, list[dict]] = {"A": [], "B": []}
+        log_path = os.path.join(wt, "_ab_log.txt")
+        for i, side in enumerate(order):
+            if i >= 2 and (time.time() - t_start) + _ab_proj(runs) > budget:
+                break  # keep whole pairs only; projection over budget
+            root = wt if side == "A" else here
+            out_path = os.path.join(wt, f"_ab_out_{i}.json")
+            with open(log_path, "a") as logfh:
+                subprocess.run(
+                    [sys.executable, runner, root, "@" + names_file,
+                     str(iters), out_path],
+                    cwd=root, env=env, check=True, timeout=budget,
+                    stdout=logfh, stderr=logfh,
+                )
+            with open(out_path) as fh:
+                runs[side].append(json.load(fh))
+        stats = _ab_stats(runs, names)
+        if "ab_error" in stats:
+            detail.update(stats)
+            return
+        detail.update(stats)
+        detail["ab_ref"] = ref[:12]
+        detail["ab_prev_round"] = f"r{prev_n:02d}"
+        detail["ab_order"] = "".join(order[: stats["ab_pairs"] * 2])
+        detail["ab_iters"] = iters
+        detail["ab_time_s"] = round(time.time() - t_start, 1)
+        # promote: the alternated shared-set delta IS the headline
+        detail["delta_basis"] = "ab_alternated"
+        detail["delta_vs_prev_pct"] = stats["ab_delta_vs_prev_pct"]
+    except Exception as exc:  # noqa: BLE001 — AB must never sink the bench
+        detail["ab_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here, capture_output=True, timeout=60,
+        )
+
+
+def _ab_stats(runs: dict, names: list[str]) -> dict:
+    """Pure pairing math of the alternated protocol (unit-tested in
+    tests/test_bench_io.py): k-th A run pairs with k-th B run; each
+    pair's shared-set total delta is one sample; the headline is the
+    pair mean (linear drift cancels under ABBA counterbalancing) and
+    ab_spread_pct — max minus min pair delta, in points — is the
+    attributability floor the headline must be read against."""
+    n_pairs = min(len(runs["A"]), len(runs["B"]))
+    if n_pairs < 1:
+        return {"ab_error": "no complete A/B pair inside budget"}
+    used = runs["A"][:n_pairs] + runs["B"][:n_pairs]
+    shared = set(names)
+    for r in used:
+        shared &= set(r["queries"])
+    shared = sorted(shared)
+    if not shared:
+        return {"ab_error": "no shared queries across trees"}
+    pair_deltas: list[float] = []
+    per_q: dict[str, list[float]] = {}
+    for k in range(n_pairs):
+        a, b = runs["A"][k]["queries"], runs["B"][k]["queries"]
+        sa = sum(a[n]["median"] for n in shared)
+        sb = sum(b[n]["median"] for n in shared)
+        pair_deltas.append(100.0 * (sb - sa) / sa)
+        for n in shared:
+            per_q.setdefault(n, []).append(
+                100.0 * (b[n]["median"] - a[n]["median"]) / a[n]["median"]
+            )
+    return {
+        "ab_pairs": n_pairs,
+        "ab_shared_queries": len(shared),
+        "ab_pair_deltas_pct": [round(d, 1) for d in pair_deltas],
+        "ab_delta_vs_prev_pct": round(
+            sum(pair_deltas) / len(pair_deltas), 1
+        ),
+        "ab_spread_pct": (
+            round(max(pair_deltas) - min(pair_deltas), 1)
+            if len(pair_deltas) > 1
+            else None
+        ),
+        "ab_queries_pct": {
+            n: round(sum(ds) / len(ds), 1) for n, ds in per_q.items()
+        },
+        "ab_cal_cpu_big": [r.get("cal_cpu_big") for r in used],
+    }
+
+
+def _ab_proj(runs: dict) -> float:
+    """Projected seconds for one more A+B pair = the mean observed
+    per-run wall estimated from completed runs' query sums (a floor —
+    excludes JVM start; the budget check adds it implicitly by using
+    elapsed wall so far)."""
+    done = runs["A"] + runs["B"]
+    if not done:
+        return 0.0
+    per_run = [
+        sum(v["median"] for v in r["queries"].values()) for r in done
+    ]
+    return 2.0 * sum(per_run) / len(per_run)
 
 
 def _write_detail(detail: dict, sf_num: float | None) -> str:

@@ -63,3 +63,51 @@ def test_detail_writes_next_round_for_gate_sf(tmp_path, monkeypatch):
     assert p.endswith("BENCH_DETAIL_r07.json")
     p = bench._write_detail({"value": 1.0}, 0.001)
     assert p.endswith("BENCH_DETAIL_local.json")
+
+
+def _mkrun(**qs):
+    return {
+        "queries": {n: {"min": v, "median": v} for n, v in qs.items()},
+        "cal_cpu_big": [0.33, 0.34],
+    }
+
+
+def test_ab_stats_pair_mean_and_spread():
+    # pair 1: 10 -> 11 (+10%); pair 2: 10 -> 10.4 (+4%) on the shared
+    # set {q1,q2}; q3 is missing from one run and must be excluded
+    runs = {
+        "A": [_mkrun(q1=4.0, q2=6.0, q3=1.0), _mkrun(q1=4.0, q2=6.0)],
+        "B": [
+            _mkrun(q1=4.4, q2=6.6, q3=1.0),
+            _mkrun(q1=4.2, q2=6.2, q3=1.0),
+        ],
+    }
+    s = bench._ab_stats(runs, ["q1", "q2", "q3"])
+    assert s["ab_pairs"] == 2
+    assert s["ab_shared_queries"] == 2
+    assert s["ab_pair_deltas_pct"] == [10.0, 4.0]
+    assert s["ab_delta_vs_prev_pct"] == 7.0
+    assert s["ab_spread_pct"] == 6.0
+    assert s["ab_queries_pct"]["q1"] == 7.5  # (+10 +5)/2
+
+
+def test_ab_stats_single_pair_has_no_spread():
+    runs = {"A": [_mkrun(q1=2.0)], "B": [_mkrun(q1=2.2), _mkrun(q1=9.9)]}
+    s = bench._ab_stats(runs, ["q1"])
+    assert s["ab_pairs"] == 1  # unpaired trailing B run is discarded
+    assert s["ab_delta_vs_prev_pct"] == 10.0
+    assert s["ab_spread_pct"] is None
+
+
+def test_ab_stats_error_paths():
+    assert "ab_error" in bench._ab_stats({"A": [], "B": [_mkrun(q1=1)]}, ["q1"])
+    runs = {"A": [_mkrun(q1=1.0)], "B": [_mkrun(q2=1.0)]}
+    assert "ab_error" in bench._ab_stats(runs, ["q1", "q2"])
+
+
+def test_ab_alternated_records_error_without_prior_round(tmp_path, monkeypatch):
+    _with_home(monkeypatch, tmp_path)
+    detail = {}
+    bench._ab_alternated(["q1"], "/root/testdata/sf0.001", detail)
+    assert detail["ab_error"] == "no prior round bench record"
+    assert "delta_basis" not in detail

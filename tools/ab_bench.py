@@ -1,11 +1,22 @@
-"""A/B bench harness for bisecting cross-round per-query regressions
-(VERDICT r11 next #1): run a fixed query subset against ONE code tree in
-a fresh process and print one JSON line, so a driver loop can alternate
-trees (A B A B ...) and compare distributions taken minutes — not a full
-round — apart on the same box.
+"""A/B bench runner: time a query subset against ONE code tree in a
+fresh process, so an orchestrator can alternate trees (counterbalanced
+A B B A or A B A B ...) and compare distributions taken minutes — not a
+full round — apart on the same box. This is the instrument the r11/r12
+noise investigations proved out (PROBES.md: "the alternation, not the
+probe, is what cancels drift"); bench.py's headline delta is now built
+on it (_ab_alternated), and it remains directly usable for ad-hoc
+bisects of a single query.
 
 Usage:
-    python tools/ab_bench.py <repo_root> <q1,q2,...> [iters]
+    python tools/ab_bench.py <repo_root> <q1,q2,...|@listfile> [iters] [out.json]
+
+- <repo_root> is prepended to sys.path, so the same runner script can
+  measure any checked-out tree (bench.py points it at a detached git
+  worktree of the prior round's commit).
+- names not in that tree's registry are SKIPPED and reported under
+  "missing" (the orchestrator intersects across runs).
+- [out.json]: when given, the result JSON is written there INSTEAD of
+  stdout, so Spark progress noise never corrupts the parse.
 
 Protocol (mirrors bench.py's noise discipline, PROBES.md r11 findings):
 - warmup query + discarded probe sample first (JVM C2 tiering);
@@ -25,8 +36,14 @@ import time
 
 def main() -> None:
     repo_root = os.path.abspath(sys.argv[1])
-    names = sys.argv[2].split(",")
+    names_arg = sys.argv[2]
+    if names_arg.startswith("@"):
+        with open(names_arg[1:]) as fh:
+            names = [ln.strip() for ln in fh if ln.strip()]
+    else:
+        names = names_arg.split(",")
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    out_path = sys.argv[4] if len(sys.argv) > 4 else None
     sys.path.insert(0, repo_root)
 
     from kafka_processor_cosmos_tx_dispatch_spark import queries as q
@@ -36,6 +53,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ab_bench")
     registry = q.queries()
+    missing = [n for n in names if n not in registry]
+    names = [n for n in names if n in registry]
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -52,7 +71,8 @@ def main() -> None:
         return round(dt, 4)
 
     # warmup: JVM, parquet footers, probe plan codegen (discarded)
-    run(registry["q1_pricing_summary"](spark, sf_dir))
+    warm = "q1_pricing_summary" if "q1_pricing_summary" in registry else names[0]
+    run(registry[warm](spark, sf_dir))
     probe()
 
     cal_before = probe()
@@ -70,16 +90,20 @@ def main() -> None:
         }
     cal_after = probe()
 
-    print(
-        json.dumps(
-            {
-                "repo": repo_root,
-                "iters": iters,
-                "cal_cpu_big": [cal_before, cal_after],
-                "queries": out,
-            }
-        )
+    result = json.dumps(
+        {
+            "repo": repo_root,
+            "iters": iters,
+            "cal_cpu_big": [cal_before, cal_after],
+            "missing": missing,
+            "queries": out,
+        }
     )
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(result)
+    else:
+        print(result)
 
 
 if __name__ == "__main__":
