@@ -1,0 +1,1427 @@
+"""'dedup'-family queries — split verbatim from the queries.py
+monolith (r13); registration order within the family is
+unchanged, so the driver-sampling interleave is identical.
+Shared helpers come from queries/_core.py."""
+
+from __future__ import annotations
+
+from ._core import (  # noqa: F401 — shared query toolkit
+    DataFrame,
+    F,
+    SparkSession,
+    _CDC_CHUNKS_SQL,
+    _D_NORM,
+    _D_SHINGLES,
+    _D_TOKS,
+    _IVF_CELLS,
+    _LSH_MAX_BUCKET,
+    _MINHASH_BANDS,
+    _MINHASH_K,
+    _km_assign_sql,
+    _km_update_sql,
+    _minhash_sig_sql,
+    _simhash_sql,
+    load_table,
+    register,
+)
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_D_NORM}) AS fingerprint, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-agg on the content fingerprint (map-side
+    partial agg ⇒ shuffle is #distinct fingerprints, not #docs)."""
+    from ..operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).select("fingerprint", "n_docs", "keeper")
+
+
+@register(
+    "dedup_drop_exact",
+    f"""
+    SELECT MIN(doc_id) AS doc_id FROM
+      (SELECT doc_id, md5({_D_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup SURVIVORS (min-id per fingerprint): the agg + semi-join
+    formulation shares one hash partitioning on the fingerprint — no
+    window, no second shuffle."""
+    from ..operators.dedup import drop_exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs).select("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_minhash_sig_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN ok ON a.band_key = ok.band_key
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 12 min-hashes (ONE shuffle on
+    doc_id for all 12) → 3 band keys → equi-join on band key. Candidate
+    generation is O(collisions); the 100 TB plan is identical, plus salting
+    if one band key goes hot."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH {_minhash_sig_sql()},
+    ok_old AS (SELECT band_key FROM banded WHERE doc_id < 250
+               GROUP BY band_key HAVING COUNT(*) <= {_LSH_MAX_BUCKET})
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM banded n
+    JOIN ok_old ON n.band_key = ok_old.band_key
+    JOIN banded o ON n.band_key = o.band_key AND o.doc_id < 250
+    WHERE n.doc_id >= 250
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (new crawl vs existing corpus, here split at
+    doc_id 250): banded LSH join ACROSS the snapshots only —
+    operators/dedup.py:minhash_lsh_pairs_between skips the corpus×corpus
+    quadratic term entirely, so each new batch costs O(new · collisions)
+    regardless of corpus size. The production loop: dedup the new batch
+    against the corpus, drop hits, append survivors, reuse the corpus's
+    banded table next crawl."""
+    from ..operators.dedup import minhash_lsh_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return minhash_lsh_pairs_between(
+        new, old, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, MIN(dst) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment over the MinHash pair graph, still
+    oracle-checked (DuckDB computes the same components by recursive
+    transitive closure). Two-level algorithm
+    (operators/dedup.py:connected_components_twolevel): memory-bounded
+    partition-local union-find, then accelerated label propagation on
+    the cross-partition linker graph only — the iterative rounds run on
+    data ~1000× smaller than the pair stream, so per-round driver cost
+    stops dominating and long chains (which defeat pure per-round
+    propagation: O(diameter) rounds) are collapsed locally first."""
+    from ..operators.dedup import connected_components_twolevel, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    return connected_components_twolevel(pairs)
+
+
+@register(
+    "dedup_pair_explain",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    j AS (
+      SELECT p.doc_a, p.doc_b, ta.t AS ta, tb.t AS tb,
+             len(ta.t) AS na, len(tb.t) AS nb,
+             least(len(ta.t), len(tb.t)) AS mn
+      FROM pairs p
+      JOIN t ta ON ta.doc_id = p.doc_a
+      JOIN t tb ON tb.doc_id = p.doc_b),
+    ex AS (
+      SELECT doc_a, doc_b, na, nb, mn, ta, tb,
+             list_position(list_transform(generate_series(1, mn),
+               i -> ta[i] = tb[i]), false) AS ppos,
+             list_position(list_transform(generate_series(1, mn),
+               i -> ta[na + 1 - i] = tb[nb + 1 - i]), false) AS spos,
+             len(list_intersect(
+               list_distinct(list_transform(generate_series(1, na - 2),
+                 i -> concat_ws(' ', ta[i], ta[i+1], ta[i+2]))),
+               list_distinct(list_transform(generate_series(1, nb - 2),
+                 i -> concat_ws(' ', tb[i], tb[i+1], tb[i+2]))))) AS inter,
+             len(list_distinct(list_transform(generate_series(1, na - 2),
+                 i -> concat_ws(' ', ta[i], ta[i+1], ta[i+2])))) AS sa,
+             len(list_distinct(list_transform(generate_series(1, nb - 2),
+                 i -> concat_ws(' ', tb[i], tb[i+1], tb[i+2])))) AS sb
+      FROM j)
+    SELECT doc_a, doc_b,
+           CAST(CASE WHEN ppos IS NULL OR ppos = 0 THEN mn
+                ELSE ppos - 1 END AS BIGINT) AS prefix_tokens,
+           CAST(CASE WHEN spos IS NULL OR spos = 0 THEN mn
+                ELSE spos - 1 END AS BIGINT) AS suffix_tokens,
+           CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE)
+             AS jaccard3,
+           CAST(inter AS DOUBLE) / CAST(least(sa, sb) AS DOUBLE)
+             AS containment3
+    FROM ex
+    """,
+)
+def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair EXPLAINABILITY: for every LSH candidate pair, the
+    quantities that tell a curator WHAT KIND of duplicate it is —
+    common token prefix/suffix lengths (template-with-slots dups have
+    long shared affixes; appended-boilerplate dups have long suffixes),
+    3-gram Jaccard (symmetric similarity) and containment (subset
+    duplication). First-mismatch positions come from a
+    transform-over-index-range + position-of-false — identical
+    expression in both engines, no UDF; shingle sets are in-row
+    distinct lists.
+
+    Scale: all work is per-pair row-local on the LSH-bounded pair
+    stream; the two token-array joins shuffle on doc id."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import text as TX
+
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
+        .withColumn("mn", F.least("na", "nb"))
+    )
+    ex = j.select(
+        "doc_a",
+        "doc_b",
+        "mn",
+        F.expr(
+            "array_position(transform(sequence(1, mn),"
+            " i -> element_at(ta, i) = element_at(tb, i)), false)"
+        ).alias("ppos"),
+        F.expr(
+            "array_position(transform(sequence(1, mn),"
+            " i -> element_at(ta, na + 1 - i)"
+            " = element_at(tb, nb + 1 - i)), false)"
+        ).alias("spos"),
+        F.expr(
+            "size(array_intersect("
+            " array_distinct(transform(sequence(1, na - 2),"
+            "  i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
+            "       element_at(ta, i+2)))),"
+            " array_distinct(transform(sequence(1, nb - 2),"
+            "  i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
+            "       element_at(tb, i+2))))))"
+        ).alias("inter"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, na - 2),"
+            " i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
+            " element_at(ta, i+2)))))"
+        ).alias("sa"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, nb - 2),"
+            " i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
+            " element_at(tb, i+2)))))"
+        ).alias("sb"),
+    )
+    return ex.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CASE WHEN ppos = 0 THEN mn ELSE ppos - 1 END")
+        .cast("long")
+        .alias("prefix_tokens"),
+        F.expr("CASE WHEN spos = 0 THEN mn ELSE spos - 1 END")
+        .cast("long")
+        .alias("suffix_tokens"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("inter")).cast("double")
+        ).alias("jaccard3"),
+        (
+            F.col("inter").cast("double")
+            / F.least("sa", "sb").cast("double")
+        ).alias("containment3"),
+    )
+
+
+@register(
+    "dedup_lsh_precision",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len({_D_TOKS}) - 2),
+                   i -> concat_ws(' ', ({_D_TOKS})[i], ({_D_TOKS})[i+1],
+                        ({_D_TOKS})[i+2]))) AS sh
+          FROM documents),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(ta.sh, tb.sh)) AS inter,
+             len(ta.sh) + len(tb.sh)
+               - len(list_intersect(ta.sh, tb.sh)) AS uni
+      FROM pairs p
+      JOIN t ta ON ta.doc_id = p.doc_a
+      JOIN t tb ON tb.doc_id = p.doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+    FROM j
+    """,
+)
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index evaluation: PRECISION of the MinHash-LSH candidate
+    pairs against exact 3-gram Jaccard ≥ 0.5 (the all-integer test
+    inter·2 ≥ union — no float threshold) — the fourth in-engine eval
+    (ANN recall, lang-ID confusion, k-means inertia). Low precision
+    means the banding is too loose and the verify stage pays for it;
+    the complementary recall direction needs the all-pairs ground
+    truth, which sim_embedding_near_dup's block-tiled shape computes
+    when a run budgets it.
+
+    Scale: exact Jaccard runs ONLY on the LSH-bounded candidate set —
+    precision evaluation costs one shingle-set join over pairs, never
+    the corpus square."""
+    from ..functions import text as TX
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_shingles(TX.tokens(F.col("text")), 3)
+        ).alias("sh"),
+    )
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (
+                F.size("sa") + F.size("sb")
+                - F.size(F.array_intersect("sa", "sb"))
+            ).alias("uni"),
+        )
+    )
+    true_flag = F.when(F.col("inter") * 2 >= F.col("uni"), 1).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(true_flag).alias("n_true"),
+        (
+            F.sum(true_flag).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("precision"),
+    )
+
+
+@register(
+    "dedup_source_matrix",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHICH sources duplicate each
+    other (near-dup pair counts per unordered source pair): the
+    syndication/mirror-detection view a crawl curation report leads
+    with, since a hot off-diagonal cell means one feed is republishing
+    another and can be dropped wholesale instead of deduped pairwise.
+    Built on the proven MinHash-LSH pair stream; source lookup is two
+    doc-keyed joins; least/greatest canonicalizes the pair.
+
+    Scale: pairs are LSH-bounded (never all-pairs); the matrix is
+    |sources|² at most — the aggregation output is tiny by
+    construction."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    src = docs.select("doc_id", "source")
+    pa = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        pa.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "dedup_cluster_histogram",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    comp_all AS (
+      SELECT doc_id, component FROM comp
+      UNION ALL
+      SELECT d.doc_id, d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size
+              FROM comp_all GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY: the near-dup cluster-size distribution —
+    "how much of the corpus sits in duplicate clusters of size s" — the
+    first chart every dedup report shows (it decides the dedup
+    strategy: a fat head of giant clusters wants exact-hash first, a
+    long tail of pairs wants LSH). Clusters come from the proven
+    MinHash→LSH→connected-components chain; documents in no pair at all
+    are size-1 clusters via an anti-join union, so Σ n_docs equals the
+    corpus size exactly.
+
+    Scale: everything after CC is two keyed aggs over (doc, component)
+    rows; the anti-join is a semi-join-shaped fingerprint lookup."""
+    from ..operators.dedup import (
+        connected_components_twolevel,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    singles = docs.join(comp, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    comp_all = comp.select("doc_id", "component").unionByName(singles)
+    sizes = comp_all.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_verify_editdist",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+            >= 0.8),
+    nt AS (SELECT doc_id, {_D_NORM} AS t FROM documents)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta.t, tb.t) AS INTEGER) AS lev,
+           CASE WHEN greatest(length(ta.t), length(tb.t)) = 0 THEN 1.0
+                ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+                     / CAST(greatest(length(ta.t), length(tb.t)) AS DOUBLE)
+           END AS sim
+    FROM pairs
+    JOIN nt ta ON ta.doc_id = doc_a
+    JOIN nt tb ON tb.doc_id = doc_b
+    """,
+)
+def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage completing the dedup pipeline: exact levenshtein
+    similarity computed only over the inverted-index CANDIDATE pairs —
+    quadratic edit-distance cost bounded by O(matches), never O(n²) over
+    the corpus."""
+    from ..operators.dedup import ngram_jaccard_pairs, verify_pairs_editdist
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return verify_pairs_editdist(pairs, docs)
+
+
+@register(
+    "dedup_drop_near",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_drop_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step completing near-dedup: keep one canonical survivor
+    (min doc_id) per duplicate cluster, pass through everything that
+    never entered a cluster. Candidates → components → one anti-join of
+    non-canonical members against the corpus — the pair graph is
+    O(collisions) and the final pass is one narrow join, so the drop
+    step adds nothing quadratic at 100 TB."""
+    from ..operators.dedup import connected_components_twolevel, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_drop_best",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL OR r.rn = 1
+    """,
+)
+def dedup_drop_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup APPLY with the PRODUCTION survivor policy: per
+    duplicate cluster keep the BEST member — here longest (n_chars
+    DESC, doc_id tiebreak), the usual rule since the longest near-dup
+    retains the most content — instead of dedup_drop_near's arbitrary
+    min-id canonical. One extra broadcast-sized max_by aggregate over
+    the component assignment picks each cluster's survivor; everything
+    else (candidates → components → one anti-join) is identical, so the
+    policy upgrade costs one map-side-combinable agg, nothing
+    quadratic.
+
+    Scale: the agg runs over component MEMBERS (O(duplicates), not
+    O(corpus)); max_by(struct) needs no per-cluster sort."""
+    from ..operators.dedup import connected_components_twolevel, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    comp = connected_components_twolevel(pairs)
+    members = comp.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    survivors = members.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    ).select(
+        "component", (-F.col("best.neg_id")).alias("survivor_id")
+    )
+    losers = (
+        comp.join(survivors, "component")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_hybrid_verify",
+    f"""
+    WITH {_minhash_sig_sql()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS v
+      FROM embeddings),
+    nv AS (SELECT vec_id, v,
+                  CAST(list_dot_product(v, v) AS BIGINT) AS nsq FROM qv)
+    SELECT p.doc_a, p.doc_b,
+           list_dot_product(a.v, b.v)
+             / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim,
+           (list_dot_product(a.v, b.v)
+             / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) >= 0.4)
+             AS verified
+    FROM pairs p
+    JOIN nv a ON p.doc_a = a.vec_id
+    JOIN nv b ON p.doc_b = b.vec_id
+    """,
+)
+def dedup_hybrid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup verification — the full production pipeline
+    shape: cheap text blocking (MinHash LSH candidates) verified by
+    embedding cosine, so the expensive signal runs over O(candidates),
+    never O(n²). Two equi-joins attach each side's quantized embedding;
+    the integer-dot cosine keeps both engines bit-identical."""
+    from ..functions import vectors as V
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        V.quantized(F.col("embedding")).alias("v"),
+    )
+    emb = emb.select(
+        "vec_id", "v", V.dot_int(F.col("v"), F.col("v")).alias("nsq")
+    )
+    j = (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("v").alias("va"),
+                F.col("nsq").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("v").alias("vb"),
+                F.col("nsq").alias("nb"),
+            ),
+            "doc_b",
+        )
+    )
+    sim = V.dot_int(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        sim.alias("cos_sim"),
+        (sim >= 0.4).alias("verified"),
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM sig",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash: explode tokens (narrow) → one groupBy
+    with 32 ±1 votes → bit recombination. One shuffle on doc_id."""
+    from ..operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_sql()},
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (8*band)) & 255 AS key
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, banded: hamming ≤ 3 pairs must agree on ≥1
+    of 4 signature bytes (pigeonhole), so an equi-join on (band, byte)
+    finds all of them — never an all-pairs scan."""
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_near_pairs(docs, max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard over inverted-index candidates: docs sharing a
+    shingle meet in an equi-join on the shingle; intersection counts come
+    from the join, union from per-doc counts. Never quadratic."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "dedup_url_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://shard', CAST(doc_id % 5 AS VARCHAR),
+                    '.example.com/docs/', CAST(doc_id % 50 AS VARCHAR),
+                    '?session=', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             regexp_extract(url, '^([a-z]+://[^?#]+)', 1) AS canonical
+      FROM u)
+    SELECT canonical, COUNT(*) AS n_urls, MIN(doc_id) AS keep_doc
+    FROM c GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (web-crawl staple): strip the query/
+    fragment (session ids, tracking params), group by the canonical form,
+    keep the first-seen doc. One narrow projection + one hash agg; the
+    canonical key is what a crawl dedup shuffles on at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.parse_url(url, F.lit("HOST")),
+        F.parse_url(url, F.lit("PATH")),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")},
+    n AS (SELECT vec_id, cluster, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+          FROM afinal),
+    p AS (
+      SELECT b.vec_id, b.cluster, a.vec_id AS keep_id,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           MIN(keep_id) AS dup_of,
+           CAST(COUNT(*) AS INTEGER) AS n_dups
+    FROM p WHERE cos_sim >= 0.4
+    GROUP BY vec_id, cluster
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: k-means the
+    embeddings, compare cosines only WITHIN each cluster, drop any
+    vector with a lower-id clustermate at cos ≥ τ (keep-lowest survivor
+    rule). Emits the drop list with provenance (dup_of, n_dups).
+
+    Scale: the defining property is that the quadratic term is bounded
+    per cluster — the pair join is an equi-join on the cluster id, and k
+    grows with the corpus so cluster populations stay ~constant. The
+    k-means stage is `kmeans_assign` (fully lazy since r11: the
+    centroid bank rides in-plan 1-row broadcasts between Lloyd
+    rounds); the pair stage is one shuffle on cluster.
+    τ = 0.4 fits the synthetic embedding distribution (max within-
+    cluster cosine ≈ 0.51 at sf0.01); production corpora use ~0.95+."""
+    from ..operators.similarity import semantic_dedup_drops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_drops(emb, k=_IVF_CELLS, rounds=2, threshold=0.4)
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS l FROM toks),
+    ex AS (SELECT doc_id, len(l) AS n_shingles,
+                  unnest(list_transform(l,
+                    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS shash
+           FROM shl),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_shingles AS n_a, b.n_shingles AS n_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+             AS containment
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |∩|/min(|A|,|B|) over the same inverted-index
+    candidate join as dedup_ngram_jaccard — catches SUBSET duplication
+    (a short doc embedded in a long one) that symmetric Jaccard
+    structurally misses (operators/dedup.py:ngram_containment_pairs)."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.9)
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, CAST(SUM(run_len) AS BIGINT) AS n_anchors,
+           CAST(MAX(run_len) + 7 AS BIGINT) AS overlap_tokens
+    FROM agg GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ≥8-token cross-document overlap — the Lee et al. 2022
+    ExactSubstr primitive the near-dup family (Jaccard/containment/
+    MinHash) statistically approximates but never decides exactly.
+    Shingle-anchored inverted-index self-join (sharing one 8-token
+    shingle ⇔ having a ≥8-token verbatim overlap) + relational
+    longest-common-extension: matched positions on one (pa−pb) diagonal
+    form gaps-and-islands runs, max run + 7 = the longest overlap in
+    tokens (operators/dedup.py:exact_substring_pairs). Boilerplate
+    shingles with doc-frequency > 64 are dropped pre-join (quadratic
+    fan-out guard at 100 TB; the cap is mirrored in the oracle)."""
+    from ..operators.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+
+
+@register(
+    "dedup_exact_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run_len,
+                   MIN(pa) AS start_a, MIN(pb) AS start_b
+            FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    spans AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_a AS doc_id, start_a AS s,
+               start_a + run_len + 6 AS e FROM agg
+        UNION ALL
+        SELECT doc_b, start_b, start_b + run_len + 6 FROM agg)),
+    fl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM spans),
+    fi AS (
+      SELECT doc_id, s, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl),
+    mg AS (SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+           FROM fi GROUP BY doc_id, isl),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(me - ms + 1) AS BIGINT) AS covered_tokens
+           FROM mg GROUP BY doc_id),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT doc_id, n_spans, covered_tokens, n_tokens,
+           CAST(covered_tokens * 1000 // n_tokens AS BIGINT)
+             AS coverage_milli
+    FROM pd JOIN lens USING (doc_id)
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-overlap COVERAGE — the REMOVE half of Lee
+    et al.'s ExactSubstr (the paper deletes duplicated spans, not
+    documents; dedup_exact_substring is the detector, this is the
+    actionable per-doc map of what to cut). All cross-document overlap
+    spans a document participates in (either side of any pair) merge
+    into disjoint intervals via a second gaps-and-islands at interval
+    granularity — a window flag + running sum, no self-join
+    (operators/dedup.py:exact_substring_spans). All-integer output
+    (coverage_milli = covered·1000 DIV n_tokens)."""
+    from ..operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, min_tokens=8, max_shingle_df=64)
+
+
+@register(
+    "dedup_drop_substring",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                            t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+      WHERE len(t) >= 8),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pa, b.pos AS pb
+          FROM sh a JOIN keep USING (shingle) JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag,
+                    pa - ROW_NUMBER() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+             FROM m),
+    agg AS (SELECT doc_a, doc_b, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    ov AS (SELECT doc_a, doc_b, MAX(run_len) + 7 AS overlap_tokens
+           FROM agg GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM ov JOIN lens la ON la.doc_id = ov.doc_a
+              JOIN lens lb ON lb.doc_id = ov.doc_b
+      WHERE 2 * overlap_tokens >= least(la.n_toks, lb.n_toks)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_drop_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step for exact-substring dedup: drop every document
+    whose longest VERBATIM overlap with another covers ≥ half the
+    shorter document (containment-by-verbatim-run — the deterministic
+    cousin of dedup_drop_near's statistical LSH gate), keeping one
+    canonical survivor (min doc_id) per overlap component. Same shape
+    as the rest of the drop family: exact pairs
+    (operators/dedup.py:exact_substring_pairs) → threshold → connected
+    components → one anti-join against the corpus; everything upstream
+    of the anti-join is cardinality-bounded by the qualifying pairs,
+    never the corpus."""
+    from ..functions import text as TX
+    from ..operators.dedup import (
+        connected_components_twolevel,
+        exact_substring_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_pairs(docs, min_tokens=8, max_shingle_df=64)
+    lens = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_toks")
+    )
+    qual = (
+        pairs.join(
+            lens.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_toks").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_toks").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.lit(2) * F.col("overlap_tokens")
+            >= F.least(F.col("na"), F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components_twolevel(qual)
+    losers = comp.filter(F.col("component") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_passage_lsh",
+    f"""
+    WITH toks0 AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    nn AS (SELECT doc_id, t,
+                  ((greatest(len(t) - 32, 0) + 31) // 32) + 1 AS n_chunks
+           FROM toks0),
+    cc AS (SELECT doc_id, t,
+                  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM nn),
+    passages AS (
+      SELECT doc_id * 1000 + chunk_idx AS doc_id,
+             array_to_string(
+               list_slice(t, chunk_idx * 32 + 1, chunk_idx * 32 + 32),
+               ' ') AS text
+      FROM cc),
+    {_minhash_sig_sql(src="passages")}
+    SELECT DISTINCT
+      a.doc_id // 1000 AS doc_a,
+      CAST(a.doc_id % 1000 AS INTEGER) AS chunk_a,
+      b.doc_id // 1000 AS doc_b,
+      CAST(b.doc_id % 1000 AS INTEGER) AS chunk_b
+    FROM banded a
+    JOIN ok ON a.band_key = ok.band_key
+    JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.doc_id // 1000 <> b.doc_id // 1000
+    """,
+)
+def dedup_passage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-granularity near-dup: the granularity production curation
+    actually dedups at — a document that quotes one paragraph of
+    another is invisible to whole-document MinHash (the rest of the
+    text drowns the signature) but lights up when each 32-token
+    non-overlapping passage carries its own signature. Composition of
+    two existing operators: text_chunk_overlap's bound-once chunker
+    (stride = size, so sibling chunks never trivially self-collide) →
+    minhash_lsh_pairs over passages with a composite passage id
+    (doc_id·1000 + chunk_idx), cross-document pairs only.
+
+    Scale: chunking is a narrow Generate; the LSH self-join is the same
+    capped band-key equi-join as dedup_minhash_lsh_pairs — passage rows
+    are ~L/32× more numerous but each signature is over 32 tokens, so
+    the shuffle volume per corpus byte is unchanged."""
+    from ..functions import exprs as EX
+    from ..functions import text as TX
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    size = stride = 32
+
+    def chunks(t: F.Column) -> F.Column:
+        n_chunks = (
+            (F.greatest(F.size(t) - size, F.lit(0)) + (stride - 1))
+            .cast("long")
+            / stride
+        ).cast("long") + 1
+        return F.struct(
+            t.alias("t"), F.sequence(F.lit(0), n_chunks - 1).alias("idx")
+        )
+
+    b = docs.select(
+        "doc_id", EX.bind(TX.tokens(F.col("text")), chunks).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.t").alias("t"),
+        F.explode("s.idx").alias("chunk_idx"),
+    )
+    sliced = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, size)
+    passages = b.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("pid"),
+        F.concat_ws(" ", sliced).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        passages,
+        id_col="pid",
+        k=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    da, db = F.expr("doc_a DIV 1000"), F.expr("doc_b DIV 1000")
+    return (
+        pairs.filter(da != db)
+        .select(
+            da.alias("doc_a"),
+            (F.col("doc_a") % 1000).cast("int").alias("chunk_a"),
+            db.alias("doc_b"),
+            (F.col("doc_b") % 1000).cast("int").alias("chunk_b"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_cdc_pairs",
+    f"""
+    WITH {_CDC_CHUNKS_SQL},
+    cset AS (SELECT DISTINCT doc_id, fp FROM chunks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM cset GROUP BY doc_id),
+    df_ok AS (SELECT fp FROM cset GROUP BY fp HAVING COUNT(*) <= 10),
+    slim AS (SELECT c.doc_id, c.fp FROM cset c JOIN df_ok USING (fp)),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM slim a JOIN slim b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b, s.shared_chunks,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(s.shared_chunks AS DOUBLE)
+             / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.doc_a
+    JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE s.shared_chunks * 2 >= LEAST(na.n, nb.n)
+    """,
+)
+def dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by CDC chunk CONTAINMENT
+    (operators/dedup.py:cdc_containment_pairs) — the rsync/RefinedWeb
+    alternative to MinHash: candidates are docs sharing a literal
+    >=8-char chunk (equi-join on chunk fingerprints, never all-pairs),
+    emitted when shared chunks cover >= 1/2 of the SMALLER doc's chunk
+    set. Containment, not Jaccard, so a small document swallowed by a
+    large one still surfaces — the contamination/quote-detection
+    semantics Jaccard dilutes. Chunk fingerprints with document
+    frequency > 10 are dropped from candidate generation (the
+    boilerplate-bucket cap, same role as the LSH max_bucket); the
+    threshold compare is cross-multiplied integer arithmetic, the one
+    division only in the reported score."""
+    from ..operators.dedup import cdc_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_containment_pairs(
+        docs, threshold_num=1, threshold_den=2, max_df=10
+    )
+
+
+@register(
+    "dedup_paragraph_exact",
+    f"""
+    WITH toks AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i*32+1 : i*32+32], ' ') AS p
+      FROM toks, unnest(generate_series(0,
+           (greatest(len(t) - 32, 0) + 31) // 32)) AS u(i)),
+    fps AS (SELECT doc_id, chunk_idx, p, md5(p) AS f,
+                   doc_id * 1024 + chunk_idx AS ck FROM ch),
+    kp AS (SELECT f, MIN(ck) AS keep_ck FROM fps GROUP BY f)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ck = keep_ck THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN ck = keep_ck THEN p END, ' '
+                               ORDER BY chunk_idx), '') AS text_dedup
+    FROM fps JOIN kp USING (f)
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity exact dedup with reassembly
+    (operators/dedup.py:paragraph_dedup) — the RefinedWeb/Dolma stage
+    between whole-document exact dedup and near-dup: every distinct
+    32-token passage survives exactly ONCE corpus-wide (first occurrence
+    in (doc_id, chunk_idx) order); each document is rebuilt from its
+    surviving passages, so boilerplate that repeats across millions of
+    otherwise-distinct pages (headers, license blocks) is removed
+    everywhere but its first occurrence — invisible to document
+    fingerprints, recovered here.
+
+    Scale: narrow chunk Generate → ONE hash-agg on the 16-byte passage
+    fingerprint (min composite key, window-free, map-side partial) →
+    fingerprint equi-join sharing that partitioning → one doc-keyed
+    reassembly agg. Shuffle volume is digests + kept passage text;
+    nothing quadratic, no skew hazard beyond AQE's reach."""
+    from ..operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, size=32)
+
+
+
+@register(
+    "dedup_funnel_report",
+    f"""
+    WITH ex AS (
+      SELECT MIN(doc_id) AS doc_id FROM
+        (SELECT doc_id, md5({_D_NORM}) AS fp FROM documents)
+      GROUP BY fp),
+    exd AS (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+    {_minhash_sig_sql("exd")},
+    drops AS (
+      SELECT DISTINCT b.doc_id FROM banded a
+      JOIN ok ON a.band_key = ok.band_key
+      JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near AS (SELECT * FROM exd
+             WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    ptoks AS (SELECT doc_id, {_D_TOKS} AS t FROM near),
+    pch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i*32+1 : i*32+32], ' ') AS p
+      FROM ptoks, unnest(generate_series(0,
+           (greatest(len(t) - 32, 0) + 31) // 32)) AS u(i)),
+    pfps AS (SELECT doc_id, chunk_idx, p, md5(p) AS f,
+                    doc_id * 1024 + chunk_idx AS ck FROM pch),
+    pkp AS (SELECT f, MIN(ck) AS keep_ck FROM pfps GROUP BY f),
+    pkept AS (SELECT doc_id, p FROM pfps JOIN pkp USING (f)
+              WHERE ck = keep_ck),
+    tok AS (SELECT doc_id,
+                   CAST(len(list_filter({_D_TOKS}, w -> w <> ''))
+                        AS BIGINT) AS nt
+            FROM documents)
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM tok
+    UNION ALL
+    SELECT 'b_exact', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+    FROM tok JOIN exd USING (doc_id)
+    UNION ALL
+    SELECT 'c_near', CAST(COUNT(*) AS BIGINT), CAST(SUM(nt) AS BIGINT)
+    FROM tok JOIN near USING (doc_id)
+    UNION ALL
+    SELECT 'd_paragraph', CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(SUM(len(list_filter(string_split(p, ' '), w -> w <> '')))
+                AS BIGINT)
+    FROM pkept
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL dashboard: how many documents and tokens survive
+    each curation stage in production order — raw → exact (document
+    fingerprints) → near (conservative LSH: the higher id of every
+    candidate pair drops) → paragraph (corpus-level passage keep-first,
+    counting surviving tokens) — the one-glance report a pipeline owner
+    reads before arguing about thresholds; monotone by construction, and
+    the stage-to-stage deltas ARE the yield of each dedup family on this
+    corpus. Pure composition of three existing operators plus one token
+    count; each stage reuses the exact machinery its standalone query
+    pins.
+
+    Scale: the same bounded joins as the standalone stages (fingerprint
+    hash-agg, capped band-key equi-join, passage-digest agg) feeding
+    4 one-row aggregates — nothing new shuffles."""
+    from ..operators.dedup import (
+        drop_exact_duplicates,
+        minhash_lsh_pairs,
+        paragraph_chunks,
+    )
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+    ).cast("long")
+    tok = docs.select("doc_id", ntok.alias("nt"))
+
+    def stage(name: str, ids: DataFrame) -> DataFrame:
+        return (
+            tok.join(ids.select("doc_id"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("nt").cast("long").alias("n_tokens"),
+            )
+            .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        )
+
+    ex = drop_exact_duplicates(docs)
+    drops = (
+        minhash_lsh_pairs(
+            ex, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = ex.join(drops, "doc_id", "left_anti")
+    chunked = paragraph_chunks(near, size=32)
+    keepers = chunked.groupBy("fp").agg(F.min("ck").alias("keep_ck"))
+    pkept = chunked.join(keepers, "fp").filter(
+        F.col("ck") == F.col("keep_ck")
+    )
+    para = pkept.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        # empty-filtered tokenization, the SAME counting rule as stages
+        # a_raw..c_near (ADVICE r12: size(split('',' ')) reads 1, which
+        # could break the funnel's monotonicity on a corpus with
+        # empty/whitespace-only documents — the lone kept empty passage
+        # must count 0 tokens, not 1)
+        F.sum(
+            F.size(F.filter(F.split("p", " "), lambda w: w != ""))
+        ).cast("long").alias("n_tokens"),
+    ).select(F.lit("d_paragraph").alias("stage"), "n_docs", "n_tokens")
+    raw = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    ).select(F.lit("a_raw").alias("stage"), "n_docs", "n_tokens")
+    return (
+        raw.unionByName(stage("b_exact", ex))
+        .unionByName(stage("c_near", near))
+        .unionByName(para)
+    )

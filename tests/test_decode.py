@@ -587,8 +587,10 @@ def test_descriptor_set_is_valid_protobuf(spark):
     # r12: +authz.proto/vesting.proto layout files, evidence (2),
     # crisis, gov v1 (2), upgrade (2); wave 4: params, distribution
     # proposal, bank/staking authz payloads, ed25519 + multisig keys,
-    # wasm types.proto; wave 5: ibc channel.proto; wave 6: group (2)
-    assert len(files) == 41
+    # wasm types.proto; wave 5: ibc channel.proto; wave 6: group (2);
+    # r13 wave 7: ibc commitment + connection (2) + interchain
+    # accounts (3) + transfer authz.proto
+    assert len(files) == 48
     names = []
     pkgs = []
     # per-file structure for the dependency-closure check below:
@@ -1329,3 +1331,227 @@ def test_any_registry_r12_wave6_group_module():
         "voter": OKP4_ADDR,
         "option": "VOTE_OPTION_ABSTAIN",
     }
+
+
+def test_any_registry_r13_wave7_connection_and_ica():
+    """Round-13 seventh widening wave: the IBC connection handshake
+    (open init/try/ack/confirm with the counterparty/version/prefix
+    sub-messages — Try/Ack carry the light-client state as an Any,
+    pinned to the opaque fallback for unregistered tendermint types),
+    interchain accounts (MsgSendTx's packet data with enum-by-name and
+    base64 bytes; CosmosTx.messages as the SIXTH nested-Any recursion
+    carrier), staking MsgCancelUnbondingDelegation (int64 JSON
+    string-64), and the ibc-go TransferAuthorization through an authz
+    Grant."""
+    import base64
+
+    # connection open init — full JSON shape incl. MerklePrefix bytes
+    prefix = _ld(1, b"ibc")
+    cp = _ld(1, b"07-tendermint-9") + _ld(2, b"connection-3") + _ld(3, prefix)
+    ver = _ld(1, b"1") + _ld(2, b"ORDER_ORDERED") + _ld(2, b"ORDER_UNORDERED")
+    url = "type.googleapis.com/ibc.core.connection.v1.MsgConnectionOpenInit"
+    init = (
+        _ld(1, b"07-tendermint-0")
+        + _ld(2, cp)
+        + _ld(3, ver)
+        + _varint(4 << 3)
+        + _varint(5000)
+        + _ld(5, OKP4_ADDR.encode())
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, init))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "clientId": "07-tendermint-0",
+        "counterparty": {
+            "clientId": "07-tendermint-9",
+            "connectionId": "connection-3",
+            "prefix": {"keyPrefix": base64.b64encode(b"ibc").decode()},
+        },
+        "version": {
+            "identifier": "1",
+            "features": ["ORDER_ORDERED", "ORDER_UNORDERED"],
+        },
+        "delayPeriod": "5000",
+        "signer": OKP4_ADDR,
+    }
+
+    # open try: client_state is an Any of an UNREGISTERED tendermint
+    # ClientState -> pinned opaque {@type, value} at the nested level;
+    # counterparty_versions repeated; both Height fields render
+    cs = _any(
+        "type.googleapis.com/ibc.lightclients.tendermint.v1.ClientState",
+        b"\x0a\x04okp4",
+    )
+    h1 = _varint(1 << 3) + _varint(2) + _varint(2 << 3) + _varint(100)
+    h2 = _varint(1 << 3) + _varint(2) + _varint(2 << 3) + _varint(90)
+    url = "type.googleapis.com/ibc.core.connection.v1.MsgConnectionOpenTry"
+    try_ = (
+        _ld(1, b"07-tendermint-0")
+        + _ld(3, cs)
+        + _ld(4, cp)
+        + _ld(6, ver)
+        + _ld(7, h1)
+        + _ld(8, b"\x01")
+        + _ld(11, h2)
+        + _ld(12, OKP4_ADDR.encode())
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, try_))))["body"][
+        "messages"
+    ][0]
+    assert m["clientState"]["@type"].endswith("tendermint.v1.ClientState")
+    assert base64.b64decode(m["clientState"]["value"]) == b"\x0a\x04okp4"
+    assert m["counterpartyVersions"] == [
+        {"identifier": "1", "features": ["ORDER_ORDERED", "ORDER_UNORDERED"]}
+    ]
+    assert m["proofHeight"] == {"revisionNumber": "2", "revisionHeight": "100"}
+    assert m["consensusHeight"] == {
+        "revisionNumber": "2",
+        "revisionHeight": "90",
+    }
+
+    # staking cancel-unbonding: creation_height is int64 -> JSON string
+    coin = _ld(1, b"uknow") + _ld(2, b"250")
+    url = (
+        "type.googleapis.com/cosmos.staking.v1beta1"
+        ".MsgCancelUnbondingDelegation"
+    )
+    cub = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp4valoper1abc")
+        + _ld(3, coin)
+        + _varint(4 << 3)
+        + _varint(123456)
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, cub))))["body"][
+        "messages"
+    ][0]
+    assert m == {
+        "@type": url,
+        "delegatorAddress": OKP4_ADDR,
+        "validatorAddress": "okp4valoper1abc",
+        "amount": {"denom": "uknow", "amount": "250"},
+        "creationHeight": "123456",
+    }
+
+    # ICA MsgSendTx: enum renders by NAME, packet data bytes as base64
+    # (the embedded CosmosTx stays wire bytes there, exactly like the
+    # reference's protobuf-java printer), relative_timeout string-64
+    cosmos_tx = _ld(1, _any(MSG_SEND_URL, _msg_send(OKP4_ADDR, "tesTo")))
+    pkt = (
+        _varint(1 << 3)
+        + _varint(1)  # TYPE_EXECUTE_TX
+        + _ld(2, cosmos_tx)
+        + _ld(3, b"rebalance")
+    )
+    url = (
+        "type.googleapis.com/ibc.applications.interchain_accounts"
+        ".controller.v1.MsgSendTx"
+    )
+    sendtx = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"connection-7")
+        + _ld(3, pkt)
+        + _varint(4 << 3)
+        + _varint(600000000000)
+    )
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, sendtx))))["body"][
+        "messages"
+    ][0]
+    assert m["owner"] == OKP4_ADDR
+    assert m["connectionId"] == "connection-7"
+    assert m["packetData"]["type"] == "TYPE_EXECUTE_TX"
+    assert base64.b64decode(m["packetData"]["data"]) == cosmos_tx
+    assert m["packetData"]["memo"] == "rebalance"
+    assert m["relativeTimeout"] == "600000000000"
+
+    # CosmosTx carried DIRECTLY in an Any resolves its repeated-Any
+    # messages — the sixth nested-Any recursion carrier
+    url = "type.googleapis.com/ibc.applications.interchain_accounts.v1.CosmosTx"
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, cosmos_tx))))["body"][
+        "messages"
+    ][0]
+    assert m["messages"][0]["@type"] == MSG_SEND_URL
+    assert m["messages"][0]["fromAddress"] == OKP4_ADDR
+
+    # TransferAuthorization inside an authz MsgGrant: Any-in-Grant with
+    # repeated Allocation and repeated Coin spend limit
+    alloc = (
+        _ld(1, b"transfer")
+        + _ld(2, b"channel-0")
+        + _ld(3, coin)
+        + _ld(4, b"okp41allowed")
+    )
+    ta_url = (
+        "type.googleapis.com/ibc.applications.transfer.v1"
+        ".TransferAuthorization"
+    )
+    grant = _ld(1, _any(ta_url, _ld(1, alloc)))
+    url = "type.googleapis.com/cosmos.authz.v1beta1.MsgGrant"
+    mg = _ld(1, OKP4_ADDR.encode()) + _ld(2, b"okp41grantee") + _ld(3, grant)
+    m = protowire.decode_tx(_tx_raw(_ld(1, _any(url, mg))))["body"][
+        "messages"
+    ][0]
+    assert m["grant"]["authorization"] == {
+        "@type": ta_url,
+        "allocations": [
+            {
+                "sourcePort": "transfer",
+                "sourceChannel": "channel-0",
+                "spendLimit": [{"denom": "uknow", "amount": "250"}],
+                "allowList": ["okp41allowed"],
+            }
+        ],
+    }
+
+
+def test_routing_on_redelegate_and_ica_fields(spark):
+    """r12 verdict #4 done-criterion: routing rules predicating on a
+    redelegate field (validatorSrcAddress) and an ICA field (the packet
+    memo under MsgSendTx) proven END-TO-END through decode + dispatch —
+    both impossible to match before their types were registered (the
+    opaque fallback exposes no such fields, and rules on unknown types
+    never-match by pinned policy)."""
+    coin = _ld(1, b"uknow") + _ld(2, b"7")
+    redel_url = (
+        "type.googleapis.com/cosmos.staking.v1beta1.MsgBeginRedelegate"
+    )
+    redel = (
+        _ld(1, OKP4_ADDR.encode())
+        + _ld(2, b"okp4valoper1old")
+        + _ld(3, b"okp4valoper1new")
+        + _ld(4, coin)
+    )
+    tx_redel = _tx_raw(_ld(1, _any(redel_url, redel)))
+
+    pkt = _varint(1 << 3) + _varint(1) + _ld(2, b"\x0a\x00") + _ld(
+        3, b"rebalance"
+    )
+    ica_url = (
+        "type.googleapis.com/ibc.applications.interchain_accounts"
+        ".controller.v1.MsgSendTx"
+    )
+    sendtx = _ld(1, OKP4_ADDR.encode()) + _ld(2, b"connection-7") + _ld(3, pkt)
+    tx_ica = _tx_raw(_ld(1, _any(ica_url, sendtx)))
+
+    rules = [
+        DispatchRule(
+            "redelegate-from-old",
+            "topic-redelegate",
+            "$.body.messages[?(@.validatorSrcAddress == 'okp4valoper1old')]",
+        ),
+        DispatchRule(
+            "ica-rebalance-memo",
+            "topic-ica",
+            "$..packetData[?(@.memo == 'rebalance')]",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, tx_redel), (2, tx_ica), (3, TX1)], "tx_id int, value binary"
+    )
+    routed = dsp.dispatch(
+        decode_tx_records(df), rules, json_col="tx_json", error_col="error"
+    )
+    got = sorted((r["tx_id"], r["topic"]) for r in routed.collect())
+    assert got == [(1, "topic-redelegate"), (2, "topic-ica"), (3, "dlq")]

@@ -343,6 +343,15 @@ FILES = [
                 field("validator_dst_address", 3, T_STRING),
                 field("amount", 4, T_MESSAGE, OPT, COIN),
             ),
+            # r13 wave 7: the unbonding cancel (sdk 0.46+) — pairs with
+            # MsgUndelegate; creation_height is int64 (JSON string-64)
+            message(
+                "MsgCancelUnbondingDelegation",
+                field("delegator_address", 1, T_STRING),
+                field("validator_address", 2, T_STRING),
+                field("amount", 3, T_MESSAGE, OPT, COIN),
+                field("creation_height", 4, T_INT64),
+            ),
         ],
     ),
     file_proto(
@@ -791,6 +800,26 @@ FILES = [
                 ),
                 field("signer", 5, T_STRING),
             ),
+            # r13 wave 7: timeout variant for packets stranded on a
+            # channel the counterparty closed — completes the packet
+            # lifecycle (Recv/Ack/Timeout/TimeoutOnClose)
+            message(
+                "MsgTimeoutOnClose",
+                field(
+                    "packet", 1, T_MESSAGE, OPT, ".ibc.core.channel.v1.Packet"
+                ),
+                field("proof_unreceived", 2, T_BYTES),
+                field("proof_close", 3, T_BYTES),
+                field(
+                    "proof_height",
+                    4,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("next_sequence_recv", 5, T_UINT64),
+                field("signer", 6, T_STRING),
+            ),
         ],
     ),
     file_proto(
@@ -1148,6 +1177,24 @@ FILES = [
                 field("header", 2, T_MESSAGE, OPT, ANY),
                 field("signer", 3, T_STRING),
             ),
+            # r13 wave 7: the remaining client-lifecycle messages —
+            # upgrade carries TWO Anys (new client + consensus state),
+            # misbehaviour one (the light-client evidence)
+            message(
+                "MsgUpgradeClient",
+                field("client_id", 1, T_STRING),
+                field("client_state", 2, T_MESSAGE, OPT, ANY),
+                field("consensus_state", 3, T_MESSAGE, OPT, ANY),
+                field("proof_upgrade_client", 4, T_BYTES),
+                field("proof_upgrade_consensus_state", 5, T_BYTES),
+                field("signer", 6, T_STRING),
+            ),
+            message(
+                "MsgSubmitMisbehaviour",
+                field("client_id", 1, T_STRING),
+                field("misbehaviour", 2, T_MESSAGE, OPT, ANY),
+                field("signer", 3, T_STRING),
+            ),
         ],
     ),
     # --- round-12 wave 4: gov proposal CONTENT types (the Anys inside
@@ -1359,6 +1406,261 @@ FILES = [
                 "LegacyAminoPubKey",
                 field("threshold", 1, T_UINT32),
                 field("public_keys", 2, T_MESSAGE, REP, ANY),
+            ),
+        ],
+    ),
+    # --- round-13 wave 7: connection handshake, interchain accounts,
+    # transfer authorizations — the remaining high-traffic relayer and
+    # authz families the r12 verdict named (ProtoTypeRegistry.kt:16-31)
+    file_proto(
+        "ibc/core/commitment/v1/commitment.proto",
+        "ibc.core.commitment.v1",
+        [],
+        [message("MerklePrefix", field("key_prefix", 1, T_BYTES))],
+    ),
+    file_proto(
+        "ibc/core/connection/v1/connection.proto",
+        "ibc.core.connection.v1",
+        ["ibc/core/commitment/v1/commitment.proto"],
+        [
+            # NOTE: fqn-distinct from ibc.core.channel.v1.Counterparty —
+            # same short name, different shape; the registry is fqn-keyed
+            message(
+                "Counterparty",
+                field("client_id", 1, T_STRING),
+                field("connection_id", 2, T_STRING),
+                field(
+                    "prefix",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.commitment.v1.MerklePrefix",
+                ),
+            ),
+            message(
+                "Version",
+                field("identifier", 1, T_STRING),
+                field("features", 2, T_STRING, REP),
+            ),
+        ],
+    ),
+    file_proto(
+        "ibc/core/connection/v1/tx.proto",
+        "ibc.core.connection.v1",
+        [
+            "google/protobuf/any.proto",
+            "ibc/core/client/v1/client.proto",
+            "ibc/core/connection/v1/connection.proto",
+        ],
+        [
+            # Try/Ack carry the counterparty chain's light-client state
+            # as an Any — the connection handshake's nested-Any shape
+            message(
+                "MsgConnectionOpenInit",
+                field("client_id", 1, T_STRING),
+                field(
+                    "counterparty",
+                    2,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.connection.v1.Counterparty",
+                ),
+                field(
+                    "version",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.connection.v1.Version",
+                ),
+                field("delay_period", 4, T_UINT64),
+                field("signer", 5, T_STRING),
+            ),
+            message(
+                "MsgConnectionOpenTry",
+                field("client_id", 1, T_STRING),
+                field("previous_connection_id", 2, T_STRING),
+                field("client_state", 3, T_MESSAGE, OPT, ANY),
+                field(
+                    "counterparty",
+                    4,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.connection.v1.Counterparty",
+                ),
+                field("delay_period", 5, T_UINT64),
+                field(
+                    "counterparty_versions",
+                    6,
+                    T_MESSAGE,
+                    REP,
+                    ".ibc.core.connection.v1.Version",
+                ),
+                field(
+                    "proof_height",
+                    7,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("proof_init", 8, T_BYTES),
+                field("proof_client", 9, T_BYTES),
+                field("proof_consensus", 10, T_BYTES),
+                field(
+                    "consensus_height",
+                    11,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 12, T_STRING),
+                field("host_consensus_state_proof", 13, T_BYTES),
+            ),
+            message(
+                "MsgConnectionOpenAck",
+                field("connection_id", 1, T_STRING),
+                field("counterparty_connection_id", 2, T_STRING),
+                field(
+                    "version",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.connection.v1.Version",
+                ),
+                field("client_state", 4, T_MESSAGE, OPT, ANY),
+                field(
+                    "proof_height",
+                    5,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("proof_try", 6, T_BYTES),
+                field("proof_client", 7, T_BYTES),
+                field("proof_consensus", 8, T_BYTES),
+                field(
+                    "consensus_height",
+                    9,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 10, T_STRING),
+                field("host_consensus_state_proof", 11, T_BYTES),
+            ),
+            message(
+                "MsgConnectionOpenConfirm",
+                field("connection_id", 1, T_STRING),
+                field("proof_ack", 2, T_BYTES),
+                field(
+                    "proof_height",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.core.client.v1.Height",
+                ),
+                field("signer", 4, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "ibc/applications/interchain_accounts/v1/packet.proto",
+        "ibc.applications.interchain_accounts.v1",
+        ["google/protobuf/any.proto"],
+        [
+            # CosmosTx.messages is repeated Any — the SIXTH nested-Any
+            # recursion carrier (an ICA packet embeds the sdk.Msgs the
+            # host chain will execute). On the wire it travels inside
+            # InterchainAccountPacketData.data as serialized BYTES (so
+            # it renders base64 there, exactly as the reference's
+            # protobuf-java printer would), but any rule targeting a
+            # CosmosTx carried directly in an Any resolves through it.
+            message(
+                "InterchainAccountPacketData",
+                field(
+                    "type",
+                    1,
+                    T_ENUM,
+                    OPT,
+                    ".ibc.applications.interchain_accounts.v1.Type",
+                ),
+                field("data", 2, T_BYTES),
+                field("memo", 3, T_STRING),
+            ),
+            message("CosmosTx", field("messages", 1, T_MESSAGE, REP, ANY)),
+        ],
+        enums=[
+            enum_type(
+                "Type",
+                [("TYPE_UNSPECIFIED", 0), ("TYPE_EXECUTE_TX", 1)],
+            )
+        ],
+    ),
+    file_proto(
+        "ibc/applications/interchain_accounts/v1/metadata.proto",
+        "ibc.applications.interchain_accounts.v1",
+        [],
+        [
+            message(
+                "Metadata",
+                field("version", 1, T_STRING),
+                field("controller_connection_id", 2, T_STRING),
+                field("host_connection_id", 3, T_STRING),
+                field("address", 4, T_STRING),
+                field("encoding", 5, T_STRING),
+                field("tx_type", 6, T_STRING),
+            ),
+        ],
+    ),
+    file_proto(
+        "ibc/applications/interchain_accounts/controller/v1/tx.proto",
+        "ibc.applications.interchain_accounts.controller.v1",
+        ["ibc/applications/interchain_accounts/v1/packet.proto"],
+        [
+            message(
+                "MsgRegisterInterchainAccount",
+                field("owner", 1, T_STRING),
+                field("connection_id", 2, T_STRING),
+                field("version", 3, T_STRING),
+            ),
+            message(
+                "MsgSendTx",
+                field("owner", 1, T_STRING),
+                field("connection_id", 2, T_STRING),
+                field(
+                    "packet_data",
+                    3,
+                    T_MESSAGE,
+                    OPT,
+                    ".ibc.applications.interchain_accounts.v1"
+                    ".InterchainAccountPacketData",
+                ),
+                field("relative_timeout", 4, T_UINT64),
+            ),
+        ],
+    ),
+    file_proto(
+        # ibc-go transfer authz — the Any inside an authz Grant for
+        # delegated IBC transfers (high-traffic on exchange flows)
+        "ibc/applications/transfer/v1/authz.proto",
+        "ibc.applications.transfer.v1",
+        ["cosmos/base/v1beta1/coin.proto"],
+        [
+            message(
+                "Allocation",
+                field("source_port", 1, T_STRING),
+                field("source_channel", 2, T_STRING),
+                field("spend_limit", 3, T_MESSAGE, REP, COIN),
+                field("allow_list", 4, T_STRING, REP),
+            ),
+            message(
+                "TransferAuthorization",
+                field(
+                    "allocations",
+                    1,
+                    T_MESSAGE,
+                    REP,
+                    ".ibc.applications.transfer.v1.Allocation",
+                ),
             ),
         ],
     ),
