@@ -341,6 +341,8 @@ HEADLINE = [
     "dedup_funnel_report",
     "graph_betweenness_sampled",
     "text_gopher_quality",
+    "text_quality_train",
+    "text_quality_train_eval",
 ]
 
 

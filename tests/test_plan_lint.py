@@ -127,6 +127,11 @@ BNLJ_OK = {
     "sim_kmeans_inertia",
     "sample_cluster_balanced",
     "dedup_semantic",
+    # r13: the trained quality classifier — the BNLJ is the 1-row
+    # array<long> model-state broadcast between unrolled gradient steps
+    # (operators/quality.py), the text_bpe_train/sim_power_iteration shape
+    "text_quality_train",
+    "text_quality_train_eval",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.
