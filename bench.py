@@ -343,6 +343,7 @@ HEADLINE = [
     "text_gopher_quality",
     "text_quality_train",
     "text_quality_train_eval",
+    "text_quality_train_holdout",
 ]
 
 

@@ -132,6 +132,7 @@ BNLJ_OK = {
     # (operators/quality.py), the text_bpe_train/sim_power_iteration shape
     "text_quality_train",
     "text_quality_train_eval",
+    "text_quality_train_holdout",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.

@@ -97,3 +97,25 @@ def test_train_output_shape(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 513
     assert any(r["w"] != 0 for r in rows)
+
+
+def test_holdout_roc_staircase(spark, sf_dir):
+    """Holdout eval: ROC endpoints reach (1000, 1000), counts are
+    consistent, and no training doc leaks into the val rows (val size
+    == the hash-bucket-8 count)."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
+
+    df = Q.queries()["text_quality_train_holdout"](spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: -r["decile"])
+    assert rows[-1]["cum_tpr_permille"] == 1000
+    assert rows[-1]["cum_fpr_permille"] == 1000
+    n_val = sum(r["n_docs"] for r in rows)
+    docs = Q.load_table(spark, sf_dir, "documents")
+    expected = docs.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+        == 8
+    ).count()
+    assert n_val == expected
