@@ -344,6 +344,7 @@ HEADLINE = [
     "text_quality_train",
     "text_quality_train_eval",
     "text_quality_train_holdout",
+    "text_gopher_repetition",
 ]
 
 

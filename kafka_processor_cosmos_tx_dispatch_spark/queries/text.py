@@ -2011,3 +2011,242 @@ def text_quality_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition-filter bundle (completes the text_gopher_quality family)
+# --------------------------------------------------------------------------
+
+_REP_ORACLE_NGRAM = """
+      CASE WHEN len(G) = 0 THEN 0 ELSE
+        list_max(list_transform(list_distinct(G),
+          d -> len(list_filter(G, x -> x = d))))
+        * (length(list_min(list_filter(list_distinct(G),
+             d -> len(list_filter(G, x -> x = d)) =
+                  list_max(list_transform(list_distinct(G),
+                    d2 -> len(list_filter(G, x -> x = d2))))))) - {nm1})
+        * 1000 // c_all END
+"""
+
+
+def _rep_oracle_gram_sql(n: int) -> str:
+    grams = ", ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return (
+        f"CASE WHEN nw >= {n} THEN list_transform("
+        f"generate_series(1, nw-{n - 1}), i -> concat_ws(' ', {grams}))"
+        " ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@register(
+    "text_gopher_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_D_TOKS}, w -> w <> '') AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t, len(t) AS nw,
+             CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+               AS c_all
+      FROM toks WHERE len(t) > 0),
+    g AS (
+      SELECT doc_id, t, nw, c_all,
+             {_rep_oracle_gram_sql(2)} AS g2,
+             {_rep_oracle_gram_sql(3)} AS g3,
+             {_rep_oracle_gram_sql(4)} AS g4,
+             {_rep_oracle_gram_sql(5)} AS g5
+      FROM st),
+    f AS (
+      SELECT doc_id, c_all,
+             {_REP_ORACLE_NGRAM.replace("G", "g2").format(nm1=1)} AS top2_fp,
+             {_REP_ORACLE_NGRAM.replace("G", "g3").format(nm1=2)} AS top3_fp,
+             {_REP_ORACLE_NGRAM.replace("G", "g4").format(nm1=3)} AS top4_fp,
+             CASE WHEN len(g5) = 0 THEN 0 ELSE
+               CAST(list_sum(list_transform(generate_series(1, nw), p ->
+                 CASE WHEN len(list_filter(
+                        generate_series(GREATEST(1, p-4),
+                                        LEAST(p, len(g5))),
+                        i -> len(list_filter(g5, x -> x = g5[i])) > 1)) > 0
+                      THEN length(t[p]) ELSE 0 END)) AS BIGINT)
+               * 1000 // c_all END AS dup5_fp
+      FROM g)
+    SELECT doc_id,
+           CAST(top2_fp AS BIGINT) AS top2_fp,
+           CAST(top3_fp AS BIGINT) AS top3_fp,
+           CAST(top4_fp AS BIGINT) AS top4_fp,
+           CAST(dup5_fp AS BIGINT) AS dup5_fp,
+           CAST(CASE WHEN top2_fp <= 200 THEN 1 ELSE 0 END
+            + CASE WHEN top3_fp <= 180 THEN 2 ELSE 0 END
+            + CASE WHEN top4_fp <= 160 THEN 4 ELSE 0 END
+            + CASE WHEN dup5_fp <= 150 THEN 8 ELSE 0 END AS BIGINT)
+             AS rules_mask,
+           (top2_fp <= 200 AND top3_fp <= 180 AND top4_fp <= 160
+            AND dup5_fp <= 150) AS rep_pass
+    FROM f
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 Table A1 — the
+    other half of the filter bundle text_gopher_quality started):
+    per document, the permille of characters (1) in all occurrences of
+    the most frequent word 2-gram (threshold ≤200), (2) 3-gram (≤180),
+    (3) 4-gram (≤160), and (4) inside any DUPLICATED 5-gram occurrence
+    (positional coverage, ≤150) — as integer fixed-point fractions plus
+    the auditable per-rule bitmask and conjunctive verdict, mirroring
+    the quality query's dashboard shape. Ties for 'most frequent' break
+    to the lexicographically smallest gram in BOTH engines (the Spark
+    sorted-run scan keeps the first maximum of the sorted gram array;
+    the oracle takes list_min of the argmax set).
+
+    Scale: entirely ROW-LOCAL (scan → project, zero shuffles), but
+    unlike the quality rules the naive per-rule mode is O(grams ×
+    distinct) string compares per document — the Spark side instead
+    sorts each gram array once and finds the modal run with ONE linear
+    aggregate() fold (struct accumulator, O(g log g)), and the dup-5
+    coverage tests membership against the (typically tiny) duplicated-
+    gram set rather than re-counting per position. The DuckDB oracle
+    keeps the quadratic spelling — correctness-only."""
+    from ..functions import exprs as EX
+    from ..functions import text as TX
+
+    # The modal-run folds are ~3 ms/doc of interpreted-HOF compute —
+    # far above scan cost — so parallelism, not IO, is the budget. The
+    # local corpus is ONE row group (= one scan partition); the round-
+    # robin rebalance ships each text once so every core shares the
+    # fold work. At production scale the scan's own file parallelism
+    # already spreads it, and for compute-dominated rows the rebalance
+    # stays cheap relative to the projection it feeds.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def modal_run_fp(grams: F.Column, n: int, c_all: F.Column) -> F.Column:
+        """(max run count × gram char-length × 1000) DIV c_all over the
+        sorted gram array; 0 when no grams."""
+
+        def scan(s: F.Column) -> F.Column:
+            init = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit("").alias("bg"),
+                F.lit(0).cast("long").alias("bc"),
+            )
+
+            def step(acc: F.Column, x: F.Column) -> F.Column:
+                run = F.when(
+                    x == acc["prev"], acc["run"] + 1
+                ).otherwise(F.lit(1).cast("long"))
+                better = run > acc["bc"]
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+                    F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+                )
+
+            fin = F.aggregate(s, init, step)
+            return (
+                fin["bc"]
+                * (F.length(fin["bg"]) - (n - 1))
+                * 1000
+            )
+
+        return F.when(
+            F.size(grams) > 0, EX.bind(F.array_sort(grams), scan)
+        ).otherwise(F.lit(0).cast("long"))
+
+    t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+
+    def build(tc: F.Column) -> F.Column:
+        c_all = F.aggregate(
+            tc, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        g2 = TX.word_shingles(tc, 2)
+        g3 = TX.word_shingles(tc, 3)
+        g4 = TX.word_shingles(tc, 4)
+        g5 = TX.word_shingles(tc, 5)
+
+        def dup5_cov(g5c: F.Column) -> F.Column:
+            s = F.array_sort(g5c)
+            dups = F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(s) - 1),
+                        lambda i: F.when(
+                            F.element_at(s, i) == F.element_at(s, i + 1),
+                            F.element_at(s, i),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+
+            def with_flags(dp: F.Column) -> F.Column:
+                flags = F.transform(
+                    g5c,
+                    lambda x: F.array_contains(dp, x).cast("int"),
+                )
+
+                def cover(fl: F.Column) -> F.Column:
+                    return F.aggregate(
+                        F.sequence(F.lit(1), F.size(tc)),
+                        F.lit(0).cast("long"),
+                        lambda acc, p: acc
+                        + F.when(
+                            F.exists(
+                                F.sequence(
+                                    F.greatest(F.lit(1), p - 4),
+                                    F.least(p, F.size(g5c)),
+                                ),
+                                lambda i: F.element_at(fl, i) == 1,
+                            ),
+                            F.length(F.element_at(tc, p)),
+                        ).otherwise(F.lit(0).cast("long")),
+                    )
+
+                return EX.bind(flags, cover)
+
+            return EX.bind(dups, with_flags)
+
+        return F.struct(
+            c_all.alias("c_all"),
+            modal_run_fp(g2, 2, c_all).alias("m2"),
+            modal_run_fp(g3, 3, c_all).alias("m3"),
+            modal_run_fp(g4, 4, c_all).alias("m4"),
+            F.when(F.size(g5) > 0, EX.bind(g5, dup5_cov) * 1000)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("m5"),
+        )
+
+    st = docs.select(
+        "doc_id",
+        F.size(EX.bind(F.col("text"), lambda _: t)).alias("__nw"),
+        EX.bind(t, build).alias("s"),
+    ).filter(F.col("__nw") > 0)
+    out = st.select(
+        "doc_id",
+        F.expr("s.m2 DIV s.c_all").alias("top2_fp"),
+        F.expr("s.m3 DIV s.c_all").alias("top3_fp"),
+        F.expr("s.m4 DIV s.c_all").alias("top4_fp"),
+        F.expr("s.m5 DIV s.c_all").alias("dup5_fp"),
+    )
+    mask = (
+        F.when(F.col("top2_fp") <= 200, 1).otherwise(0)
+        + F.when(F.col("top3_fp") <= 180, 2).otherwise(0)
+        + F.when(F.col("top4_fp") <= 160, 4).otherwise(0)
+        + F.when(F.col("dup5_fp") <= 150, 8).otherwise(0)
+    )
+    return out.select(
+        "doc_id",
+        "top2_fp",
+        "top3_fp",
+        "top4_fp",
+        "dup5_fp",
+        mask.cast("long").alias("rules_mask"),
+        (
+            (F.col("top2_fp") <= 200)
+            & (F.col("top3_fp") <= 180)
+            & (F.col("top4_fp") <= 160)
+            & (F.col("dup5_fp") <= 150)
+        ).alias("rep_pass"),
+    )
