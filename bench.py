@@ -345,6 +345,7 @@ HEADLINE = [
     "text_quality_train_eval",
     "text_quality_train_holdout",
     "text_gopher_repetition",
+    "graph_modularity",
 ]
 
 

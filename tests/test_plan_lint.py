@@ -133,6 +133,9 @@ BNLJ_OK = {
     "text_quality_train",
     "text_quality_train_eval",
     "text_quality_train_holdout",
+    # r13: modularity — the BNLJ is the 1-row edge-count (m) broadcast
+    # crossJoin into the ≤25-community result rows
+    "graph_modularity",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.
