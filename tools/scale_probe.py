@@ -958,6 +958,38 @@ def main() -> None:
 
     probe("betweenness_5seed_3hop", args.events, betweenness)
 
+    # r13: the trained quality classifier — 3 preconditioned steps over
+    # 100k docs (10-50× bench). The h preconditioner makes the step
+    # corpus-size-invariant; the probe pins the wall cost of the T+1
+    # corpus scans + per-step 513-row gradient aggs.
+    def quality_train_probe():
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.quality import (
+            quality_train,
+        )
+
+        label = F.col("doc_id") % 5 == 0  # ~20% positives
+        run(quality_train(docs, label, buckets=512))
+
+    probe("quality_train_3steps", args.docs, quality_train_probe)
+
+    # r13: Gopher repetition rules — the heaviest row-local text op
+    # (modal-run folds over 4 sorted gram arrays per doc); the probe
+    # pins docs/sec of the interpreted-HOF compute at 20× bench scale.
+    def gopher_rep_probe():
+        import tempfile
+
+        from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
+
+        d = tempfile.mkdtemp(prefix="rep_probe_", dir=WORKDIR)
+        docs.select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("probe").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        run(Q.queries()["text_gopher_repetition"](spark, d))
+
+    probe("gopher_repetition", args.docs, gopher_rep_probe)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
