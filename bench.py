@@ -346,6 +346,8 @@ HEADLINE = [
     "text_quality_train_holdout",
     "text_gopher_repetition",
     "graph_modularity",
+    "sim_pq_train",
+    "sim_pq_train_gain",
 ]
 
 

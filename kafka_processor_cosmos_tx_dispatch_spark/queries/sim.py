@@ -1464,3 +1464,216 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# trained PQ codebooks (r13) — completes the PQ family the way
+# text_quality_train completed the quality family
+# --------------------------------------------------------------------------
+
+
+def _pq_q_sql(s: int) -> str:
+    """Quantized 16-dim slice of subspace s (1-based inclusive DuckDB
+    list slice), named qs{s}."""
+    return (
+        f"qs{s} AS (SELECT vec_id, list_transform("
+        f"embedding[{s * 16 + 1}:{(s + 1) * 16}],"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv"
+        " FROM embeddings)"
+    )
+
+
+def _pq_assign_sql(q: str, cent: str, out: str) -> str:
+    dist = (
+        f"CAST(list_dot_product(v.qv, v.qv) AS BIGINT)"
+        f" - 2 * CAST(list_dot_product(v.qv, ct.cv) AS BIGINT)"
+        f" + CAST(list_dot_product(ct.cv, ct.cv) AS BIGINT)"
+    )
+    return f"""
+    {out} AS (
+      SELECT vec_id, qv, c AS cluster, dist_sq FROM (
+        SELECT v.vec_id, v.qv, ct.c, {dist} AS dist_sq,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, ct.c ASC) AS rn
+        FROM {q} v CROSS JOIN {cent} ct) WHERE rn = 1)"""
+
+
+def _pq_update_sql(assign: str, prev_cent: str, out: str) -> str:
+    return f"""
+    {out}_s AS (
+      SELECT cluster, d, SUM(qv[d + 1] + 40000) AS s, COUNT(*) AS n
+      FROM {assign} CROSS JOIN unnest(generate_series(0, 15)) AS t(d)
+      GROUP BY cluster, d),
+    {out} AS (
+      SELECT p.c, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev_cent} p LEFT JOIN (
+        SELECT cluster AS c, list(s // n - 40000 ORDER BY d) AS cv
+        FROM {out}_s GROUP BY cluster) u USING (c))"""
+
+
+def _pq_train_subspace_sql(s: int) -> str:
+    """Two unrolled Lloyd rounds + the final-assignment update for one
+    subspace; emits cells{s}."""
+    return f"""
+    {_pq_q_sql(s)},
+    {_pq_assign_sql(f"qs{s}", "pcent0", f"pa0_{s}")},
+    {_pq_update_sql(f"pa0_{s}", "pcent0", f"pcent1_{s}")},
+    {_pq_assign_sql(f"qs{s}", f"pcent1_{s}", f"pa1_{s}")},
+    {_pq_update_sql(f"pa1_{s}", f"pcent1_{s}", f"pcent2_{s}")},
+    {_pq_assign_sql(f"qs{s}", f"pcent2_{s}", f"pa2_{s}")},
+    cells{s} AS (
+      SELECT CAST({s} AS INTEGER) AS subspace,
+             CAST(cluster AS INTEGER) AS cluster,
+             CAST(d AS INTEGER) AS d,
+             CAST(su // n - 40000 AS BIGINT) AS cval,
+             CAST(n AS BIGINT) AS n_assigned
+      FROM (SELECT cluster, d, SUM(qv[d + 1] + 40000) AS su,
+                   COUNT(*) AS n
+            FROM pa2_{s} CROSS JOIN unnest(generate_series(0, 15)) AS t(d)
+            GROUP BY cluster, d))"""
+
+
+@register(
+    "sim_pq_train",
+    "WITH pcent0 AS (\n"
+    "      SELECT i // 16 AS c, list(\n"
+    "               ((1103515245 * (7919 + i) + 12345) % 2147483648)"
+    " % 2001 - 1000\n"
+    "               ORDER BY i) AS cv\n"
+    "      FROM unnest(generate_series(0, 255)) AS t(i)\n"
+    "      GROUP BY 1),"
+    + ",".join(_pq_train_subspace_sql(s) for s in range(4))
+    + """
+    SELECT * FROM cells0
+    UNION ALL SELECT * FROM cells1
+    UNION ALL SELECT * FROM cells2
+    UNION ALL SELECT * FROM cells3
+    """,
+)
+def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the product-quantization codebooks in-engine — the other
+    half of the PQ family (sim_topk_pq/sim_topk_ivfpq APPLY a data-free
+    LCG codebook; a real index trains per-subspace k-means, and this is
+    that trainer): for each of the 4 subspaces of the 64-dim embedding,
+    2 Lloyd rounds over the quantized 16-dim slice (k=16 codes — the
+    kmeans_assign lazy-bank machinery verbatim, all-integer assignment
+    and offset floor-div means), reporting the UPDATE of the final
+    assignment as the trained codebook: (subspace, cluster, d, cval,
+    n_assigned), ≤ 4×16×16 = 1024 cells. Every subspace starts from the
+    same 16-centroid LCG bank, so round 0 equals the fixed codebook the
+    apply-side queries pin — training is exactly 'what the static
+    codebook becomes after two Lloyd updates on the data'. Clusters
+    with zero members vanish from the output (FAISS keeps the stale
+    centroid; compose with the init bank if that behavior is needed).
+
+    Scale: 4 independent lazy k-means runs in ONE plan — per subspace
+    the assignment is an in-row argmin against a 1-row broadcast bank
+    (no row-multiplying join) and each update is a ≤k×16-cell
+    map-side-combinable agg; the corpus embeddings are scanned per
+    round per subspace (slices prune the other 48 dims at the scan).
+    The oracle unrolls all four subspaces' rounds as plain CTEs."""
+    from functools import reduce
+
+    from ..functions import vectors as V
+    from ..operators.similarity import KMEANS_MEAN_OFFSET, PQ_K, PQ_M, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    off = KMEANS_MEAN_OFFSET
+    outs = []
+    for s in range(PQ_M):
+        sl = emb.select(
+            "vec_id",
+            F.slice("embedding", s * 16 + 1, 16).alias("embedding"),
+        )
+        asg = kmeans_assign(sl, k=PQ_K, rounds=2, with_vec=True)
+        cells = (
+            asg.select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum(F.col("v") + F.lit(off)).alias("su"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("cluster").cast("int").alias("cluster"),
+                F.col("d").cast("int").alias("d"),
+                (F.expr("su DIV n") - F.lit(off)).alias("cval"),
+                F.col("n").cast("long").alias("n_assigned"),
+            )
+        )
+        outs.append(cells)
+    return reduce(DataFrame.unionAll, outs)
+
+
+@register(
+    "sim_pq_train_gain",
+    "WITH pcent0 AS (\n"
+    "      SELECT i // 16 AS c, list(\n"
+    "               ((1103515245 * (7919 + i) + 12345) % 2147483648)"
+    " % 2001 - 1000\n"
+    "               ORDER BY i) AS cv\n"
+    "      FROM unnest(generate_series(0, 255)) AS t(i)\n"
+    "      GROUP BY 1),"
+    + ",".join(_pq_train_subspace_sql(s) for s in range(4))
+    + ","
+    + ",".join(
+        f"""
+    gain{s} AS (
+      SELECT CAST({s} AS INTEGER) AS subspace,
+             (SELECT CAST(SUM(dist_sq) AS BIGINT) FROM pa0_{s})
+               AS inertia_init,
+             (SELECT CAST(SUM(dist_sq) AS BIGINT) FROM pa2_{s})
+               AS inertia_trained)"""
+        for s in range(4)
+    )
+    + """
+    SELECT subspace, inertia_init, inertia_trained,
+           1000 - (1000 * inertia_trained) // inertia_init
+             AS gain_permille
+    FROM (SELECT * FROM gain0 UNION ALL SELECT * FROM gain1
+          UNION ALL SELECT * FROM gain2 UNION ALL SELECT * FROM gain3)
+    """,
+)
+def sim_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVALUATE the trained PQ codebooks (the eval half of
+    sim_pq_train, like text_quality_train_eval for the quality
+    trainer): per subspace, total quantization error (Σ exact integer
+    squared-L2 to the assigned code) under the UNTRAINED LCG codebook
+    (round-0 assignment — exactly what sim_topk_pq quantizes with)
+    vs after the two Lloyd rounds, plus the permille error reduction.
+    The one-glance answer to 'was training the codebook worth it'
+    before an index rebuild at corpus scale.
+
+    Scale: the same four lazy k-means subplans as sim_pq_train, each
+    reduced to ONE long per assignment pass (a sum of dist_sq — the
+    inertia shape of sim_kmeans_inertia); output is exactly 4 rows."""
+    from functools import reduce
+
+    from ..operators.similarity import PQ_K, PQ_M, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for s in range(PQ_M):
+        sl = emb.select(
+            "vec_id",
+            F.slice("embedding", s * 16 + 1, 16).alias("embedding"),
+        )
+        init = (
+            kmeans_assign(sl, k=PQ_K, rounds=0)
+            .agg(F.sum("dist_sq").cast("long").alias("inertia_init"))
+        )
+        trained = (
+            kmeans_assign(sl, k=PQ_K, rounds=2)
+            .agg(F.sum("dist_sq").cast("long").alias("inertia_trained"))
+        )
+        outs.append(
+            init.crossJoin(trained).select(
+                F.lit(s).cast("int").alias("subspace"),
+                "inertia_init",
+                "inertia_trained",
+                F.expr(
+                    "1000 - (1000 * inertia_trained) DIV inertia_init"
+                ).alias("gain_permille"),
+            )
+        )
+    return reduce(DataFrame.unionAll, outs)

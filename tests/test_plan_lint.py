@@ -136,6 +136,11 @@ BNLJ_OK = {
     # r13: modularity — the BNLJ is the 1-row edge-count (m) broadcast
     # crossJoin into the ≤25-community result rows
     "graph_modularity",
+    # r13: PQ codebook trainer — four kmeans_assign lazy-bank runs in
+    # one plan; the BNLJ is the 1-row centroid-bank broadcast each
+    # round rides (the sim_kmeans_clusters shape, ×4 subspaces)
+    "sim_pq_train",
+    "sim_pq_train_gain",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.

@@ -119,3 +119,15 @@ def test_holdout_roc_staircase(spark, sf_dir):
         == 8
     ).count()
     assert n_val == expected
+
+
+def test_pq_train_improves_quantization(spark, sf_dir):
+    """The trained codebooks must beat the data-free LCG codebook on
+    every subspace (sim_pq_train_gain's whole point)."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
+
+    rows = Q.queries()["sim_pq_train_gain"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["inertia_trained"] < r["inertia_init"], r
+        assert r["gain_permille"] > 0
