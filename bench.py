@@ -348,6 +348,7 @@ HEADLINE = [
     "graph_modularity",
     "sim_pq_train",
     "sim_pq_train_gain",
+    "sim_topk_ivf_trained",
 ]
 
 

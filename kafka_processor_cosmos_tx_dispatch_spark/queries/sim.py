@@ -1677,3 +1677,98 @@ def sim_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, outs)
+
+
+@register(
+    "sim_topk_ivf_trained",
+    f"""
+    WITH cent0 AS (
+      SELECT i // 64 AS c, list(
+               ((1103515245 * (7919 + i) + 12345) % 2147483648) % 2001 - 1000
+               ORDER BY i) AS cv
+      FROM unnest(generate_series(0, {_IVF_CELLS} * 64 - 1)) AS t(i)
+      GROUP BY 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    {_km_assign_sql("cent0", "a0")},
+    {_km_update_sql("a0", "cent0", "cent1")},
+    {_km_assign_sql("cent1", "a1")},
+    {_km_update_sql("a1", "cent1", "cent2")},
+    {_km_assign_sql("cent2", "afinal")},
+    idx AS (
+      SELECT vec_id, qv, CAST(cluster AS BIGINT) AS cell,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      FROM afinal),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cell, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv)
+               / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS cos_sim
+      FROM idx a JOIN idx b
+        ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 10)
+    SELECT query_id, cell, neighbor_id, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — sim_topk_ivf with the
+    data-free LCG cells replaced by the 2-round k-means cells
+    (sim_kmeans_clusters' exact assignment): the index and every query
+    use the nearest TRAINED centroid, search stays the same cell-id
+    equi-join. Completes the index-training story next to sim_pq_train
+    (coarse quantizer trained here, fine quantizer there; real IVF-PQ
+    trains both). Balanced trained cells also mean the per-cell
+    candidate lists even out — the practical reason FAISS trains the
+    coarse level.
+
+    Scale: the k-means subplan is the lazy broadcast-bank shape; the
+    search is the bounded-query broadcast equi-join every IVF query
+    pins. Same output columns as the untrained variant, so the two
+    diff directly."""
+    from ..functions import vectors as V
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=_IVF_CELLS, rounds=2, with_vec=True)
+    idx = asg.select(
+        "vec_id",
+        "qv",
+        F.col("cluster").cast("long").alias("cell"),
+        V.dot_int(F.col("qv"), F.col("qv")).alias("nsq"),
+    )
+    a = idx.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("query_qv"),
+        "cell",
+        F.col("nsq").alias("query_nsq"),
+    )
+    b = idx.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("neighbor_qv"),
+        "cell",
+        F.col("nsq").alias("neighbor_nsq"),
+    )
+    joined = b.join(F.broadcast(a), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = V.dot_int(F.col("query_qv"), F.col("neighbor_qv")).cast(
+        "double"
+    ) / F.sqrt(
+        F.col("query_nsq").cast("double")
+        * F.col("neighbor_nsq").cast("double")
+    )
+    scored = joined.select(
+        "query_id", "cell", "neighbor_id", sim.alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )

@@ -141,6 +141,9 @@ BNLJ_OK = {
     # round rides (the sim_kmeans_clusters shape, ×4 subspaces)
     "sim_pq_train",
     "sim_pq_train_gain",
+    # r13: trained-IVF — the kmeans lazy-bank BNLJ plus the bounded
+    # 10-query broadcast every IVF query whitelists
+    "sim_topk_ivf_trained",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.
