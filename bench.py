@@ -349,6 +349,7 @@ HEADLINE = [
     "sim_pq_train",
     "sim_pq_train_gain",
     "sim_topk_ivf_trained",
+    "streaming_quality_train",
 ]
 
 

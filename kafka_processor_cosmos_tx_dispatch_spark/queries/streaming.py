@@ -851,3 +851,36 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_paragraph_dedup(
         stream, tempfile.mkdtemp(prefix="spard_")
     )
+
+
+@register(
+    "streaming_quality_train",
+    _ORACLE["text_quality_train"],  # the twin shares the batch oracle
+)
+def streaming_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of text_quality_train — the quality classifier
+    trained over the continuously-arriving document stream
+    (streaming/incremental.py:incremental_quality_train): each
+    micro-batch archives its row-local (doc_id, y, fb) feature rows as
+    an idempotent-by-path parquet delta (taxonomy class (1) BY PATH —
+    no carried fold, no ledger; replays rewrite identical bytes), and
+    the 3-step fixed-point trainer runs ONCE at drain over the
+    accumulated corpus — the production cadence: full-batch gradient
+    steps are a global computation, deliberately not folded per batch.
+    Drained weights are row-identical to the batch operator under ANY
+    split (unordered-split/replay/restart pinned in
+    tests/test_streaming.py); the batch SQL is the oracle."""
+    import tempfile
+
+    from ..streaming.dispatch import file_stream_reader
+    from ..streaming.incremental import incremental_quality_train
+
+    stream = file_stream_reader(
+        spark,
+        f"{sf_dir}/documents*.parquet",
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    return incremental_quality_train(
+        stream, tempfile.mkdtemp(prefix="sqt_")
+    )

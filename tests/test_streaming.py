@@ -1420,3 +1420,98 @@ class TestIncrementalParagraphDedup:
             for r in streaming_paragraph_dedup(spark, sf_dir).collect()
         }
         assert got == want and len(got) >= 1
+
+
+class TestIncrementalQualityTrain:
+    DOCS_SCHEMA = "doc_id long, text string, lang string"
+    DOCS = [
+        (0, "good clean prose here and more words of it", "en"),
+        (1, "good clean prose here and more words of it", "fr"),
+        (2, "zz1 zz2 zz3 zz4 zz5", "en"),
+        (3, "good clean zz1 zz2 prose", "en"),
+        (4, "prose here zz3 zz4", "fr"),
+        (5, "   ", "en"),  # bias-only doc
+    ]
+
+    def _run(self, spark, workdir, batches, replay_bid=None, restart=False):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            make_quality_archive_batch,
+        )
+
+        body = make_quality_archive_batch(workdir, 64)
+        for bid, rows in enumerate(batches):
+            if restart and bid == len(batches) - 1:
+                body = make_quality_archive_batch(workdir, 64)  # fresh body
+            body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+            if replay_bid == bid:
+                body(spark.createDataFrame(rows, self.DOCS_SCHEMA), bid)
+
+    def _readout(self, spark, workdir):
+        from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+            quality_train_drained,
+        )
+
+        return sorted(
+            tuple(r)
+            for r in quality_train_drained(
+                spark, workdir, 64, (1, 2, 4)
+            ).collect()
+        )
+
+    def test_any_split_replay_restart(self, spark, tmp_path):
+        """Archive-by-path has no fold at all: ordered, unordered and
+        replayed/restarted deliveries all drain to the one-shot
+        weights."""
+        self._run(spark, str(tmp_path / "a"), [self.DOCS])
+        one = self._readout(spark, str(tmp_path / "a"))
+        assert len(one) == 65  # 64 buckets + bias
+
+        shuffled = [
+            [self.DOCS[4], self.DOCS[1]],
+            [self.DOCS[5], self.DOCS[0]],
+            [self.DOCS[3], self.DOCS[2]],
+        ]
+        self._run(spark, str(tmp_path / "b"), shuffled, replay_bid=1)
+        assert self._readout(spark, str(tmp_path / "b")) == one
+
+        self._run(spark, str(tmp_path / "c"), shuffled, restart=True)
+        assert self._readout(spark, str(tmp_path / "c")) == one
+
+    def test_matches_batch_operator(self, spark, tmp_path):
+        """Drained weights are row-identical to quality_train over the
+        same corpus (same default label)."""
+        from pyspark.sql import functions as F
+
+        from kafka_processor_cosmos_tx_dispatch_spark.operators.quality import (
+            quality_train,
+        )
+        from kafka_processor_cosmos_tx_dispatch_spark.functions import (
+            text as TX,
+        )
+
+        docs = spark.createDataFrame(self.DOCS, self.DOCS_SCHEMA)
+        t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+        label = (F.col("lang") == "en") & F.size(t).between(50, 100000)
+        want = sorted(
+            tuple(r) for r in quality_train(docs, label, buckets=64).collect()
+        )
+        self._run(
+            spark,
+            str(tmp_path / "m"),
+            [[self.DOCS[1], self.DOCS[5]], [self.DOCS[0]],
+             [self.DOCS[2], self.DOCS[4], self.DOCS[3]]],
+        )
+        assert self._readout(spark, str(tmp_path / "m")) == want
+
+    def test_registered_streaming_twin_matches_batch(self, spark, sf_dir):
+        from kafka_processor_cosmos_tx_dispatch_spark.queries import (
+            streaming_quality_train,
+            text_quality_train,
+        )
+
+        want = {tuple(r) for r in text_quality_train(spark, sf_dir).collect()}
+        got = {
+            tuple(r)
+            for r in streaming_quality_train(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) == 513
