@@ -350,6 +350,7 @@ HEADLINE = [
     "sim_pq_train_gain",
     "sim_topk_ivf_trained",
     "streaming_quality_train",
+    "text_tokenizer_fertility",
 ]
 
 

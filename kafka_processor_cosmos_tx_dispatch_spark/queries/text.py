@@ -2250,3 +2250,93 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup5_fp") <= 150)
         ).alias("rep_pass"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH words AS (
+      SELECT lang, w
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    vocab AS (SELECT DISTINCT w FROM words),
+    enc AS (
+      SELECT w,
+             {_bpe_oracle_replace_chain(
+                 "'|' || array_to_string(string_split(w, ''), '|')"
+                 " || '|</w>|'"
+             )} AS e
+      FROM vocab),
+    vn AS (
+      SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+             CAST(len(string_split(e, '|')) - 2 AS BIGINT) AS n_sub
+      FROM enc)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           (1000 * SUM(n_sub)) // COUNT(*) AS fertility_permille,
+           (1000 * SUM(n_chars)) // SUM(n_sub) AS chars_per_sub_permille
+    FROM words JOIN vn USING (w)
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language — the diagnostic multilingual
+    pipelines read before fixing a tokenizer budget (fertility =
+    subwords per word; high-fertility languages pay more sequence
+    length per word, the classic BPE-bias finding): per language,
+    corpus word count, post-merge subword count (the text_bpe_encode
+    merge table applied verbatim), character count, and the two
+    integer fixed-point ratios (subwords/word and chars/subword,
+    permille). Completes the BPE family as its per-language dashboard:
+    encode (per doc) → pair counts → trainer → fertility (per lang).
+
+    Scale: the same dictionary-encoding pattern as text_bpe_encode —
+    the expensive chained-replace encode runs over the DISTINCT
+    vocabulary only, then broadcast-joins back onto the exploded
+    corpus; the final agg is ≤|languages| rows. One explode + one
+    distinct + one broadcast join, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.select("w").distinct()
+    enc = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+            "|",
+        ),
+        F.lit("|</w>|"),
+    )
+    for a, b in _BPE_MERGES:
+        pa = "|" + a.replace(" ", "|") + "|"
+        enc = F.replace(enc, F.lit(pa), F.lit(f"|{b}|"))
+    vn = vocab.select(
+        "w",
+        F.length("w").cast("long").alias("n_chars_w"),
+        (F.size(F.split(enc, r"\|")) - 2).cast("long").alias("n_sub"),
+    )
+    return (
+        words.join(F.broadcast(vn), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            "n_chars",
+            F.expr("(1000 * n_subwords) DIV n_words").alias(
+                "fertility_permille"
+            ),
+            F.expr("(1000 * n_chars) DIV n_subwords").alias(
+                "chars_per_sub_permille"
+            ),
+        )
+    )
