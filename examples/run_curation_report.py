@@ -10,6 +10,10 @@ from the registered operator surface:
     Benford first-digit audit       -> numeric-integrity screen
     ANN recall@5                    -> is the LSH index good enough
     exact-overlap decontamination   -> benchmark leakage check
+    gopher repetition bitmask       -> which repetition rule fires where
+    trained-quality holdout ROC     -> does the learned filter generalize
+    PQ training gain                -> is an index rebuild worth it
+    dedup funnel                    -> doc/token yield per dedup stage
 
 Run:
 
@@ -35,6 +39,11 @@ REPORT = [
     ("Benford digit audit", "q_benford_audit"),
     ("ANN recall@5", "sim_recall_at_k"),
     ("benchmark contamination", "text_decontaminate_exact"),
+    # r13: the trained-model dashboards
+    ("gopher repetition rules", "text_gopher_repetition"),
+    ("trained quality ROC (holdout)", "text_quality_train_holdout"),
+    ("PQ codebook training gain", "sim_pq_train_gain"),
+    ("dedup funnel yields", "dedup_funnel_report"),
 ]
 
 
