@@ -351,6 +351,7 @@ HEADLINE = [
     "sim_topk_ivf_trained",
     "streaming_quality_train",
     "text_tokenizer_fertility",
+    "dedup_winnowing_pairs",
 ]
 
 

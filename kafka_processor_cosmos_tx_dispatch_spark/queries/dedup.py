@@ -1425,3 +1425,115 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("c_near", near))
         .unionByName(para)
     )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_D_TOKS}, w -> w <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 4 THEN list_transform(
+                 generate_series(1, len(t)-3),
+                 i -> ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1],
+                        t[i+2], t[i+3])), 1, 15))::BIGINT)
+             ELSE CAST([] AS BIGINT[]) END AS h
+      FROM toks),
+    fps AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(h) >= 4 THEN list_transform(
+                   generate_series(1, len(h)-3),
+                   j -> LEAST(h[j], h[j+1], h[j+2], h[j+3]))
+               WHEN len(h) >= 1 THEN [list_min(h)]
+               ELSE CAST([] AS BIGINT[]) END)) AS fp
+      FROM grams),
+    keep AS (SELECT fp FROM fps GROUP BY fp
+             HAVING COUNT(*) BETWEEN 2 AND 64),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING near-dup candidates (Schleimer et al. 2003 — the MOSS
+    plagiarism-detection fingerprinting): hash every 4-gram, slide a
+    w=4 window over the hash sequence and select each window's MINIMUM
+    — the classic guarantee that any shared run of ≥ w+k-1 tokens
+    yields at least one shared fingerprint, at a fraction of the
+    full-shingle index size (2/(w+1) expected density). Candidate
+    pairs share ≥2 distinct winnowed fingerprints; the same df-cap
+    (each fingerprint in 2..64 docs) the shingle/CDC families use
+    gates boilerplate-driven blowup. The fourth candidate generator
+    next to MinHash-LSH (probabilistic), CDC chunks
+    (content-defined), and exact-substring anchors (positional) —
+    winnowing is the cheapest index for 'shares a verbatim run',
+    which is why code-similarity pipelines use it verbatim.
+
+    Scale: selection is ROW-LOCAL (two HOF transforms + distinct, no
+    explode until the fingerprint rows); the index explode emits ~2/5
+    of the gram count; the pair join is a fingerprint equi-join with
+    the df cap — bucketed, never all-pairs; one (doc_a, doc_b) agg."""
+    from ..functions import exprs as EX
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+
+    def gram_hashes(tc: F.Column) -> F.Column:
+        def mk(i: F.Column) -> F.Column:
+            gram = F.concat_ws(
+                " ", *[F.element_at(tc, i + j) for j in range(4)]
+            )
+            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast(
+                "long"
+            )
+
+        return F.when(
+            F.size(tc) >= 4,
+            F.transform(F.sequence(F.lit(1), F.size(tc) - 3), mk),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def winnow(h: F.Column) -> F.Column:
+        win = F.transform(
+            F.sequence(F.lit(1), F.size(h) - 3),
+            lambda j: F.least(
+                *[F.element_at(h, j + i) for i in range(4)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(F.size(h) >= 4, win)
+            .when(F.size(h) >= 1, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+
+    fps = docs.select(
+        "doc_id",
+        F.explode(
+            EX.bind(EX.bind(t, gram_hashes), winnow)
+        ).alias("fp"),
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 64))
+        .select("fp")
+    )
+    capped = fps.join(keep, "fp")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs
