@@ -1169,7 +1169,8 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS q_num
       FROM dsum LEFT JOIN ein USING (com), m)
     SELECT com, n_nodes, e_in, d_sum, q_num,
-           (1000 * SUM(q_num) OVER ()) // (4 * m.m * m.m) AS q_permille
+           CAST((1000 * SUM(q_num) OVER ()) // (4 * m.m * m.m)
+             AS BIGINT) AS q_permille
     FROM rows_, m
     """,
 )

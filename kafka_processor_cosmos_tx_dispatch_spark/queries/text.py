@@ -1776,7 +1776,7 @@ def _quality_train_ctes(
     "text_quality_train",
     _quality_train_ctes()
     + f"""
-    SELECT CAST(b AS INTEGER) AS bucket, w FROM w{len(_QT_DENS)}
+    SELECT CAST(b AS INTEGER) AS bucket, CAST(w AS BIGINT) AS w FROM w{len(_QT_DENS)}
     """,
 )
 def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,12 +1831,12 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_pos) AS tp, SUM(n_docs) - SUM(n_pos) AS tn
             FROM dec)
     SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
-           (1000 * SUM(n_pos) OVER (ORDER BY decile DESC
+           CAST((1000 * SUM(n_pos) OVER (ORDER BY decile DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             // NULLIF(tp, 0) AS cum_tpr_permille,
-           (1000 * SUM(n_docs - n_pos) OVER (ORDER BY decile DESC
+             // NULLIF(tp, 0) AS BIGINT) AS cum_tpr_permille,
+           CAST((1000 * SUM(n_docs - n_pos) OVER (ORDER BY decile DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             // NULLIF(tn, 0) AS cum_fpr_permille
+             // NULLIF(tn, 0) AS BIGINT) AS cum_fpr_permille
     FROM dec, tot
     """,
 )
@@ -1922,12 +1922,12 @@ def text_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_pos) AS tp, SUM(n_docs) - SUM(n_pos) AS tn
             FROM dec)
     SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
-           (1000 * SUM(n_pos) OVER (ORDER BY decile DESC
+           CAST((1000 * SUM(n_pos) OVER (ORDER BY decile DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             // NULLIF(tp, 0) AS cum_tpr_permille,
-           (1000 * SUM(n_docs - n_pos) OVER (ORDER BY decile DESC
+             // NULLIF(tp, 0) AS BIGINT) AS cum_tpr_permille,
+           CAST((1000 * SUM(n_docs - n_pos) OVER (ORDER BY decile DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             // NULLIF(tn, 0) AS cum_fpr_permille
+             // NULLIF(tn, 0) AS BIGINT) AS cum_fpr_permille
     FROM dec, tot
     """,
 )
@@ -2276,8 +2276,10 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           (1000 * SUM(n_sub)) // COUNT(*) AS fertility_permille,
-           (1000 * SUM(n_chars)) // SUM(n_sub) AS chars_per_sub_permille
+           CAST((1000 * SUM(n_sub)) // COUNT(*) AS BIGINT)
+             AS fertility_permille,
+           CAST((1000 * SUM(n_chars)) // SUM(n_sub) AS BIGINT)
+             AS chars_per_sub_permille
     FROM words JOIN vn USING (w)
     GROUP BY lang
     """,
