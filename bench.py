@@ -947,9 +947,19 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
     Knobs: BENCH_AB=0 disables; BENCH_AB_REF overrides the prior-round
     ref (default: the commit that last touched the newest driver
     BENCH_r*.json — the round-final tree); BENCH_AB_PASSES (4),
-    BENCH_AB_ITERS (1), BENCH_AB_ORDER (abba|abab),
+    BENCH_AB_ITERS (5 — min-of-1 is COMPILE-dominated and swings
+    ±20% per pair in either direction, min-of-3 still read ±25% pair
+    deltas on a wobbling box, min-of-5 is the r12-proven bisect
+    setting), BENCH_AB_ORDER (abba|abab),
     BENCH_AB_BUDGET_S (2700) — after the first run, remaining passes
-    are dropped in pairs if the projection exceeds the budget."""
+    are dropped in pairs if the projection exceeds the budget;
+    BENCH_AB_MAX_QUERIES (120) — above this, the shared registry is
+    stride-subsampled in registry order (families interleave, so the
+    stride is stratified across them). Measured r13: a full-registry
+    side costs ~700 s, so 2700 s buys ONE pair (spread unmeasurable);
+    a 40-query subset at min-of-5 fits 4 counterbalanced pairs, and a 4-pair
+    spread is exactly what makes the headline attributable — more
+    pairs over fewer queries beats one pair over all of them."""
     import subprocess
     import tempfile
 
@@ -975,14 +985,20 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
         detail["ab_error"] = f"no commit found for BENCH_r{prev_n:02d}.json"
         return
 
-    passes = max(2, int(os.environ.get("BENCH_AB_PASSES", "4")))
-    iters = max(1, int(os.environ.get("BENCH_AB_ITERS", "1")))
+    passes = max(2, int(os.environ.get("BENCH_AB_PASSES", "8")))
+    iters = max(1, int(os.environ.get("BENCH_AB_ITERS", "5")))
     order_kind = os.environ.get("BENCH_AB_ORDER", "abba")
     budget = float(os.environ.get("BENCH_AB_BUDGET_S", "2700"))
     if order_kind == "abab":
         order = ["A" if i % 2 == 0 else "B" for i in range(passes)]
     else:  # abba blocks: A B B A | A B B A ...
         order = [("A", "B", "B", "A")[i % 4] for i in range(passes)]
+
+    max_q = max(10, int(os.environ.get("BENCH_AB_MAX_QUERIES", "40")))
+    ab_names = names
+    if len(ab_names) > max_q:
+        stride = -(-len(ab_names) // max_q)  # ceil div
+        ab_names = ab_names[::stride]
 
     wt = tempfile.mkdtemp(prefix="ab_prev_")
     names_file = os.path.join(wt, "_ab_names.txt")
@@ -992,7 +1008,7 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
             cwd=here, check=True, capture_output=True, timeout=120,
         )
         with open(names_file, "w") as fh:
-            fh.write("\n".join(names))
+            fh.write("\n".join(ab_names))
         runner = os.path.join(here, "tools", "ab_bench.py")
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         runs: dict[str, list[dict]] = {"A": [], "B": []}
@@ -1010,12 +1026,26 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
                     stdout=logfh, stderr=logfh,
                 )
             with open(out_path) as fh:
-                runs[side].append(json.load(fh))
-        stats = _ab_stats(runs, names)
+                run = json.load(fh)
+            runs[side].append(run)
+            if i == 0 and run.get("missing"):
+                # prune to the two-tree intersection NOW: names only one
+                # tree can run would otherwise execute interleaved on the
+                # other side, and those extra (often heavy, persist()ing)
+                # queries systematically pollute that side's shared-query
+                # samples — measured as a one-sided +54% pair delta that
+                # vanished when the same shared queries ran alone
+                missing = set(run["missing"])
+                ab_names = [n for n in ab_names if n not in missing]
+                with open(names_file, "w") as fh:
+                    fh.write("\n".join(ab_names))
+        stats = _ab_stats(runs, ab_names)
         if "ab_error" in stats:
             detail.update(stats)
             return
         detail.update(stats)
+        detail["ab_subset_n"] = len(ab_names)
+        detail["ab_registry_n"] = len(names)
         detail["ab_ref"] = ref[:12]
         detail["ab_prev_round"] = f"r{prev_n:02d}"
         detail["ab_order"] = "".join(order[: stats["ab_pairs"] * 2])
