@@ -59,11 +59,46 @@ from ..functions import exprs as EX
 from ..functions import text as TX
 
 __all__ = [
+    "default_quality_label",
     "quality_features",
     "quality_train_model",
+    "quality_train_unpersist",
     "quality_scored",
     "quality_train",
 ]
+
+# Cache-lifetime registry (ADVICE r13): each trainer invocation lazily
+# persist()s h plus one 1-row model frame per gradient step; with no
+# owner those blocks outlive the query and accumulate over a session
+# (bench runs many invocations). Each new training run evicts the
+# previous run's frames — a stale returned model that is re-collected
+# afterwards stays CORRECT (persist is only a cache hint; the lineage
+# recomputes), it just pays the re-derivation again — and
+# quality_train_unpersist() frees the latest run explicitly.
+_LIVE_TRAINER_CACHES: list[DataFrame] = []
+
+
+def quality_train_unpersist() -> int:
+    """Unpersist every cached frame of the most recent
+    quality_train_model invocation; returns how many were freed."""
+    n = len(_LIVE_TRAINER_CACHES)
+    for df in _LIVE_TRAINER_CACHES:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _LIVE_TRAINER_CACHES.clear()
+    return n
+
+
+def default_quality_label() -> Column:
+    """The bootstrap training label shared by the batch trainer queries
+    (queries/text.py) and the streaming twin (streaming/incremental.py):
+    English ∩ the Gopher word-count gate (50..100k empty-filtered
+    whitespace tokens). Factored here so the twin's
+    row-identical-to-batch contract cannot drift (ADVICE r13)."""
+    t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
+    return (F.col("lang") == "en") & F.size(t).between(50, 100000)
 
 
 def quality_features(
@@ -132,9 +167,11 @@ def quality_train_model(
     fc = occ.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    quality_train_unpersist()  # evict the previous run's cached frames
     h = fc.groupBy("b").agg(
         F.sum(F.col("c") * F.col("c")).alias("h")
     ).persist()
+    _LIVE_TRAINER_CACHES.append(h)
 
     model = spark.range(1).select(
         F.expr(f"array_repeat(CAST(0 AS BIGINT), {buckets + 1})").alias(
@@ -179,6 +216,7 @@ def quality_train_model(
                 ),
             ).alias("warr")
         ).persist()
+        _LIVE_TRAINER_CACHES.append(model)
     return model
 
 

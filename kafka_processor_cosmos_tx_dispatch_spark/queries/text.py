@@ -1718,10 +1718,10 @@ _QT_LABEL_SQL = "lang = 'en' AND len(t) BETWEEN 50 AND 100000"
 
 
 def _qt_label_col():
-    from ..functions import text as TX
+    # the ONE definition, shared with the streaming twin (ADVICE r13)
+    from ..operators.quality import default_quality_label
 
-    t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
-    return (F.col("lang") == "en") & F.size(t).between(50, 100000)
+    return default_quality_label()
 
 
 def _quality_train_ctes(
@@ -2168,18 +2168,28 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def dup5_cov(g5c: F.Column) -> F.Column:
             s = F.array_sort(g5c)
-            dups = F.array_distinct(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(s) - 1),
-                        lambda i: F.when(
-                            F.element_at(s, i) == F.element_at(s, i + 1),
-                            F.element_at(s, i),
+            # CASE guard (same footgun as _core._bigram_lm): a doc with
+            # exactly 5 tokens has ONE 5-gram, which passes the outer
+            # size(g5) > 0 gate but makes sequence(1, 0) — the
+            # DESCENDING [1, 0] — so element_at(s, 0) dies under ANSI.
+            # The oracle's generate_series(1, 0) is simply empty; a
+            # single 5-gram can never be duplicated, so dups = [].
+            dups = F.when(
+                F.size(s) >= 2,
+                F.array_distinct(
+                    F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(s) - 1),
+                            lambda i: F.when(
+                                F.element_at(s, i)
+                                == F.element_at(s, i + 1),
+                                F.element_at(s, i),
+                            ),
                         ),
-                    ),
-                    lambda x: x.isNotNull(),
-                )
-            )
+                        lambda x: x.isNotNull(),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
 
             def with_flags(dp: F.Column) -> F.Column:
                 flags = F.transform(

@@ -2073,24 +2073,15 @@ def make_quality_archive_batch(work_dir: str, buckets: int, label=None):
     simplest exactly-once shape in the module: no carried fold at all;
     contrast make_dsir_batch, whose count table needs the batch-id
     ledger."""
-    from pyspark.sql import functions as F
-
-    from ..operators.quality import quality_features
+    from ..operators.quality import default_quality_label, quality_features
 
     feats_root = os.path.join(work_dir, "feats")
 
     def archive_batch(bdf: DataFrame, bid: int) -> None:
-        lab = (
-            label
-            if label is not None
-            else (F.col("lang") == "en")
-            & F.size(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                    lambda w: w != "",
-                )
-            ).between(50, 100000)
-        )
+        # the default bootstrap label is the SHARED helper (ADVICE r13:
+        # an inline re-spelling here could silently drift from the batch
+        # trainer's _qt_label_col and break the row-identical contract)
+        lab = label if label is not None else default_quality_label()
         quality_features(bdf, lab, buckets=buckets).write.mode(
             "overwrite"
         ).parquet(os.path.join(feats_root, f"b{bid}"))

@@ -20,6 +20,10 @@ DOCS = [
     (2, "v w x y z v w x y z m n"),  # dup 5-gram covers positions 1-10
     (3, "x y x y z w z w"),  # top2 tie: "x y"=2, "z w"=2 → min wins
     (4, "q"),  # 1 token: every gram list empty, all rules pass
+    # exactly 5 tokens: ONE 5-gram — passes the size(g5)>0 gate with a
+    # size-1 sorted gram list, the sequence(1, 0) ANSI crash of
+    # ADVICE r13 (a single 5-gram can never be duplicated → dup5 = 0)
+    (5, "p q r s t"),
 ]
 
 
@@ -62,6 +66,13 @@ def test_hand_values(spark, hand_dir):
         "rules_mask": 15,
         "rep_pass": True,
     }
+    # doc 5 (ADVICE r13): one 5-gram — must not crash, and dup5 is 0
+    # (a single 5-gram has no duplicate). Modal grams: every n-gram
+    # occurs once over 5 single-char tokens → n*1000//5.
+    assert r[5]["dup5_fp"] == 0
+    assert r[5]["top2_fp"] == 400
+    assert r[5]["top3_fp"] == 600
+    assert r[5]["top4_fp"] == 800
 
 
 def test_hand_oracle_parity(spark, hand_dir):
