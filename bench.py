@@ -618,6 +618,7 @@ def streaming_decode_throughput(
 
 
 def main() -> None:
+    t_main = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -731,21 +732,48 @@ def main() -> None:
         **streaming_decode_throughput(spark),
     }
     _add_prev_round_deltas(detail, timings, stats)
-    _write_detail(detail, sf_num)  # hedge: record classic deltas first
+    detail_path = _write_detail(detail, sf_num)  # hedge: classic deltas
+
+    # HEDGE PRINT (r13 verdict #1): the driver's run is wall-clock
+    # bounded and the AB phase below can be long — if it times out, the
+    # stdout tail must still carry a parseable headline. Print the
+    # classic-basis compact line NOW, exactly as the detail file is
+    # hedged; on success the final (possibly ab-promoted) line printed
+    # after the AB phase supersedes it as the last JSON line.
+    print(_compact_line(detail, len(timings), detail_path))
+
     ab_flag = os.environ.get("BENCH_AB", "1")
     if ab_flag == "force" or (ab_flag != "0" and sf_num == 0.1):
-        spark.stop()  # free the JVM/cores for the alternated processes
-        _ab_alternated(names, sf_dir, detail)
+        # size the AB phase to the time LEFT in the driver window
+        # (r13: sweep + an unbounded AB overran the driver's timeout —
+        # rc=124, no parsed headline)
+        total_budget = float(
+            os.environ.get("BENCH_TOTAL_BUDGET_S", "3300")
+        )
+        remaining = total_budget - (time.time() - t_main)
+        if ab_flag != "force" and remaining < 600.0:
+            detail["ab_error"] = (
+                f"skipped: {remaining:.0f}s left of the "
+                f"{total_budget:.0f}s total budget after the sweep — "
+                "too little for a gate-passing pair"
+            )
+        else:
+            spark.stop()  # free the JVM/cores for alternated processes
+            _ab_alternated(names, sf_dir, detail, remaining)
     detail_path = _write_detail(detail, sf_num)
+    print(_compact_line(detail, len(timings), detail_path))
+    spark.stop()
 
-    # The driver captures only a ~2000-char stdout TAIL: r6's enriched
-    # one-line JSON overflowed it and the round's bench went unparsed
-    # (r6 verdict #2). The final stdout line is therefore a COMPACT
-    # summary — per-query detail lives in the detail file above.
+
+def _compact_line(detail: dict, n_queries: int, detail_path: str) -> str:
+    """The driver captures only a ~2000-char stdout TAIL: r6's enriched
+    one-line JSON overflowed it and the round's bench went unparsed
+    (r6 verdict #2). The stdout summary is therefore COMPACT — per-query
+    detail lives in the detail file."""
     compact_keys = (
         "metric value unit sf n_queries delta_basis delta_vs_prev_pct "
         "ab_delta_vs_prev_pct ab_spread_pct ab_pair_deltas_pct ab_pairs "
-        "ab_order ab_shared_queries ab_ref ab_time_s ab_error "
+        "ab_order ab_iters ab_shared_queries ab_ref ab_time_s ab_error "
         "delta_vs_prev_pct_normalized delta_vs_prev_pct_min "
         "delta_vs_prev_pct_median delta_vs_prev_pct_min_normalized "
         "delta_vs_prev_pct_median_normalized noise_queries "
@@ -757,12 +785,11 @@ def main() -> None:
         "streaming_decode_steady_rows"
     ).split()
     compact = {k: detail[k] for k in compact_keys if k in detail}
-    compact["n_queries"] = len(timings)
+    compact["n_queries"] = n_queries
     compact["detail_file"] = os.path.basename(detail_path)
     line = json.dumps(compact)
-    assert len(line) < 1500, f"compact bench line {len(line)} chars"
-    print(line)
-    spark.stop()
+    assert len(line) < 1800, f"compact bench line {len(line)} chars"
+    return line
 
 
 def _add_prev_round_deltas(
@@ -924,7 +951,9 @@ def _add_prev_round_deltas(
         detail["noise_queries"] = len(noise)
 
 
-def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
+def _ab_alternated(
+    names: list[str], sf_dir: str, detail: dict, remaining_s: float = 2700.0
+) -> None:
     """The HEADLINE cross-round delta, measured by counterbalanced
     A/B alternation (r12 verdict #1 — productizing the proven
     tools/ab_bench.py protocol): check out the prior round's tree in a
@@ -938,28 +967,33 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
     trees minutes apart read ±12% per query; the r12 record's trimmed
     cal spread was 64%; alternated same-code bisects read <5%).
 
-    Sets detail["ab_*"] and, on success, promotes the alternated
-    shared-set delta to the headline delta_vs_prev_pct
+    Sets detail["ab_*"] and, ONLY when the run passes the quality gate
+    (_ab_quality_gate — r13 verdict #2: a degraded iters=1 / 1-pair /
+    probe-doubling run shipped a false +54.5% headline), promotes the
+    alternated shared-set delta to the headline delta_vs_prev_pct
     (delta_basis = "ab_alternated"); the classic min/median/normalized
-    deltas stay recorded under their existing keys. Any failure is
-    recorded as ab_error and the classic headline stands.
+    deltas stay recorded under their existing keys. A gate failure or
+    any error is recorded as ab_error (the ab_* numbers stay recorded
+    as ADVISORY) and the classic headline stands.
 
     Knobs: BENCH_AB=0 disables; BENCH_AB_REF overrides the prior-round
     ref (default: the commit that last touched the newest driver
     BENCH_r*.json — the round-final tree); BENCH_AB_PASSES (4),
-    BENCH_AB_ITERS (5 — min-of-1 is COMPILE-dominated and swings
-    ±20% per pair in either direction, min-of-3 still read ±25% pair
-    deltas on a wobbling box, min-of-5 is the r12-proven bisect
-    setting), BENCH_AB_ORDER (abba|abab),
-    BENCH_AB_BUDGET_S (2700) — after the first run, remaining passes
-    are dropped in pairs if the projection exceeds the budget;
-    BENCH_AB_MAX_QUERIES (120) — above this, the shared registry is
-    stride-subsampled in registry order (families interleave, so the
-    stride is stratified across them). Measured r13: a full-registry
-    side costs ~700 s, so 2700 s buys ONE pair (spread unmeasurable);
-    a 40-query subset at min-of-5 fits 4 counterbalanced pairs, and a 4-pair
-    spread is exactly what makes the headline attributable — more
-    pairs over fewer queries beats one pair over all of them."""
+    BENCH_AB_ITERS (3 — min-of-1 is COMPILE-dominated and swings
+    ±20% per pair in either direction and is gate-DISQUALIFIED;
+    min-of-5 is the r12-proven bisect setting for ad-hoc runs, but at
+    the driver's window min-of-3 × more pairs beats min-of-5 × one),
+    BENCH_AB_ORDER (abba|abab), BENCH_AB_BUDGET_S (2700) — capped by
+    the remaining_s the caller computed from BENCH_TOTAL_BUDGET_S;
+    after the first run, remaining passes are dropped in pairs if the
+    projection exceeds the budget; BENCH_AB_MAX_QUERIES (120) — above
+    this, the shared registry is stride-subsampled in registry order
+    (families interleave, so the stride is stratified across them).
+    Measured r13: a full-registry side costs ~700 s, so 2700 s buys
+    ONE pair (spread unmeasurable); a 40-query subset at min-of-3
+    fits 4 counterbalanced pairs, and a multi-pair spread is exactly
+    what makes the headline attributable — more pairs over fewer
+    queries beats one pair over all of them."""
     import subprocess
     import tempfile
 
@@ -985,10 +1019,12 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
         detail["ab_error"] = f"no commit found for BENCH_r{prev_n:02d}.json"
         return
 
-    passes = max(2, int(os.environ.get("BENCH_AB_PASSES", "8")))
-    iters = max(1, int(os.environ.get("BENCH_AB_ITERS", "5")))
+    passes = max(2, int(os.environ.get("BENCH_AB_PASSES", "4")))
+    iters = max(1, int(os.environ.get("BENCH_AB_ITERS", "3")))
     order_kind = os.environ.get("BENCH_AB_ORDER", "abba")
-    budget = float(os.environ.get("BENCH_AB_BUDGET_S", "2700"))
+    budget = min(
+        float(os.environ.get("BENCH_AB_BUDGET_S", "2700")), remaining_s
+    )
     if order_kind == "abab":
         order = ["A" if i % 2 == 0 else "B" for i in range(passes)]
     else:  # abba blocks: A B B A | A B B A ...
@@ -1022,7 +1058,12 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
                 subprocess.run(
                     [sys.executable, runner, root, "@" + names_file,
                      str(iters), out_path],
-                    cwd=root, env=env, check=True, timeout=budget,
+                    cwd=root, env=env, check=True,
+                    # a run may not outlive the phase deadline — an
+                    # overlong side dies here, the except records
+                    # ab_error, and the final headline print still
+                    # happens inside the driver window (r13 verdict #1)
+                    timeout=max(60.0, budget - (time.time() - t_start)),
                     stdout=logfh, stderr=logfh,
                 )
             with open(out_path) as fh:
@@ -1051,9 +1092,17 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
         detail["ab_order"] = "".join(order[: stats["ab_pairs"] * 2])
         detail["ab_iters"] = iters
         detail["ab_time_s"] = round(time.time() - t_start, 1)
-        # promote: the alternated shared-set delta IS the headline
-        detail["delta_basis"] = "ab_alternated"
-        detail["delta_vs_prev_pct"] = stats["ab_delta_vs_prev_pct"]
+        # promote ONLY a quality-passing run: the alternated shared-set
+        # delta becomes the headline. A degraded run keeps its ab_*
+        # numbers as advisory and the classic basis stands (r13
+        # verdict #2: the +54.5% false headline came from iters=1,
+        # 1 effective pair, cpu_big probe doubling mid-run).
+        gate = _ab_quality_gate(stats, iters)
+        if gate is None:
+            detail["delta_basis"] = "ab_alternated"
+            detail["delta_vs_prev_pct"] = stats["ab_delta_vs_prev_pct"]
+        else:
+            detail["ab_error"] = f"quality gate: {gate} — ab_* advisory"
     except Exception as exc:  # noqa: BLE001 — AB must never sink the bench
         detail["ab_error"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
@@ -1061,6 +1110,44 @@ def _ab_alternated(names: list[str], sf_dir: str, detail: dict) -> None:
             ["git", "worktree", "remove", "--force", wt],
             cwd=here, capture_output=True, timeout=60,
         )
+
+
+AB_GATE_MIN_ITERS = 3
+AB_GATE_MIN_PAIRS = 2
+AB_GATE_MAX_PROBE_DRIFT = 1.25  # max/min of the cpu_big probes
+
+
+def _ab_quality_gate(stats: dict, iters: int) -> str | None:
+    """Headline-promotion gate for the alternated delta (pure, unit
+    tested). Returns None when the run qualifies, else the reason it
+    is advisory-only. Disqualifiers (each one produced or enabled the
+    false r13 +54.5% headline):
+
+    - iters < 3: min-of-1/2 is COMPILE-dominated (±20% per pair);
+    - pairs < 2: a single pair has no spread — the number cannot be
+      read against an attributability floor;
+    - cpu_big probe drift > 25% across the runs: the box's compute
+      rate changed mid-phase (r13: 0.43 → 0.99 s), so pair deltas
+      measure weather, not code.
+    """
+    if iters < AB_GATE_MIN_ITERS:
+        return f"iters={iters} < {AB_GATE_MIN_ITERS}"
+    pairs = stats.get("ab_pairs", 0)
+    if pairs < AB_GATE_MIN_PAIRS:
+        return f"pairs={pairs} < {AB_GATE_MIN_PAIRS}"
+    probes: list[float] = []
+    for p in stats.get("ab_cal_cpu_big") or []:
+        # each run reports [before, after] (tools/ab_bench.py); accept
+        # scalars too so the gate stays robust to older run records
+        probes.extend(q for q in (p if isinstance(p, list) else [p]) if q)
+    if len(probes) >= 2:
+        drift = max(probes) / min(probes)
+        if drift > AB_GATE_MAX_PROBE_DRIFT:
+            return (
+                f"cpu_big probe drift {drift:.2f}x > "
+                f"{AB_GATE_MAX_PROBE_DRIFT}x across runs"
+            )
+    return None
 
 
 def _ab_stats(runs: dict, names: list[str]) -> dict:

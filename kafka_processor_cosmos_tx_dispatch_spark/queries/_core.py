@@ -919,29 +919,33 @@ def _interleaved() -> list[str]:
     return ordered
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
+def _driver_history() -> tuple[dict[str, int], set[str]]:
     """Scan the repo-root ``CORRECTNESS_r*.json`` driver reports.
 
-    Returns ``(proved, errored)``: names that have at least one FULLY
-    green driver result (rows matched, value hash matched when the
-    driver recorded one, no error), and names whose only driver
-    appearances were errors/mismatches (highest re-proof priority).
-    A rows-match-but-hash-fail row is NOT proof — r6's two oracle-typing
-    reds would otherwise sink into the proved bucket and never be
-    re-sampled after the oracle fix (r6 verdict #2).
-    Missing/unreadable reports are ignored — fresh checkouts fall back to
-    the plain family interleave.
+    Returns ``(proved, errored)``: proved maps each name with at least
+    one FULLY green driver result (rows matched, value hash matched
+    when the driver recorded one, no error) to the LATEST round number
+    it was green in — the staleness key the rotation sorts on; errored
+    is names whose only driver appearances were errors/mismatches
+    (highest re-proof priority). A rows-match-but-hash-fail row is NOT
+    proof — r6's two oracle-typing reds would otherwise sink into the
+    proved bucket and never be re-sampled after the oracle fix
+    (r6 verdict #2). Missing/unreadable reports are ignored — fresh
+    checkouts fall back to the plain family interleave.
     """
     import glob as _glob
     import json as _json
     import os
+    import re as _re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    proved: set[str] = set()
+    proved: dict[str, int] = {}
     seen_bad: set[str] = set()
     for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 report = _json.load(fh)
@@ -954,10 +958,10 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 continue
             hash_ok = res.get("hash_match", res.get("rows_match"))
             if res.get("rows_match") and hash_ok and res.get("err") is None:
-                proved.add(name)
+                proved[name] = max(proved.get(name, 0), rnd)
             else:
                 seen_bad.add(name)
-    return proved, seen_bad - proved
+    return proved, seen_bad - set(proved)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -972,10 +976,16 @@ def queries() -> dict[str, QueryFn]:
     1. ``dispatch_route`` — the flagship, always slot 1;
     2. names whose only driver appearances were errors (re-proof first);
     3. names never driver-checked green, family-interleaved;
-    4. already-proved names, family-interleaved (regression backstop).
+    4. already-proved names, STALEST FIRST — ordered by the round of
+       their latest green (ascending), family-interleave as tiebreak.
 
     Each round the newly-proved prefix migrates into bucket 4, rotating
     fresh entries into the driver's budget with no manual bookkeeping.
+    Bucket 4's staleness sort matters once the registry is fully proven
+    (r13: 296/296): without it the driver's fixed sample budget would
+    re-check the same static prefix forever and the early-round tail
+    would never re-prove; with it every name re-proves within
+    ~registry/budget rounds (~6 at 296/50) (r13 verdict #5).
     """
     base = _interleaved()
     proved, errored = _driver_history()
@@ -1002,12 +1012,15 @@ def queries() -> dict[str, QueryFn]:
         for n in rest
         if n not in errored and n not in proved and n not in priority
     ]
+    proved_tail = [n for n in rest if n in proved and n not in priority]
+    # stable sort: equal-staleness names keep the family interleave
+    proved_tail.sort(key=lambda n: proved[n])
     ordered = (
         flagship
         + [n for n in rest if n in errored and n not in priority]
         + priority
         + never
-        + [n for n in rest if n in proved and n not in priority]
+        + proved_tail
     )
     return {n: _QUERIES[n] for n in ordered}
 

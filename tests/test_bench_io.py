@@ -111,3 +111,51 @@ def test_ab_alternated_records_error_without_prior_round(tmp_path, monkeypatch):
     bench._ab_alternated(["q1"], "/root/testdata/sf0.001", detail)
     assert detail["ab_error"] == "no prior round bench record"
     assert "delta_basis" not in detail
+
+
+def test_ab_quality_gate_passes_healthy_run():
+    stats = {"ab_pairs": 2, "ab_cal_cpu_big": [[0.40, 0.42], [0.43, 0.39]]}
+    assert bench._ab_quality_gate(stats, iters=3) is None
+
+
+def test_ab_quality_gate_rejects_the_r13_failure_modes():
+    # iters=1 — compile-dominated (the committed false +54.5% headline)
+    healthy = {"ab_pairs": 2, "ab_cal_cpu_big": [[0.4, 0.41]]}
+    assert "iters=1" in bench._ab_quality_gate(healthy, iters=1)
+    # a single pair has no spread to read the delta against
+    assert "pairs=1" in bench._ab_quality_gate(
+        {"ab_pairs": 1, "ab_cal_cpu_big": [[0.4]]}, iters=5
+    )
+    # cpu_big probe doubled mid-phase (r13: 0.43 -> 0.99)
+    gate = bench._ab_quality_gate(
+        {"ab_pairs": 2, "ab_cal_cpu_big": [[0.43, 0.45], [0.99, 0.97]]},
+        iters=5,
+    )
+    assert gate is not None and "drift" in gate
+    # null probes (older run records) are tolerated, not a crash
+    assert (
+        bench._ab_quality_gate(
+            {"ab_pairs": 2, "ab_cal_cpu_big": [None, [None]]}, iters=3
+        )
+        is None
+    )
+
+
+def test_compact_line_parses_and_fits_tail():
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.4,
+        "unit": "sec",
+        "sf": 0.1,
+        "delta_basis": "median",
+        "delta_vs_prev_pct": 2.5,
+        "ab_error": "quality gate: pairs=1 < 2 — ab_* advisory",
+        "ab_pair_deltas_pct": [1.2],
+        "not_compact_key": "x" * 5000,  # must NOT leak into the line
+    }
+    line = bench._compact_line(detail, 296, "/tmp/BENCH_DETAIL_r14.json")
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 296
+    assert parsed["detail_file"] == "BENCH_DETAIL_r14.json"
+    assert "not_compact_key" not in parsed
+    assert len(line) < 1800
