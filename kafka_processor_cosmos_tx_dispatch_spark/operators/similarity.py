@@ -602,6 +602,50 @@ def kmeans_assign(
     return src.select(*cols)
 
 
+def kmeans_assign_cells(
+    df: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid of an ALREADY-TRAINED
+    codebook given as a cells relation (cluster, d, cval) — the APPLY
+    half of train-on-sample workflows (FAISS trains the quantizer on a
+    bounded sample, then add() assigns the full corpus; this is add()).
+    Same integer semantics and lowest-cluster tie-break as
+    kmeans_assign; clusters absent from the cells relation (emptied
+    during training) simply never win the argmin.
+
+    Scale: the cells relation is model state (≤ k×dims rows) — it
+    collapses to a 1-row bank via two tiny aggs and ships to executors
+    as a broadcast crossJoin; the corpus pass is one narrow in-row
+    argmin, no row-multiplying join, exactly one scan."""
+    zero = F.lit(0).cast("long")
+    q = df.select(
+        F.col(id_col).alias("vec_id"), V.quantized(F.col(vec_col)).alias("qv")
+    )
+    cv = cells.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "cval"))),
+            lambda e: e["cval"].cast("long"),
+        ).alias("cv")
+    )
+    bank_df = cv.select(
+        F.struct(
+            F.col("cluster").cast("int").alias("c"),
+            F.col("cv").alias("cv"),
+            F.aggregate("cv", zero, lambda a, x: a + x * x).alias("csq"),
+        ).alias("e")
+    ).agg(F.array_sort(F.collect_list("e")).alias("bank"))
+    src = q.crossJoin(F.broadcast(bank_df))
+    best = _kmeans_best_bank(F.col("qv"), F.col("bank"))
+    return src.select(
+        F.col("vec_id"),
+        best["c"].alias("cluster"),
+        best["dist_sq"].alias("dist_sq"),
+    )
+
+
 PQ_M, PQ_K = 4, 16  # subspaces × codes: 64-dim vector → 4 bytes of code
 
 

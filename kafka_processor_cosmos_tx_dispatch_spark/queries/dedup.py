@@ -1427,10 +1427,12 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_winnowing_pairs",
-    f"""
-    WITH toks AS (
+# Winnowing CTE chain (shared by dedup_winnowing_pairs and
+# dedup_drop_winnow): hash every 4-gram, select each w=4 window's
+# minimum, df-cap each fingerprint to 2..64 docs, count shared
+# fingerprints per pair. Ends with wpairs(doc_a, doc_b, n_shared).
+_WINNOW_CTES = f"""
+    toks AS (
       SELECT doc_id, list_filter({_D_TOKS}, w -> w <> '') AS t
       FROM documents),
     grams AS (
@@ -1451,13 +1453,19 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams),
     keep AS (SELECT fp FROM fps GROUP BY fp
              HAVING COUNT(*) BETWEEN 2 AND 64),
-    pairs AS (
+    wpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
       WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_a, doc_b, n_shared FROM wpairs WHERE n_shared >= 2
     """,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,10 +1487,16 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode until the fingerprint rows); the index explode emits ~2/5
     of the gram count; the pair join is a fingerprint equi-join with
     the df cap — bucketed, never all-pairs; one (doc_a, doc_b) agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _winnow_pairs(docs)
+
+
+def _winnow_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared) winnowing candidates — the Spark body
+    shared by dedup_winnowing_pairs and dedup_drop_winnow."""
     from ..functions import exprs as EX
     from ..functions import text as TX
 
-    docs = load_table(spark, sf_dir, "documents")
     t = F.filter(TX.tokens(F.col("text")), lambda w: w != "")
 
     def gram_hashes(tc: F.Column) -> F.Column:
@@ -1537,3 +1551,67 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     return pairs
+
+
+@register(
+    "dedup_drop_winnow",
+    f"""
+    WITH RECURSIVE {_WINNOW_CTES},
+    cand AS (SELECT doc_a, doc_b FROM wpairs WHERE n_shared >= 2),
+    nt AS (SELECT doc_id, {_D_NORM} AS t FROM documents),
+    ver AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN nt ta ON ta.doc_id = doc_a
+      JOIN nt tb ON tb.doc_id = doc_b
+      WHERE CASE WHEN greatest(length(ta.t), length(tb.t)) = 0 THEN 1.0
+            ELSE 1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+                 / CAST(greatest(length(ta.t), length(tb.t)) AS DOUBLE)
+            END >= 0.8),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_drop_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY/VERIFY ending for the winnowing generator (r13 verdict
+    #3 — the other three candidate generators already have one:
+    dedup_drop_near for MinHash-LSH, dedup_drop_substring for the
+    anchor index, containment for CDC chunks): winnowed candidate
+    pairs -> exact levenshtein verify (sim >= 0.8, the same
+    verify_pairs_editdist contract dedup_verify_editdist pins) ->
+    connected components -> keep one canonical survivor (min doc_id)
+    per verified-duplicate cluster plus every untouched document.
+    Winnowing's guarantee bounds what the verify pays: candidates
+    share a >= w+k-1-token verbatim run, so the quadratic edit
+    distance runs on O(candidates), never O(n^2).
+
+    Scale: the candidate join is the df-capped fingerprint equi-join
+    (bucketed, never all-pairs); the verify attaches texts with two
+    doc-id equi-joins and compares row-locally; components run
+    two-level union-find on the verified-edge graph (O(duplicates));
+    the final pass is one narrow anti-join against the corpus."""
+    from ..operators.dedup import (
+        connected_components_twolevel,
+        verify_pairs_editdist,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _winnow_pairs(docs).select("doc_a", "doc_b")
+    ver = (
+        verify_pairs_editdist(cand, docs)
+        .filter(F.col("sim") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components_twolevel(ver)
+    losers = comp.filter(
+        F.col("component") != F.col("doc_id")
+    ).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")

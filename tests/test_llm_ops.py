@@ -1984,3 +1984,80 @@ def test_dsir_weights_target_ordering(spark):
     # (b): no per-doc score exceeds n_feats * scale
     for r in got.values():
         assert r["dsir_fp"] <= r["n_feats"] * s
+
+
+class TestKmeansAssignCells:
+    """kmeans_assign_cells — the APPLY half of train-on-sample (r14):
+    assignment against an externally-supplied trained codebook."""
+
+    def test_hand_codebook_exact_assignment(self, spark):
+        # two 2-dim centroids; quantization is floor(x*1024)
+        vecs = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.4, 0.6])],
+            "vec_id long, embedding array<double>",
+        )
+        cells = spark.createDataFrame(
+            [(0, 0, 0), (0, 1, 0), (7, 0, 1024), (7, 1, 1024)],
+            "cluster int, d int, cval long",
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in similarity.kmeans_assign_cells(vecs, cells).collect()
+        }
+        assert rows[1]["cluster"] == 0 and rows[1]["dist_sq"] == 0
+        assert rows[2]["cluster"] == 7 and rows[2]["dist_sq"] == 0
+        # (409, 614): d(c0)² = 409² + 614² = 544277;
+        # d(c7)² = 615² + 410² = 546325 → cluster 0 wins
+        assert rows[3]["cluster"] == 0
+        assert rows[3]["dist_sq"] == 409**2 + 614**2
+
+    def test_tiebreak_lowest_cluster(self, spark):
+        vecs = spark.createDataFrame(
+            [(1, [0.5])], "vec_id long, embedding array<double>"
+        )
+        cells = spark.createDataFrame(
+            [(3, 0, 0), (5, 0, 1024)],
+            "cluster int, d int, cval long",
+        )
+        # 512 is equidistant (512² both) → lowest cluster id wins
+        r = similarity.kmeans_assign_cells(vecs, cells).collect()[0]
+        assert r["cluster"] == 3
+        assert r["dist_sq"] == 512**2
+
+    def test_missing_clusters_never_win(self, spark):
+        vecs = spark.createDataFrame(
+            [(1, [10.0])], "vec_id long, embedding array<double>"
+        )
+        cells = spark.createDataFrame(
+            [(2, 0, 0)], "cluster int, d int, cval long"
+        )
+        r = similarity.kmeans_assign_cells(vecs, cells).collect()[0]
+        assert r["cluster"] == 2  # the only trained cluster
+
+
+def test_pq_train_sampled_training_is_sample_bound(spark, sf_dir):
+    """The scale claim of sim_pq_train_sampled (r13 verdict #4): Lloyd
+    rounds run over the PERSISTED fixed-size sample (InMemoryTableScan
+    in the plan), and the corpus is touched by a BOUNDED number of
+    scans — the 4 per-subspace apply passes plus the one sample
+    extraction — independent of training rounds. sim_pq_train by
+    contrast scans the corpus rounds×subspaces+ times."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
+
+    df = Q.queries()["sim_pq_train_sampled"](spark, sf_dir)
+    # collectLeaves() of the MAIN plan treats every cached relation as
+    # a leaf (InMemoryTableScan) and does not descend into it, so the
+    # FileSourceScan leaves are exactly the corpus scans the main plan
+    # pays — immune to the plan-TEXT duplication of cached children
+    p = df._jdf.queryExecution().executedPlan()
+    if p.nodeName() == "AdaptiveSparkPlan":
+        p = p.initialPlan()  # AQE wraps the whole tree in one node
+    leaves = p.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    n_cache = sum(1 for n in names if "InMemoryTableScan" in n)
+    n_file = sum(1 for n in names if "Scan parquet" in n)
+    assert n_cache > 0, f"no cache reads in {names}"  # trained state cached
+    assert n_file == 4, (
+        f"{n_file} corpus scans in the main plan ({names}) — expected "
+        "exactly the 4 per-subspace apply passes"
+    )

@@ -144,6 +144,10 @@ BNLJ_OK = {
     # r13: trained-IVF — the kmeans lazy-bank BNLJ plus the bounded
     # 10-query broadcast every IVF query whitelists
     "sim_topk_ivf_trained",
+    # r14: sample-trained PQ — the same kmeans lazy-bank BNLJ over the
+    # persisted 256-row sample, plus the apply pass's 1-row trained-bank
+    # broadcast (kmeans_assign_cells), ×4 subspaces
+    "sim_pq_train_sampled",
 }
 
 # The one deliberate cartesian: a bounded dim × bounded dim cross join.
