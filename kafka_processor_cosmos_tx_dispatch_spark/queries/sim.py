@@ -1783,12 +1783,15 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample-trained PQ (r14, VERDICT r13 #4) — the production training dial
 # --------------------------------------------------------------------------
 
+from ..operators.cache import PlanCache
+
 _PQ_SAMPLE_N = 256  # 16×k train points per FAISS's clustering heuristics
 
-# one-slot lazy-persist cache for the training sample (same ownership
-# pattern as operators/quality.py's trainer caches): each invocation
-# evicts the previous one's 256-row cache
-_PQ_SAMPLE_CACHE: list = []
+# plan-identity-aware ownership for the training sample + trained cells
+# (operators/cache.py, shared pattern with the quality trainer): a
+# re-invocation over the same corpus keeps the caches hot (persist()
+# dedupes), a different corpus evicts the previous run's blocks
+_PQ_SAMPLE_CACHE = PlanCache()
 
 
 def _pq_sample(emb: DataFrame) -> DataFrame:
@@ -1798,19 +1801,11 @@ def _pq_sample(emb: DataFrame) -> DataFrame:
     persist()ed: the 4 subspaces × 2 Lloyd rounds all re-enter the
     sample, and without the cache each re-entry would re-scan and
     re-top-K the corpus."""
-    for df in _PQ_SAMPLE_CACHE:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    _PQ_SAMPLE_CACHE.clear()
-    s = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_PQ_SAMPLE_N)
-        .persist()
+    s = emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        _PQ_SAMPLE_N
     )
-    _PQ_SAMPLE_CACHE.append(s)
-    return s
+    _PQ_SAMPLE_CACHE.begin(s, _PQ_SAMPLE_N)
+    return _PQ_SAMPLE_CACHE.register(s.persist())
 
 
 def _pq_sq_sql(s: int) -> str:
@@ -1945,7 +1940,7 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 4 bounded apply passes dominate.)
             .persist()
         )
-        _PQ_SAMPLE_CACHE.append(cells)
+        _PQ_SAMPLE_CACHE.register(cells)
         fa = kmeans_assign_cells(fsl, cells.select("cluster", "d", "cval"))
         fcnt = fa.groupBy("cluster").agg(
             F.count(F.lit(1)).cast("long").alias("n_full")
