@@ -1032,7 +1032,12 @@ def _ab_alternated(
     else:  # abba blocks: A B B A | A B B A ...
         order = [("A", "B", "B", "A")[i % 4] for i in range(passes)]
 
-    max_q = max(10, int(os.environ.get("BENCH_AB_MAX_QUERIES", "40")))
+    # r14 sizing datapoint: a 37-query side at min-of-3 cost ~430 s
+    # (ab_time_s 862 for one pair) against the ~1300 s left after a
+    # full-registry sweep — one pair, which the quality gate rightly
+    # refuses to promote. 24 queries × min-of-3 ≈ 280 s/side fits two
+    # counterbalanced pairs in the driver window.
+    max_q = max(10, int(os.environ.get("BENCH_AB_MAX_QUERIES", "24")))
     ab_names = names
     if len(ab_names) > max_q:
         stride = -(-len(ab_names) // max_q)  # ceil div
