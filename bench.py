@@ -1122,6 +1122,7 @@ def _ab_alternated(
 AB_GATE_MIN_ITERS = 3
 AB_GATE_MIN_PAIRS = 2
 AB_GATE_MAX_PROBE_DRIFT = 1.25  # max/min of the cpu_big probes
+AB_GATE_MAX_SPREAD_PTS = 15.0  # max-minus-min pair delta, in points
 
 
 def _ab_quality_gate(stats: dict, iters: int) -> str | None:
@@ -1133,6 +1134,9 @@ def _ab_quality_gate(stats: dict, iters: int) -> str | None:
     - iters < 3: min-of-1/2 is COMPILE-dominated (±20% per pair);
     - pairs < 2: a single pair has no spread — the number cannot be
       read against an attributability floor;
+    - pair spread > 15 points: the counterbalanced pairs disagree, so
+      the mean measures phase-local weather (r14 smoke: spread 26
+      around a +38% reading on a compile-dominated sf0.001 run);
     - cpu_big probe drift > 25% across the runs: the box's compute
       rate changed mid-phase (r13: 0.43 → 0.99 s), so pair deltas
       measure weather, not code.
@@ -1142,6 +1146,16 @@ def _ab_quality_gate(stats: dict, iters: int) -> str | None:
     pairs = stats.get("ab_pairs", 0)
     if pairs < AB_GATE_MIN_PAIRS:
         return f"pairs={pairs} < {AB_GATE_MIN_PAIRS}"
+    spread = stats.get("ab_spread_pct")
+    if spread is not None and spread > AB_GATE_MAX_SPREAD_PTS:
+        # counterbalanced pairs that DISAGREE by more than this are
+        # measuring phase-local weather, not code (alternated same-code
+        # bisects read <5 points; a 26-point spread promoted a +38%
+        # "delta" on a compile-dominated sf0.001 smoke — caught here)
+        return (
+            f"pair spread {spread} pts > {AB_GATE_MAX_SPREAD_PTS} — "
+            "pairs disagree"
+        )
     probes: list[float] = []
     for p in stats.get("ab_cal_cpu_big") or []:
         # each run reports [before, after] (tools/ab_bench.py); use the

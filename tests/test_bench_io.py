@@ -139,6 +139,17 @@ def test_ab_quality_gate_rejects_the_r13_failure_modes():
         )
         is None
     )
+    # pairs that disagree wildly (r14 sf0.001 smoke: 25.1 vs 51.1 →
+    # spread 26 promoted a +38% weather reading) are advisory-only
+    gate = bench._ab_quality_gate(
+        {
+            "ab_pairs": 2,
+            "ab_spread_pct": 26.0,
+            "ab_cal_cpu_big": [[0.4, 0.41], [0.42, 0.4]],
+        },
+        iters=3,
+    )
+    assert gate is not None and "spread" in gate
 
 
 def test_compact_line_parses_and_fits_tail():
