@@ -44,6 +44,9 @@ REPORT = [
     ("trained quality ROC (holdout)", "text_quality_train_holdout"),
     ("PQ codebook training gain", "sim_pq_train_gain"),
     ("dedup funnel yields", "dedup_funnel_report"),
+    # r14: winnowing reaches a drop decision; PQ trains on a sample
+    ("winnow-verified survivors", "dedup_drop_winnow"),
+    ("sample-trained PQ occupancy", "sim_pq_train_sampled"),
 ]
 
 
