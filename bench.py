@@ -1057,7 +1057,14 @@ def _ab_alternated(
         runs: dict[str, list[dict]] = {"A": [], "B": []}
         log_path = os.path.join(wt, "_ab_log.txt")
         for i, side in enumerate(order):
-            if i >= 2 and (time.time() - t_start) + _ab_proj(runs) > budget:
+            remaining = budget - (time.time() - t_start)
+            if remaining <= 0:
+                # budget gone — even runs 0-1 must not start (a clamped
+                # 60s floor here used to overrun the phase deadline by
+                # up to ~60s per remaining run, eating the caller's
+                # headroom). _ab_stats records pairs<2 → ab_error.
+                break
+            if i >= 2 and _ab_proj(runs) > remaining:
                 break  # keep whole pairs only; projection over budget
             root = wt if side == "A" else here
             out_path = os.path.join(wt, f"_ab_out_{i}.json")
@@ -1067,10 +1074,12 @@ def _ab_alternated(
                      str(iters), out_path],
                     cwd=root, env=env, check=True,
                     # a run may not outlive the phase deadline — an
-                    # overlong side dies here, the except records
-                    # ab_error, and the final headline print still
-                    # happens inside the driver window (r13 verdict #1)
-                    timeout=max(60.0, budget - (time.time() - t_start)),
+                    # overlong side dies here (never later than the
+                    # true remaining budget, floored at 5s so the
+                    # subprocess can at least fail cleanly), the except
+                    # records ab_error, and the final headline print
+                    # still happens inside the driver window
+                    timeout=max(5.0, remaining),
                     stdout=logfh, stderr=logfh,
                 )
             with open(out_path) as fh:

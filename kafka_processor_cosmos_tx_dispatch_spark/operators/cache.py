@@ -35,6 +35,7 @@ class PlanCache:
         self._anchor: DataFrame | None = None
         self._key = None
         self._frames: list[DataFrame] = []
+        self._hit = False
 
     def matches(self, anchor: DataFrame, key=None) -> bool:
         """True iff `anchor` is semantically the same plan as the
@@ -63,17 +64,31 @@ class PlanCache:
         self._frames = []
         self._anchor = None
         self._key = None
+        self._hit = False
         return n
 
     def begin(self, anchor: DataFrame, key=None) -> None:
         """Start an invocation: keep the caches when the anchor/key
-        match the previous run, evict them otherwise."""
-        if not self.matches(anchor, key):
+        match the previous run, evict them otherwise. On a hit the
+        already-registered frames are the ones this invocation's
+        persist() calls dedupe into, so register() becomes a no-op
+        pass-through — otherwise _frames grows by ~(1+steps) duplicate
+        handles per same-input re-run (bench min-of-N)."""
+        if self.matches(anchor, key):
+            self._hit = True
+        else:
             self.evict()
             self._anchor = anchor
             self._key = key
+            self._hit = False
 
     def register(self, df: DataFrame) -> DataFrame:
-        """Track a persisted frame for later eviction (pass-through)."""
-        self._frames.append(df)
+        """Track a persisted frame for later eviction (pass-through).
+
+        Skipped when begin() matched the previous invocation: the JVM
+        CacheManager dedupes the persist() into the existing entry, so
+        the frame registered by the original (miss) invocation already
+        owns the cached block."""
+        if not self._hit:
+            self._frames.append(df)
         return df

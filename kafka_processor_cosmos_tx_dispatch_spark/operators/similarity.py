@@ -614,7 +614,11 @@ def kmeans_assign_cells(
     bounded sample, then add() assigns the full corpus; this is add()).
     Same integer semantics and lowest-cluster tie-break as
     kmeans_assign; clusters absent from the cells relation (emptied
-    during training) simply never win the argmin.
+    during training) simply never win the argmin. An ALL-absent bank
+    (empty cells relation) is a caller bug, not a degenerate codebook —
+    it raises at execution time instead of silently assigning every
+    vector a null cluster (ADVICE r14; the ungrouped agg still emits
+    one empty-bank row, and array argmin over nothing is null).
 
     Scale: the cells relation is model state (≤ k×dims rows) — it
     collapses to a 1-row bank via two tiny aggs and ships to executors
@@ -638,7 +642,17 @@ def kmeans_assign_cells(
         ).alias("e")
     ).agg(F.array_sort(F.collect_list("e")).alias("bank"))
     src = q.crossJoin(F.broadcast(bank_df))
-    best = _kmeans_best_bank(F.col("qv"), F.col("bank"))
+    # fail-fast guard: an empty bank raises per-row instead of winning
+    # the argmin with null (plan-side check — no extra driver job)
+    bank = F.when(
+        F.size(F.col("bank")) > 0, F.col("bank")
+    ).otherwise(
+        F.raise_error(
+            "kmeans_assign_cells: empty cells relation — the trained "
+            "codebook must contain at least one (cluster, d, cval) row"
+        )
+    )
+    best = _kmeans_best_bank(F.col("qv"), bank)
     return src.select(
         F.col("vec_id"),
         best["c"].alias("cluster"),

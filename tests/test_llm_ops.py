@@ -2034,6 +2034,20 @@ class TestKmeansAssignCells:
         r = similarity.kmeans_assign_cells(vecs, cells).collect()[0]
         assert r["cluster"] == 2  # the only trained cluster
 
+    def test_empty_cells_raises_not_null(self, spark):
+        """ADVICE r14: an ALL-absent codebook is a caller bug — it must
+        raise at execution time, not silently assign null clusters."""
+        import pytest
+
+        vecs = spark.createDataFrame(
+            [(1, [10.0])], "vec_id long, embedding array<double>"
+        )
+        empty = spark.createDataFrame(
+            [], "cluster int, d int, cval long"
+        )
+        with pytest.raises(Exception, match="empty cells relation"):
+            similarity.kmeans_assign_cells(vecs, empty).collect()
+
 
 def test_pq_train_sampled_training_is_sample_bound(spark, sf_dir):
     """The scale claim of sim_pq_train_sampled (r13 verdict #4): Lloyd
