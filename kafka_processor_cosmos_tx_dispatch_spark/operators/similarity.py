@@ -660,6 +660,186 @@ def kmeans_assign_cells(
     )
 
 
+def kmeans_assign_grouped(
+    df: DataFrame,
+    n_groups: int,
+    group_col: str = "g",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 2,
+    with_vec: bool = False,
+) -> DataFrame:
+    """Per-GROUP Lloyd's k-means in ONE lazy plan: every row carries a
+    group id in [0, n_groups) and each group trains its own k-centroid
+    codebook over its rows. One composite bank of n_groups×k entries
+    (entry id = group·k + cluster) rides the same broadcast 1-row
+    crossJoin as kmeans_assign's bank tier; each row argmins over ITS
+    group's k-entry positional slice, and the update aggregates
+    (composite cluster, dim) cells for every group in one shuffle.
+
+    Group-by-group results are IDENTICAL to running kmeans_assign once
+    per group: same data-free LCG init per group, same integer
+    offset-mean update, same empty-cluster carry-forward, and the
+    lowest-id tiebreak is preserved because composite ids are monotone
+    within a slice. What changes is COST: one analyzed/codegen'd Lloyd
+    chain and one pass per round over the union of groups instead of
+    n_groups separate chains — the fix for compile-dominated
+    multi-subspace training (sim_pq_train_sampled read ~7.4 s at sf0.1
+    with 4 chains, ~70% fixed plan cost; r14 verdict #4).
+
+    Returns (vec_id, g, cluster [LOCAL id, 0..k), dist_sq[, qv])."""
+    if rounds > KMEANS_BANK_ROUNDS_MAX:
+        raise ValueError(
+            f"kmeans_assign_grouped: rounds={rounds} exceeds the lazy "
+            f"bank tier's bound ({KMEANS_BANK_ROUNDS_MAX}) — plan size "
+            "doubles per round."
+        )
+    dims = _dims(df, vec_col)
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(group_col).cast("int").alias("g"),
+        V.quantized(F.col(vec_col)).alias("qv"),
+    )
+    cents = ivf_centroids(k, dims)
+    off = KMEANS_MEAN_OFFSET
+    zero = F.lit(0).cast("long")
+    spark = df.sparkSession
+    # composite init bank: every group starts from the SAME LCG
+    # centroids (entry g*k + c carries cents[c]) — per-group parity
+    # with kmeans_assign's init by construction
+    bank_df = _centroid_bank_df(spark, [cents[c % k] for c in range(n_groups * k)])
+
+    def gslice(bank):
+        # the bank always holds exactly n_groups*k entries in composite
+        # order (carry-forward keeps empty clusters), so a positional
+        # slice is the group's codebook
+        return F.slice(bank, F.col("g") * k + 1, k)
+
+    def next_bank(bank_df: DataFrame) -> DataFrame:
+        src = q.crossJoin(F.broadcast(bank_df))
+        best = _kmeans_best_bank(F.col("qv"), gslice(F.col("bank")))
+        # argmin in its own projection BEFORE the posexplode Generate
+        # (same 64×-re-eval hazard as kmeans_assign)
+        a = src.select(best["c"].alias("cluster"), "qv")  # composite id
+        cells = (
+            a.select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum(F.col("v") + F.lit(off)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("cd", F.expr("s DIV n") - F.lit(off))
+        )
+        upd = cells.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda e: e["cd"],
+            ).alias("cv_new")
+        )
+        upd1 = upd.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "cv_new"))
+            ).alias("um")
+        )
+
+        def entry(e):
+            cv = F.coalesce(F.try_element_at(F.col("um"), e["c"]), e["cv"])
+            return F.struct(
+                e["c"].alias("c"),
+                cv.alias("cv"),
+                F.aggregate(cv, zero, lambda a, x: a + x * x).alias("csq"),
+            )
+
+        return upd1.crossJoin(F.broadcast(bank_df)).select(
+            F.transform("bank", entry).alias("bank")
+        )
+
+    for _ in range(rounds):
+        bank_df = next_bank(bank_df)
+    src = q.crossJoin(F.broadcast(bank_df))
+    best = _kmeans_best_bank(F.col("qv"), gslice(F.col("bank")))
+    cols = [
+        F.col("vec_id"),
+        F.col("g"),
+        (best["c"] % k).cast("int").alias("cluster"),
+        best["dist_sq"].alias("dist_sq"),
+    ]
+    if with_vec:
+        cols.append(F.col("qv"))
+    return src.select(*cols)
+
+
+def kmeans_assign_cells_grouped(
+    df: DataFrame,
+    cells: DataFrame,
+    k: int,
+    group_col: str = "g",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grouped APPLY half: assign every (group, vector) row to its
+    nearest centroid of that GROUP's already-trained codebook, given as
+    one cells relation (g, cluster, d, cval) — kmeans_assign_cells
+    with a group discriminator, so one broadcast bank and ONE corpus
+    pass cover all groups (4 subspace apply passes → 1 for sampled
+    PQ). Clusters absent from a group's cells never win its argmin
+    (the bank is filtered per row by composite-id range, not sliced
+    positionally, so sparse trained codebooks are fine); a group whose
+    codebook is entirely absent raises, like the ungrouped operator.
+
+    Scale: cells is model state (≤ n_groups×k×dims rows) collapsing to
+    a 1-row broadcast bank; the corpus pass is one narrow in-row
+    argmin over ≤k filtered entries — no row-multiplying join."""
+    zero = F.lit(0).cast("long")
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(group_col).cast("int").alias("g"),
+        V.quantized(F.col(vec_col)).alias("qv"),
+    )
+    cv = (
+        cells.select(
+            (F.col(group_col).cast("int") * k + F.col("cluster").cast("int"))
+            .alias("cc"),
+            "d",
+            "cval",
+        )
+        .groupBy("cc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cval"))),
+                lambda e: e["cval"].cast("long"),
+            ).alias("cv")
+        )
+    )
+    bank_df = cv.select(
+        F.struct(
+            F.col("cc").cast("int").alias("c"),
+            F.col("cv").alias("cv"),
+            F.aggregate("cv", zero, lambda a, x: a + x * x).alias("csq"),
+        ).alias("e")
+    ).agg(F.array_sort(F.collect_list("e")).alias("bank"))
+    src = q.crossJoin(F.broadcast(bank_df))
+    lo = F.col("g") * k
+    gbank = F.filter(
+        F.col("bank"), lambda e: (e["c"] >= lo) & (e["c"] < lo + k)
+    )
+    gbank = F.when(F.size(gbank) > 0, gbank).otherwise(
+        F.raise_error(
+            "kmeans_assign_cells_grouped: no trained cells for a group — "
+            "every group id present in the data must have at least one "
+            "(g, cluster, d, cval) row"
+        )
+    )
+    best = _kmeans_best_bank(F.col("qv"), gbank)
+    return src.select(
+        F.col("vec_id"),
+        F.col("g"),
+        (best["c"] % k).cast("int").alias("cluster"),
+        best["dist_sq"].alias("dist_sq"),
+    )
+
+
 PQ_M, PQ_K = 4, 16  # subspaces × codes: 64-dim vector → 4 bytes of code
 
 

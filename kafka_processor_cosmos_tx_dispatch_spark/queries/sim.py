@@ -1879,7 +1879,7 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(vec_id), vec_id tiebreak — 16×k points, FAISS's clustering
     floor) runs the SAME 2-round per-subspace Lloyd machinery as
     sim_pq_train, and the trained codebook is then APPLIED to the full
-    corpus in one assignment pass (kmeans_assign_cells). Output per
+    corpus in one assignment pass (kmeans_assign_cells_grouped). Output per
     (subspace, cluster, d): the trained cval, n_train (sample members)
     and n_assigned_full (full-corpus occupancy under the trained
     codebook) — the sampled codebook plus the evidence of how it loads
@@ -1888,73 +1888,88 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every Lloyd assignment pass runs over the PERSISTED 256-row
     sample — training cost is INDEPENDENT of corpus size (the fixed
     sample is one TakeOrdered top-K pass, then cached); the full corpus
-    is touched by exactly ONE argmin pass per subspace against the
-    broadcast 1-row trained bank (the add() pass — unavoidable and
+    is touched by exactly ONE pass: a posexplode into (subspace,
+    16-dim slice) rows assigned against the broadcast trained bank of
+    all 4 subspace codebooks at once (the add() pass — unavoidable and
     linear), vs sim_pq_train's rounds×subspaces full-corpus passes.
+    Both training and apply are the GROUPED one-plan shape
+    (kmeans_assign_grouped / kmeans_assign_cells_grouped, r14 verdict
+    #4): one subspace-keyed Lloyd chain over the exploded sample
+    replaces 4 near-identical per-subspace chains — per-subspace
+    results identical by the grouped operators' parity contract, fixed
+    plan/codegen cost ÷4 (measured 7.4 s → ~2.5 s at sf0.1).
     tests/test_llm_ops.py pins the pass-count claim on the physical
-    plan (one InMemoryTableScan-fed training subtree, 4 corpus scans)."""
-    from functools import reduce
-
+    plan (InMemoryTableScan-fed training subtree, ONE corpus scan)."""
     from ..operators.similarity import (
         KMEANS_MEAN_OFFSET,
         PQ_K,
         PQ_M,
-        kmeans_assign,
-        kmeans_assign_cells,
+        kmeans_assign_cells_grouped,
+        kmeans_assign_grouped,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     samp = _pq_sample(emb)
     off = KMEANS_MEAN_OFFSET
-    outs = []
-    for s in range(PQ_M):
-        ssl = samp.select(
-            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+
+    def explode_slices(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("embedding", s * 16 + 1, 16)
+                        for s in range(PQ_M)
+                    ]
+                )
+            ).alias("g", "emb16"),
         )
-        fsl = emb.select(
-            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+
+    asg = kmeans_assign_grouped(
+        explode_slices(samp),
+        n_groups=PQ_M,
+        vec_col="emb16",
+        k=PQ_K,
+        rounds=2,
+        with_vec=True,
+    )
+    cells = (
+        asg.select("g", "cluster", F.posexplode("qv").alias("d", "v"))
+        .groupBy("g", "cluster", "d")
+        .agg(
+            F.sum(F.col("v") + F.lit(off)).alias("su"),
+            F.count(F.lit(1)).alias("n"),
         )
-        asg = kmeans_assign(ssl, k=PQ_K, rounds=2, with_vec=True)
-        cells = (
-            asg.select("cluster", F.posexplode("qv").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(
-                F.sum(F.col("v") + F.lit(off)).alias("su"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                "cluster",
-                "d",
-                (F.expr("su DIV n") - F.lit(off)).alias("cval"),
-                F.col("n").alias("n_train"),
-            )
-            # lazily persist the ≤k×16-row trained codebook: it feeds
-            # BOTH the output rows and the apply pass's bank, and the
-            # cache guarantees the 2-round training chain executes once
-            # per subspace; same one-slot ownership as the sample.
-            # (Bench-scale note: the query reads ~9 s at sf0.1 but is
-            # COMPILE-dominated — per-subspace kmeans over the 256-row
-            # cached sample measures 2.7 s steady vs 5.8 s over the
-            # full 2k-row corpus, i.e. nearly all fixed plan/codegen
-            # cost that amortizes to nothing at real scale, where the
-            # 4 bounded apply passes dominate.)
-            .persist()
+        .select(
+            "g",
+            "cluster",
+            "d",
+            (F.expr("su DIV n") - F.lit(off)).alias("cval"),
+            F.col("n").alias("n_train"),
         )
-        _PQ_SAMPLE_CACHE.register(cells)
-        fa = kmeans_assign_cells(fsl, cells.select("cluster", "d", "cval"))
-        fcnt = fa.groupBy("cluster").agg(
-            F.count(F.lit(1)).cast("long").alias("n_full")
-        )
-        outs.append(
-            cells.join(fcnt, "cluster", "left").select(
-                F.lit(s).cast("int").alias("subspace"),
-                F.col("cluster").cast("int").alias("cluster"),
-                F.col("d").cast("int").alias("d"),
-                F.col("cval").cast("long").alias("cval"),
-                F.col("n_train").cast("long").alias("n_train"),
-                F.coalesce(F.col("n_full"), F.lit(0).cast("long")).alias(
-                    "n_assigned_full"
-                ),
-            )
-        )
-    return reduce(DataFrame.unionAll, outs)
+        # lazily persist the ≤4×k×16-row trained codebook: it feeds
+        # BOTH the output rows and the apply pass's bank, and the cache
+        # guarantees the training chain executes once; same one-slot
+        # ownership as the sample.
+        .persist()
+    )
+    _PQ_SAMPLE_CACHE.register(cells)
+    fa = kmeans_assign_cells_grouped(
+        explode_slices(emb),
+        cells.select("g", "cluster", "d", "cval"),
+        k=PQ_K,
+        vec_col="emb16",
+    )
+    fcnt = fa.groupBy("g", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full")
+    )
+    return cells.join(fcnt, ["g", "cluster"], "left").select(
+        F.col("g").cast("int").alias("subspace"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("d").cast("int").alias("d"),
+        F.col("cval").cast("long").alias("cval"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.coalesce(F.col("n_full"), F.lit(0).cast("long")).alias(
+            "n_assigned_full"
+        ),
+    )

@@ -2050,12 +2050,14 @@ class TestKmeansAssignCells:
 
 
 def test_pq_train_sampled_training_is_sample_bound(spark, sf_dir):
-    """The scale claim of sim_pq_train_sampled (r13 verdict #4): Lloyd
-    rounds run over the PERSISTED fixed-size sample (InMemoryTableScan
-    in the plan), and the corpus is touched by a BOUNDED number of
-    scans — the 4 per-subspace apply passes plus the one sample
-    extraction — independent of training rounds. sim_pq_train by
-    contrast scans the corpus rounds×subspaces+ times."""
+    """The scale claim of sim_pq_train_sampled (r13 verdict #4, shape
+    collapsed per r14 verdict #4): Lloyd rounds run over the PERSISTED
+    fixed-size sample (InMemoryTableScan in the plan), and the corpus
+    is touched by exactly ONE scan — the grouped apply pass posexplodes
+    each vector into its 4 subspace slices and assigns all of them
+    against one broadcast composite bank — independent of training
+    rounds. sim_pq_train by contrast scans the corpus
+    rounds×subspaces+ times."""
     from kafka_processor_cosmos_tx_dispatch_spark import queries as Q
 
     df = Q.queries()["sim_pq_train_sampled"](spark, sf_dir)
@@ -2071,7 +2073,147 @@ def test_pq_train_sampled_training_is_sample_bound(spark, sf_dir):
     n_cache = sum(1 for n in names if "InMemoryTableScan" in n)
     n_file = sum(1 for n in names if "Scan parquet" in n)
     assert n_cache > 0, f"no cache reads in {names}"  # trained state cached
-    assert n_file == 4, (
+    assert n_file == 1, (
         f"{n_file} corpus scans in the main plan ({names}) — expected "
-        "exactly the 4 per-subspace apply passes"
+        "exactly the one grouped apply pass"
     )
+
+
+def test_dedup_funnel_has_winnow_stage_and_is_monotone(spark, sf_dir):
+    """The funnel dashboard covers all four candidate generators (r14
+    verdict #3): raw → exact → near(LSH) → winnow(verified) →
+    paragraph, and is monotone — every stage only ever removes docs
+    and tokens, so a non-increasing (n_docs, n_tokens) sequence over
+    the document-level stages is a structural invariant, not a data
+    property."""
+    from kafka_processor_cosmos_tx_dispatch_spark import queries as q
+
+    rows = {
+        r["stage"]: r
+        for r in q.queries()["dedup_funnel_report"](spark, sf_dir).collect()
+    }
+    assert list(sorted(rows)) == [
+        "a_raw", "b_exact", "c_near", "d_winnow", "e_paragraph"
+    ]
+    order = ["a_raw", "b_exact", "c_near", "d_winnow"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["n_docs"] <= rows[prev]["n_docs"], (prev, cur)
+        assert rows[cur]["n_tokens"] <= rows[prev]["n_tokens"], (prev, cur)
+    # paragraph counts docs with ≥1 kept passage among winnow survivors
+    assert rows["e_paragraph"]["n_docs"] <= rows["d_winnow"]["n_docs"]
+    assert rows["e_paragraph"]["n_tokens"] <= rows["d_winnow"]["n_tokens"]
+
+
+class TestKmeansGrouped:
+    """kmeans_assign_grouped / kmeans_assign_cells_grouped — the
+    one-plan multi-codebook shape (r14 verdict #4). The contract is
+    PARITY: group-by-group results identical to running the ungrouped
+    operator once per group."""
+
+    def _gdf(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # 3 groups over the same ids with genuinely different vectors
+        return df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    F.col("embedding"),
+                    F.reverse("embedding"),
+                    F.slice(
+                        F.concat(F.col("embedding"), F.col("embedding")),
+                        5,
+                        16,
+                    ),
+                )
+            ).alias("g", "emb16"),
+        )
+
+    def test_train_parity_per_group(self, spark):
+        gdf = self._gdf(spark)
+        got = {
+            (r["g"], r["vec_id"]): (r["cluster"], r["dist_sq"])
+            for r in similarity.kmeans_assign_grouped(
+                gdf, n_groups=3, vec_col="emb16", k=4, rounds=2
+            ).collect()
+        }
+        assert len(got) == 180
+        for g in range(3):
+            sub = gdf.filter(F.col("g") == g).select(
+                "vec_id", F.col("emb16").alias("embedding")
+            )
+            ref = {
+                r["vec_id"]: (r["cluster"], r["dist_sq"])
+                for r in similarity.kmeans_assign(
+                    sub, k=4, rounds=2
+                ).collect()
+            }
+            for vid, val in ref.items():
+                assert got[(g, vid)] == val, (g, vid)
+
+    def test_apply_parity_and_sparse_codebooks(self, spark):
+        gdf = self._gdf(spark)
+        cells = spark.createDataFrame(
+            [
+                (g, c, d, (g * 131 + c * 17 + d * 3) % 900 - 450)
+                for g in range(3)
+                for c in range(4)
+                for d in range(16)
+            ],
+            "g int, cluster int, d int, cval long",
+        )
+        got = {
+            (r["g"], r["vec_id"]): (r["cluster"], r["dist_sq"])
+            for r in similarity.kmeans_assign_cells_grouped(
+                gdf, cells, k=4, vec_col="emb16"
+            ).collect()
+        }
+        for g in range(3):
+            sub = gdf.filter(F.col("g") == g).select(
+                "vec_id", F.col("emb16").alias("embedding")
+            )
+            ref = {
+                r["vec_id"]: (r["cluster"], r["dist_sq"])
+                for r in similarity.kmeans_assign_cells(
+                    sub,
+                    cells.filter(F.col("g") == g).select(
+                        "cluster", "d", "cval"
+                    ),
+                ).collect()
+            }
+            for vid, val in ref.items():
+                assert got[(g, vid)] == val, (g, vid)
+        # a cluster absent from ONE group's codebook never wins there
+        sparse = cells.filter(
+            ~((F.col("g") == 1) & (F.col("cluster") == 0))
+        )
+        g1 = (
+            similarity.kmeans_assign_cells_grouped(
+                gdf, sparse, k=4, vec_col="emb16"
+            )
+            .filter("g = 1")
+            .select("cluster")
+            .distinct()
+            .collect()
+        )
+        assert all(r["cluster"] != 0 for r in g1)
+
+    def test_group_with_no_cells_raises(self, spark):
+        import pytest
+
+        gdf = self._gdf(spark)
+        only_g0 = spark.createDataFrame(
+            [(0, c, d, 7) for c in range(4) for d in range(16)],
+            "g int, cluster int, d int, cval long",
+        )
+        with pytest.raises(Exception, match="no trained cells"):
+            similarity.kmeans_assign_cells_grouped(
+                gdf, only_g0, k=4, vec_col="emb16"
+            ).collect()

@@ -144,9 +144,11 @@ BNLJ_OK = {
     # r13: trained-IVF — the kmeans lazy-bank BNLJ plus the bounded
     # 10-query broadcast every IVF query whitelists
     "sim_topk_ivf_trained",
-    # r14: sample-trained PQ — the same kmeans lazy-bank BNLJ over the
-    # persisted 256-row sample, plus the apply pass's 1-row trained-bank
-    # broadcast (kmeans_assign_cells), ×4 subspaces
+    # r14 (collapsed to the grouped one-chain shape in r15): sample-
+    # trained PQ — ONE kmeans_assign_grouped lazy-bank BNLJ over the
+    # persisted posexploded sample, plus the single grouped apply
+    # pass's 1-row composite-bank broadcast
+    # (kmeans_assign_cells_grouped)
     "sim_pq_train_sampled",
 }
 
