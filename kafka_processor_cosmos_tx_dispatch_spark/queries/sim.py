@@ -1533,6 +1533,24 @@ def _pq_train_subspace_sql(s: int) -> str:
             GROUP BY cluster, d))"""
 
 
+def _pq_explode_slices(df: DataFrame) -> DataFrame:
+    """(vec_id, g, emb16): posexplode a 64-dim embedding relation into
+    its 4 16-dim PQ subspace slices — ONE scan feeds every subspace
+    (the slices can't prune at the parquet scan anyway; the whole
+    embedding column is read either way). Shared by the three PQ
+    trainers' grouped one-plan shapes."""
+    from ..operators.similarity import PQ_M
+
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("embedding", s * 16 + 1, 16) for s in range(PQ_M)]
+            )
+        ).alias("g", "emb16"),
+    )
+
+
 @register(
     "sim_pq_train",
     "WITH pcent0 AS (\n"
@@ -1566,46 +1584,51 @@ def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero members vanish from the output (FAISS keeps the stale
     centroid; compose with the init bank if that behavior is needed).
 
-    Scale: 4 independent lazy k-means runs in ONE plan — per subspace
-    the assignment is an in-row argmin against a 1-row broadcast bank
-    (no row-multiplying join) and each update is a ≤k×16-cell
-    map-side-combinable agg; the corpus embeddings are scanned per
-    round per subspace (slices prune the other 48 dims at the scan).
-    At 100 TB use sim_pq_train_sampled instead — the FAISS dial: the
-    Lloyd rounds run over a fixed 256-point sample and the corpus pays
-    one apply pass per subspace (r13 verdict 'What's wrong #3').
+    Scale: ONE subspace-keyed lazy k-means chain for all 4 codebooks
+    (kmeans_assign_grouped, r14 verdict #4 — per-subspace results
+    identical to 4 separate kmeans_assign runs by the grouped parity
+    contract): the corpus is posexploded into (subspace, 16-dim slice)
+    rows and scanned ONCE per round — the former per-subspace slice
+    scans each read the whole embedding parquet column anyway (array
+    slices don't prune at the scan), so this is strictly less IO and
+    ¼ the fixed plan/codegen cost. Assignment is an in-row argmin
+    against the 1-row broadcast composite bank; each update is a
+    ≤4×k×16-cell map-side-combinable agg. At 100 TB use
+    sim_pq_train_sampled instead — the FAISS dial: the Lloyd rounds
+    run over a fixed 256-point sample (r13 verdict 'What's wrong #3').
     The oracle unrolls all four subspaces' rounds as plain CTEs."""
-    from functools import reduce
-
-    from ..functions import vectors as V
-    from ..operators.similarity import KMEANS_MEAN_OFFSET, PQ_K, PQ_M, kmeans_assign
+    from ..operators.similarity import (
+        KMEANS_MEAN_OFFSET,
+        PQ_K,
+        PQ_M,
+        kmeans_assign_grouped,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     off = KMEANS_MEAN_OFFSET
-    outs = []
-    for s in range(PQ_M):
-        sl = emb.select(
-            "vec_id",
-            F.slice("embedding", s * 16 + 1, 16).alias("embedding"),
+    asg = kmeans_assign_grouped(
+        _pq_explode_slices(emb),
+        n_groups=PQ_M,
+        vec_col="emb16",
+        k=PQ_K,
+        rounds=2,
+        with_vec=True,
+    )
+    return (
+        asg.select("g", "cluster", F.posexplode("qv").alias("d", "v"))
+        .groupBy("g", "cluster", "d")
+        .agg(
+            F.sum(F.col("v") + F.lit(off)).alias("su"),
+            F.count(F.lit(1)).alias("n"),
         )
-        asg = kmeans_assign(sl, k=PQ_K, rounds=2, with_vec=True)
-        cells = (
-            asg.select("cluster", F.posexplode("qv").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(
-                F.sum(F.col("v") + F.lit(off)).alias("su"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                F.lit(s).cast("int").alias("subspace"),
-                F.col("cluster").cast("int").alias("cluster"),
-                F.col("d").cast("int").alias("d"),
-                (F.expr("su DIV n") - F.lit(off)).alias("cval"),
-                F.col("n").cast("long").alias("n_assigned"),
-            )
+        .select(
+            F.col("g").cast("int").alias("subspace"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("d").cast("int").alias("d"),
+            (F.expr("su DIV n") - F.lit(off)).alias("cval"),
+            F.col("n").cast("long").alias("n_assigned"),
         )
-        outs.append(cells)
-    return reduce(DataFrame.unionAll, outs)
+    )
 
 
 @register(
@@ -1647,41 +1670,40 @@ def sim_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     The one-glance answer to 'was training the codebook worth it'
     before an index rebuild at corpus scale.
 
-    Scale: the same four lazy k-means subplans as sim_pq_train, each
-    reduced to ONE long per assignment pass (a sum of dist_sq — the
-    inertia shape of sim_kmeans_inertia); output is exactly 4 rows."""
-    from functools import reduce
-
-    from ..operators.similarity import PQ_K, PQ_M, kmeans_assign
+    Scale: the grouped one-plan shape ×2 (kmeans_assign_grouped with
+    rounds=0 and rounds=2 — per-subspace parity with the former four
+    separate subplans): each pass posexplodes the corpus ONCE and
+    reduces to one long per (subspace) group (the inertia shape of
+    sim_kmeans_inertia); output is exactly 4 rows via a 4×4 join on
+    the subspace key."""
+    from ..operators.similarity import PQ_K, PQ_M, kmeans_assign_grouped
 
     emb = load_table(spark, sf_dir, "embeddings")
-    outs = []
-    for s in range(PQ_M):
-        sl = emb.select(
-            "vec_id",
-            F.slice("embedding", s * 16 + 1, 16).alias("embedding"),
+    sq = _pq_explode_slices(emb)
+    # untrained inertia: the rounds=0 bank assignment (a literal-
+    # centroid argmin measured 2× slower — 256 compiled cells)
+    init = (
+        kmeans_assign_grouped(
+            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=0
         )
-        # untrained inertia: the rounds=0 bank assignment (a literal-
-        # centroid argmin measured 2× slower — 256 compiled cells)
-        init = (
-            kmeans_assign(sl, k=PQ_K, rounds=0)
-            .agg(F.sum("dist_sq").cast("long").alias("inertia_init"))
+        .groupBy("g")
+        .agg(F.sum("dist_sq").cast("long").alias("inertia_init"))
+    )
+    trained = (
+        kmeans_assign_grouped(
+            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=2
         )
-        trained = (
-            kmeans_assign(sl, k=PQ_K, rounds=2)
-            .agg(F.sum("dist_sq").cast("long").alias("inertia_trained"))
-        )
-        outs.append(
-            init.crossJoin(trained).select(
-                F.lit(s).cast("int").alias("subspace"),
-                "inertia_init",
-                "inertia_trained",
-                F.expr(
-                    "1000 - (1000 * inertia_trained) DIV inertia_init"
-                ).alias("gain_permille"),
-            )
-        )
-    return reduce(DataFrame.unionAll, outs)
+        .groupBy("g")
+        .agg(F.sum("dist_sq").cast("long").alias("inertia_trained"))
+    )
+    return init.join(trained, "g").select(
+        F.col("g").cast("int").alias("subspace"),
+        "inertia_init",
+        "inertia_trained",
+        F.expr(
+            "1000 - (1000 * inertia_trained) DIV inertia_init"
+        ).alias("gain_permille"),
+    )
 
 
 @register(
@@ -1900,6 +1922,13 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan/codegen cost ÷4 (measured 7.4 s → ~2.5 s at sf0.1).
     tests/test_llm_ops.py pins the pass-count claim on the physical
     plan (InMemoryTableScan-fed training subtree, ONE corpus scan)."""
+    return _pq_train_sampled_body(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_train_sampled_body(emb: DataFrame) -> DataFrame:
+    """sim_pq_train_sampled's body over an explicit (vec_id, embedding)
+    relation — also driven by tools/scale_probe.py on synthetic
+    corpora."""
     from ..operators.similarity import (
         KMEANS_MEAN_OFFSET,
         PQ_K,
@@ -1908,25 +1937,10 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign_grouped,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
     samp = _pq_sample(emb)
     off = KMEANS_MEAN_OFFSET
-
-    def explode_slices(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("embedding", s * 16 + 1, 16)
-                        for s in range(PQ_M)
-                    ]
-                )
-            ).alias("g", "emb16"),
-        )
-
     asg = kmeans_assign_grouped(
-        explode_slices(samp),
+        _pq_explode_slices(samp),
         n_groups=PQ_M,
         vec_col="emb16",
         k=PQ_K,
@@ -1955,7 +1969,7 @@ def sim_pq_train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PQ_SAMPLE_CACHE.register(cells)
     fa = kmeans_assign_cells_grouped(
-        explode_slices(emb),
+        _pq_explode_slices(emb),
         cells.select("g", "cluster", "d", "cval"),
         k=PQ_K,
         vec_col="emb16",

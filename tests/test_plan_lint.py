@@ -136,9 +136,10 @@ BNLJ_OK = {
     # r13: modularity — the BNLJ is the 1-row edge-count (m) broadcast
     # crossJoin into the ≤25-community result rows
     "graph_modularity",
-    # r13: PQ codebook trainer — four kmeans_assign lazy-bank runs in
-    # one plan; the BNLJ is the 1-row centroid-bank broadcast each
-    # round rides (the sim_kmeans_clusters shape, ×4 subspaces)
+    # r13 (collapsed to the grouped one-chain shape in r15): PQ
+    # codebook trainer — ONE kmeans_assign_grouped lazy-bank run over
+    # the posexploded subspace rows; the BNLJ is the 1-row composite
+    # centroid-bank broadcast each round rides
     "sim_pq_train",
     "sim_pq_train_gain",
     # r13: trained-IVF — the kmeans lazy-bank BNLJ plus the bounded

@@ -990,6 +990,33 @@ def main() -> None:
 
     probe("gopher_repetition", args.docs, gopher_rep_probe)
 
+    # r15: the winnow-extended funnel (four-generator yield dashboard —
+    # the a..d counts are ONE flags pass; winnow drop set PlanCache'd)
+    # and the grouped sampled-PQ trainer (one subspace-keyed Lloyd
+    # chain + ONE posexploded corpus apply pass)
+    from kafka_processor_cosmos_tx_dispatch_spark.queries.dedup import (
+        _FUNNEL_WINNOW_CACHE,
+        _funnel_report,
+    )
+    from kafka_processor_cosmos_tx_dispatch_spark.queries.sim import (
+        _PQ_SAMPLE_CACHE,
+        _pq_train_sampled_body,
+    )
+
+    def funnel_probe():
+        run(_funnel_report(docs))
+        _FUNNEL_WINNOW_CACHE.evict()  # min-of-2 must both pay the chain
+
+    probe("dedup_funnel_winnow", args.docs, funnel_probe)
+
+    pq_vecs = spark.read.parquet(vecs_path)  # file-backed, like the query
+
+    def pq_sampled_probe():
+        run(_pq_train_sampled_body(pq_vecs))
+        _PQ_SAMPLE_CACHE.evict()
+
+    probe("pq_train_sampled_grouped", args.vecs, pq_sampled_probe)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
