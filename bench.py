@@ -1113,7 +1113,9 @@ def _ab_alternated(
         # numbers as advisory and the classic basis stands (r13
         # verdict #2: the +54.5% false headline came from iters=1,
         # 1 effective pair, cpu_big probe doubling mid-run).
-        gate = _ab_quality_gate(stats, iters)
+        gate = _ab_quality_gate(
+            stats, iters, detail.get("calibration_spread_pct")
+        )
         if gate is None:
             detail["delta_basis"] = "ab_alternated"
             detail["delta_vs_prev_pct"] = stats["ab_delta_vs_prev_pct"]
@@ -1132,13 +1134,26 @@ AB_GATE_MIN_ITERS = 3
 AB_GATE_MIN_PAIRS = 2
 AB_GATE_MAX_PROBE_DRIFT = 1.25  # max/min of the cpu_big probes
 AB_GATE_MAX_SPREAD_PTS = 15.0  # max-minus-min pair delta, in points
+AB_GATE_MAX_SWEEP_SPREAD_PCT = 40.0
+"""Fifth disqualifier (r15): the sweep's own trimmed cpu_big group
+spread, measured on the same box minutes before the A/B phase. Two
+gate-passing runs on r15 HEAD hours apart read −3.7 % (sweep spread
+27.9) and −23.2 % (sweep spread 57.1) on shared subsets of queries
+UNCHANGED between the trees — the second run's pairs agreed with each
+other (spread 10.7 ≤ 15, probe floors 1.04×) because the phase's
+nonlinear drift aligned across both pairs, so only the box-state
+evidence from the sweep distinguishes the runs. Observed spreads:
+quiet-box runs read ≤ ~30, known-bad days read 53-57."""
 
 
-def _ab_quality_gate(stats: dict, iters: int) -> str | None:
+def _ab_quality_gate(
+    stats: dict, iters: int, sweep_spread: float | None = None
+) -> str | None:
     """Headline-promotion gate for the alternated delta (pure, unit
     tested). Returns None when the run qualifies, else the reason it
-    is advisory-only. Disqualifiers (each one produced or enabled the
-    false r13 +54.5% headline):
+    is advisory-only. Disqualifiers (each one produced or enabled a
+    false headline — the r13 +54.5%, or the r15 −23.2% same-code
+    reading):
 
     - iters < 3: min-of-1/2 is COMPILE-dominated (±20% per pair);
     - pairs < 2: a single pair has no spread — the number cannot be
@@ -1148,10 +1163,23 @@ def _ab_quality_gate(stats: dict, iters: int) -> str | None:
       around a +38% reading on a compile-dominated sf0.001 run);
     - cpu_big probe drift > 25% across the runs: the box's compute
       rate changed mid-phase (r13: 0.43 → 0.99 s), so pair deltas
-      measure weather, not code.
+      measure weather, not code;
+    - sweep calibration spread > 40%: the box was already measured
+      unsteady minutes before the phase — r15's second run passed all
+      in-phase checks yet read −23.2% on code-identical queries
+      (see AB_GATE_MAX_SWEEP_SPREAD_PCT).
     """
     if iters < AB_GATE_MIN_ITERS:
         return f"iters={iters} < {AB_GATE_MIN_ITERS}"
+    if (
+        sweep_spread is not None
+        and sweep_spread > AB_GATE_MAX_SWEEP_SPREAD_PCT
+    ):
+        return (
+            f"sweep calibration spread {sweep_spread} > "
+            f"{AB_GATE_MAX_SWEEP_SPREAD_PCT} — box unsteady before "
+            "the phase"
+        )
     pairs = stats.get("ab_pairs", 0)
     if pairs < AB_GATE_MIN_PAIRS:
         return f"pairs={pairs} < {AB_GATE_MIN_PAIRS}"

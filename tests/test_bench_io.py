@@ -150,6 +150,22 @@ def test_ab_quality_gate_rejects_the_r13_failure_modes():
         iters=3,
     )
     assert gate is not None and "spread" in gate
+    # a sweep that already measured the box unsteady (r15 run 2: cal
+    # spread 57.1 → a −23.2% reading on code-identical queries passed
+    # every in-phase check) disqualifies the phase that follows it
+    healthy2 = {"ab_pairs": 2, "ab_cal_cpu_big": [[0.40, 0.42], [0.43, 0.39]]}
+    gate = bench._ab_quality_gate(healthy2, iters=3, sweep_spread=57.1)
+    assert gate is not None and "sweep calibration spread" in gate
+    # ...while a quiet-box sweep (r15 run 1: 27.9) still passes
+    assert (
+        bench._ab_quality_gate(healthy2, iters=3, sweep_spread=27.9)
+        is None
+    )
+    # and an absent sweep reading (older records) is tolerated
+    assert (
+        bench._ab_quality_gate(healthy2, iters=3, sweep_spread=None)
+        is None
+    )
 
 
 def test_compact_line_parses_and_fits_tail():
