@@ -188,7 +188,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def bfs_hops(
-    edges: DataFrame, sources: DataFrame, rounds: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    symmetrize_distinct: bool = True,
 ) -> DataFrame:
     """Bounded-hop BFS shortest paths from a source set over an
     UNDIRECTED graph given as directed `edges(src, dst)` (both
@@ -207,16 +210,19 @@ def bfs_hops(
     upstream plan exponentially (same 5^R blowup documented on k_core).
 
     The relational oracle is a depth-bounded recursive CTE with a
-    MIN(dist) rollup — the same fixpoint by different means."""
+    MIN(dist) rollup — the same fixpoint by different means.
+
+    `symmetrize_distinct=False` skips the dedup shuffle in the
+    undirected symmetrization (see betweenness_sampled: correct when
+    the input is distinct and the src/dst id ranges are disjoint)."""
     reliable = resolve_reliable(edges.sparkSession, None)
     e = edges.select("src", "dst")
-    und = materialize(
-        e.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
-        reliable,
-        strip=False,
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if symmetrize_distinct:
+        und = und.distinct()
+    und = materialize(und, reliable, strip=False)
     dist = materialize(
         sources.select("node").distinct().withColumn(
             "dist", F.lit(0).cast("int")
@@ -240,7 +246,10 @@ def bfs_hops(
 
 
 def bfs_hops_labeled(
-    edges: DataFrame, sources: DataFrame, rounds: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    symmetrize_distinct: bool = True,
 ) -> DataFrame:
     """Per-SEED bounded-hop BFS over the undirected graph: returns
     (seed, node, dist) with dist = min hops from that SPECIFIC seed —
@@ -257,16 +266,19 @@ def bfs_hops_labeled(
     (landmark/pivot closeness, the standard approximation at scale:
     exact closeness needs all-pairs). Every shuffle keys on node or
     (seed, node); materialized per round through the iterative shell
-    like bfs_hops (frontier referenced twice per round)."""
+    like bfs_hops (frontier referenced twice per round).
+
+    `symmetrize_distinct=False` skips the dedup shuffle in the
+    undirected symmetrization (see betweenness_sampled: correct when
+    the input is distinct and the src/dst id ranges are disjoint)."""
     reliable = resolve_reliable(edges.sparkSession, None)
     e = edges.select("src", "dst")
-    und = materialize(
-        e.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
-        reliable,
-        strip=False,
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if symmetrize_distinct:
+        und = und.distinct()
+    und = materialize(und, reliable, strip=False)
     dist = materialize(
         sources.select("node")
         .distinct()
@@ -614,6 +626,7 @@ def betweenness_sampled(
     sources: DataFrame,
     rounds: int = 3,
     scale: int = 1 << 20,
+    symmetrize_distinct: bool = True,
 ) -> DataFrame:
     """Sampled betweenness centrality (Brandes 2001 with a bounded seed
     set and hop bound — the standard scale approximation: exact
@@ -637,16 +650,23 @@ def betweenness_sampled(
     level-(d)⋈edges⋈level-(d+1) equi-join per level (successor pairs
     only — no all-pairs), keyed on (seed, node) throughout. Every level
     is materialized through the iterative shell; rounds is small and
-    fixed so the plan never stacks."""
+    fixed so the plan never stacks.
+
+    `symmetrize_distinct=False` skips the dedup shuffle in the
+    undirected symmetrization: correct whenever the input edge set is
+    already distinct AND no reversed pair can collide with a forward
+    pair (e.g. a bipartite encoding whose src and dst id ranges are
+    disjoint). For a 1M-edge graph that is one full-relation shuffle
+    saved before the first BFS round; at cluster scale it removes the
+    largest single exchange in the operator."""
     reliable = resolve_reliable(edges.sparkSession, None)
     e = edges.select("src", "dst")
-    und = materialize(
-        e.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct(),
-        reliable,
-        strip=False,
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if symmetrize_distinct:
+        und = und.distinct()
+    und = materialize(und, reliable, strip=False)
     level0 = materialize(
         sources.select("node")
         .distinct()
@@ -659,6 +679,9 @@ def betweenness_sampled(
         strip=False,
     )
     levels = [level0]
+    # visited is a plain union of the already-checkpointed level frames:
+    # every leaf is materialized, so the union plan never compounds and
+    # needs no checkpoint job of its own (3 fewer driver actions).
     visited = level0.select("seed", "node")
     for _ in range(1, rounds + 1):
         nxt = (
@@ -671,9 +694,7 @@ def betweenness_sampled(
         )
         nxt = materialize(nxt, reliable, strip=False)
         levels.append(nxt)
-        visited = materialize(
-            visited.unionAll(nxt.select("seed", "node")), reliable
-        )
+        visited = visited.unionAll(nxt.select("seed", "node"))
     # backward dependency sweep: deepest level has delta = 0
     delta = levels[-1].select(
         "seed", "node", F.lit(0).cast("long").alias("delta")
@@ -706,13 +727,20 @@ def betweenness_sampled(
                 F.expr(f"sigma_v * ({scale} + delta) DIV sigma_w")
             ).alias("delta")
         )
-        # nodes of this level with no successor pair hold delta = 0
+        # nodes of this level with no successor pair hold delta = 0:
+        # a left join + coalesce references the aggregate subplan ONCE
+        # (the former anti-join + unionAll shape computed it twice) and
+        # mirrors the oracle's `d LEFT JOIN dl USING (seed, node)` CTE.
         dlevel = materialize(
-            dlevel.unionAll(
-                levels[d]
-                .select("seed", "node")
-                .join(dlevel.select("seed", "node"), ["seed", "node"], "left_anti")
-                .withColumn("delta", F.lit(0).cast("long"))
+            levels[d]
+            .select("seed", "node")
+            .join(dlevel, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                F.coalesce(F.col("delta"), F.lit(0).cast("long")).alias(
+                    "delta"
+                ),
             ),
             reliable,
             strip=False,

@@ -728,7 +728,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") < 100)
         .distinct()
     )
-    return bfs_hops(edges, sources, rounds=3)
+    # bipartite ids (cust < 10M <= supp): reversed pairs can't collide
+    # with forward pairs and edges is distinct — skip the dedup shuffle
+    return bfs_hops(edges, sources, rounds=3, symmetrize_distinct=False)
 
 
 @register(
@@ -784,7 +786,10 @@ def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = orders.select(F.col("o_custkey").alias("node")).filter(
         F.col("node") < 5
     )
-    dist = bfs_hops_labeled(edges, seeds, rounds=3)
+    # same disjoint bipartite encoding: no dedup shuffle needed
+    dist = bfs_hops_labeled(
+        edges, seeds, rounds=3, symmetrize_distinct=False
+    )
     return dist.groupBy("seed").agg(
         (F.count(F.lit(1)) - 1).alias("n_reached"),
         F.sum("dist").alias("sum_dist"),
@@ -1131,7 +1136,12 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = edges.select(F.col("src").alias("node")).filter(
         F.col("node") < 5
     )
-    return betweenness_sampled(edges, seeds, rounds=3)
+    # the bipartite id encoding (cust < 10M <= supp) makes forward and
+    # reversed pairs disjoint and `edges` is already distinct, so the
+    # symmetrization needs no dedup shuffle
+    return betweenness_sampled(
+        edges, seeds, rounds=3, symmetrize_distinct=False
+    )
 
 
 @register(

@@ -372,3 +372,44 @@ def test_betweenness_sampled_matches_brandes_reference(spark):
         for r in betweenness_sampled(e, src, rounds=3).collect()
     }
     assert got == ref()
+
+
+def test_symmetrize_distinct_false_parity_on_disjoint_ranges(spark):
+    """symmetrize_distinct=False must be result-identical to the
+    default whenever the contract holds (edges distinct, src/dst id
+    ranges disjoint — the bipartite encoding every graph_* query
+    uses). Pins the r15 shuffle shave for betweenness/bfs/labeled-bfs
+    on a disjoint-range hand graph with path-count merging."""
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        betweenness_sampled,
+        bfs_hops,
+        bfs_hops_labeled,
+    )
+
+    # bipartite: lhs {0,1,2} on src, rhs {10,11,12} on dst
+    edges = [(0, 10), (0, 11), (1, 10), (1, 12), (2, 11), (2, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+
+    for fn in (bfs_hops, bfs_hops_labeled):
+        base = sorted(
+            tuple(r) for r in fn(e, seeds, rounds=3).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in fn(
+                e, seeds, rounds=3, symmetrize_distinct=False
+            ).collect()
+        )
+        assert base == fast, fn.__name__
+
+    base = sorted(
+        tuple(r) for r in betweenness_sampled(e, seeds, rounds=3).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in betweenness_sampled(
+            e, seeds, rounds=3, symmetrize_distinct=False
+        ).collect()
+    )
+    assert base == fast
