@@ -1488,23 +1488,39 @@ def _funnel_report(docs: DataFrame) -> DataFrame:
     ).cast("long")
     tok = docs.select("doc_id", ntok.alias("nt"))
 
-    ex = drop_exact_duplicates(docs)
-    drops = (
+    # The three stage id-sets persist under one PlanCache owner: each is
+    # O(docs) ids (or O(duplicates)) — tiny next to the text — and each
+    # heads an expensive derivation (md5 fingerprint group-by, MinHash
+    # signatures + band join, winnow verify + union-find) that is
+    # referenced by BOTH output passes (flags agg + paragraph pass).
+    # Unpersisted, those subplans evaluate once per referencing branch
+    # (~3× each); persisted, each heavy chain runs exactly once and the
+    # text-carrying stage relations rebuild via cheap semi-joins of the
+    # documents scan against the cached id-sets.
+    ex_src = drop_exact_duplicates(docs)
+    _FUNNEL_WINNOW_CACHE.begin(ex_src, key="funnel_stage_id_sets")
+    ex_ids = _FUNNEL_WINNOW_CACHE.register(
+        ex_src.select("doc_id").persist()
+    )
+    ex = docs.join(ex_ids, "doc_id", "left_semi")
+    drops = _FUNNEL_WINNOW_CACHE.register(
         minhash_lsh_pairs(
             ex, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .persist()
     )
     near = ex.join(drops, "doc_id", "left_anti")
-    _FUNNEL_WINNOW_CACHE.begin(near, key="funnel_winnow_losers")
     losers = _FUNNEL_WINNOW_CACHE.register(_winnow_losers(near).persist())
 
     # one flags pass for the a..d counts: survival at each stage as a
     # boolean per doc, aggregated with conditional sums
     flags = (
         tok.join(
-            ex.select("doc_id", F.lit(1).alias("k_ex")), "doc_id", "left"
+            ex_ids.select("doc_id", F.lit(1).alias("k_ex")),
+            "doc_id",
+            "left",
         )
         .join(
             drops.select("doc_id", F.lit(1).alias("d_lsh")),
