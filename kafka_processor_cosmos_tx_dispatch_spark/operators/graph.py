@@ -139,7 +139,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     equi-joins — wedge join on src, closing join on (src=v, dst=w) —
     then a per-role union + count. Everything integer; the (deg, id)
     orientation key is packed into one BIGINT so both engines compare
-    identically."""
+    identically.
+
+    The edge relation is materialized up front: it appears ~9× in the
+    final plan (deg twice, keyed once, the oriented relation three
+    times — wedge×2 + closing), so an expensive caller-side projection
+    (the co-purchase cap + threshold chain) would otherwise re-evaluate
+    per reference; the canonical edge list is the SMALL relation here
+    by construction."""
+    reliable = resolve_reliable(edges.sparkSession, None)
+    edges = materialize(
+        edges.select("s1", "s2"), reliable, strip=False
+    )
     deg = (
         edges.select(F.col("s1").alias("node"))
         .unionAll(edges.select(F.col("s2").alias("node")))
