@@ -1017,6 +1017,56 @@ def main() -> None:
 
     probe("pq_train_sampled_grouped", args.vecs, pq_sampled_probe)
 
+    # r15: sampled betweenness on a disjoint-range bipartite graph at
+    # ~4x the sf0.1 undirected edge count, driven exactly like the
+    # query (symmetrize_distinct=False — the dedup-shuffle-free
+    # symmetrization): forward state must stay O(seeds x reach) and
+    # the backward sweep O(successor pairs), so the reading should
+    # scale with edges, not quadratically with reach
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.graph import (
+        betweenness_sampled,
+        triangle_count,
+    )
+
+    n_bip = args.events // 5 * 2
+    bip_edges = spark.range(n_bip).select(
+        (F.abs(F.xxhash64("id")) % 150_000).alias("src"),
+        (F.lit(10_000_000) + F.abs(F.xxhash64("id", F.lit(3))) % 10_000).alias(
+            "dst"
+        ),
+    ).distinct()
+    btw_seeds = spark.range(4).select(F.col("id").alias("node"))
+    probe(
+        "betweenness_4seed_r3",
+        n_bip,
+        lambda: run(
+            betweenness_sampled(
+                bip_edges, btw_seeds, rounds=3, symmetrize_distinct=False
+            )
+        ),
+    )
+
+    # r15: degree-oriented triangle count on a skewed canonical edge
+    # set (~2x the query's co-purchase graph scale, hub degrees up to
+    # ~1k): wedge fan-out must stay bounded by the orientation's
+    # O(sqrt(E)) out-degree, and the up-front edge materialization
+    # keeps the caller-side subplan from re-evaluating across the
+    # operator's ~9 self-references
+    n_tri = args.events // 10
+    tri_edges = (
+        spark.range(n_tri)
+        .select(
+            (F.abs(F.xxhash64("id")) % (1 + F.col("id") % 5_000)).alias("a"),
+            (F.abs(F.xxhash64("id", F.lit(11))) % 20_000).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("s1"), F.greatest("a", "b").alias("s2")
+        )
+        .distinct()
+    )
+    probe("triangle_count_skewed", n_tri, lambda: run(triangle_count(tri_edges)))
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
