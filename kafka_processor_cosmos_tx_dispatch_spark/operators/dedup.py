@@ -999,7 +999,17 @@ def cdc_containment_pairs(
     at most max_df² pairs, so the pair stream is linear in corpus size
     with a constant factor, and blobs never shuffle — only 16-byte
     fingerprints and counts."""
-    chunks = cdc_chunks(docs).select("doc_id", "fp").distinct()
+    from .iterative import materialize, resolve_reliable
+
+    # (doc_id, fp) is referenced four times downstream (sizes, df cap,
+    # both self-join sides); without materialization the CDC chunking
+    # HOF chain re-evaluates per reference (measured: 18 parquet scans,
+    # 0 reused exchanges in the final adaptive plan at sf0.1)
+    chunks = materialize(
+        cdc_chunks(docs).select("doc_id", "fp").distinct(),
+        resolve_reliable(docs.sparkSession, None),
+        strip=False,
+    )
     sizes = chunks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )

@@ -41,6 +41,9 @@ EAGER = {
     "graph_k_core",  # per-round edge materialization (k_core loop)
     "graph_bfs_hops",  # per-round frontier/visited materialization
     "graph_closeness_bfs",  # same labeled-BFS per-round materialization
+    "graph_betweenness_sampled",  # und/level/dlevel materialization (r15)
+    "graph_triangle_count",  # canonical edge-list materialization (r15)
+    "dedup_cdc_pairs",  # (doc_id, fp) chunk materialization (r15)
     "graph_connected_components",  # CC pointer-jump rounds run on call
     "graph_random_walks",  # adjacency localCheckpoint on call (4-step unroll)
     "q_gap_fill_locf",
