@@ -64,7 +64,12 @@ def _vecs(spark, n: int):
     )
 
 
-def probe(name: str, rows: int, fn) -> dict:
+_ONLY: set[str] | None = None  # --only filter; None = run everything
+
+
+def probe(name: str, rows: int, fn) -> dict | None:
+    if _ONLY is not None and name not in _ONLY:
+        return None
     dt = float("inf")
     for _ in range(2):  # min-of-2, matching bench.py's convention
         t0 = time.perf_counter()
@@ -81,11 +86,20 @@ def probe(name: str, rows: int, fn) -> dict:
 
 
 def main() -> None:
+    global _ONLY
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=5_000_000)
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--vecs", type=int, default=50_000)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe names to run (others skipped; "
+        "synthetic inputs are still generated)",
+    )
     args = ap.parse_args()
+    if args.only:
+        _ONLY = set(args.only.split(","))
 
     shutil.rmtree(WORKDIR, ignore_errors=True)
     os.makedirs(WORKDIR, exist_ok=True)
