@@ -224,22 +224,35 @@ def ivf_centroids(n_centroids: int, dims: int) -> list[list[int]]:
     ]
 
 
+def _cents_lit(centroids: list[list[int]]):
+    """The whole centroid bank as ONE array<array<bigint>> literal.
+
+    The former shape — `F.array(*[F.lit(x) for x in cv])` per centroid —
+    built k×dims Literal nodes through k×dims py4j round-trips: for the
+    8×64 IVF bank that was ~3.5 s of DRIVER-side construction+analysis
+    per query invocation vs ~0.5 s of actual execution at sf0.1 (the
+    same disease pq_topk's docstring records for the old in-row ADC
+    tree). One nested-list literal is one py4j call and one plan node;
+    per-row execution work is unchanged (same k dots of dims mults)."""
+    return F.lit([[int(x) for x in cv] for cv in centroids]).cast(
+        "array<array<bigint>>"
+    )
+
+
 def _ivf_assign(qv, centroids: list[list[int]]):
     """Nearest centroid by max integer dot (tiebreak: lowest id) —
-    computed in-row over the let-bound quantized vector."""
+    computed in-row over the let-bound quantized vector. The bank is a
+    single literal; transform's index lambda supplies the cell id."""
     from ..functions import exprs as EX
 
     def best(v):
-        cands = [
-            F.struct(
-                (-V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))).alias(
-                    "nd"
-                ),
-                F.lit(c).alias("c"),
-            )
-            for c, cv in enumerate(centroids)
-        ]
-        return F.array_min(F.array(*cands))["c"]
+        cands = F.transform(
+            _cents_lit(centroids),
+            lambda cv, c: F.struct(
+                (-V.dot_int(v, cv)).alias("nd"), c.alias("c")
+            ),
+        )
+        return F.array_min(cands)["c"]
 
     return EX.bind(qv, best)
 
@@ -251,16 +264,13 @@ def _ivf_assign_topp(qv, centroids: list[list[int]], p: int):
     from ..functions import exprs as EX
 
     def best(v):
-        cands = [
-            F.struct(
-                (-V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))).alias(
-                    "nd"
-                ),
-                F.lit(c).alias("c"),
-            )
-            for c, cv in enumerate(centroids)
-        ]
-        return F.slice(F.array_sort(F.array(*cands)), 1, p)
+        cands = F.transform(
+            _cents_lit(centroids),
+            lambda cv, c: F.struct(
+                (-V.dot_int(v, cv)).alias("nd"), c.alias("c")
+            ),
+        )
+        return F.slice(F.array_sort(cands), 1, p)
 
     return EX.bind(qv, best)
 
@@ -345,21 +355,24 @@ def _kmeans_best(qv, centroids: list[list[int]]):
     literal. No join — the centroid bank is compiled into the plan."""
     from ..functions import exprs as EX
 
+    csq = F.lit([sum(int(x) * int(x) for x in cv) for cv in centroids]).cast(
+        "array<bigint>"
+    )
+
     def best(v):
         vsq = V.dot_int(v, v)
-        cands = [
-            F.struct(
+        cands = F.transform(
+            _cents_lit(centroids),
+            lambda cv, c: F.struct(
                 (
                     vsq
-                    - F.lit(2).cast("long")
-                    * V.dot_int(v, F.array(*[F.lit(x).cast("long") for x in cv]))
-                    + F.lit(sum(x * x for x in cv)).cast("long")
+                    - F.lit(2).cast("long") * V.dot_int(v, cv)
+                    + F.element_at(csq, c + F.lit(1))
                 ).alias("dist_sq"),
-                F.lit(c).alias("c"),
-            )
-            for c, cv in enumerate(centroids)
-        ]
-        return F.array_min(F.array(*cands))
+                c.alias("c"),
+            ),
+        )
+        return F.array_min(cands)
 
     return EX.bind(qv, best)
 

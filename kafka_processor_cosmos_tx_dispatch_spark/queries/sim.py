@@ -1759,6 +1759,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins. Same output columns as the untrained variant, so the two
     diff directly."""
     from ..functions import vectors as V
+    from ..operators.iterative import materialize, resolve_reliable
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1769,6 +1770,13 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cell"),
         V.dot_int(F.col("qv"), F.col("qv")).alias("nsq"),
     )
+    # idx feeds BOTH join sides: unmaterialized, the whole 2-round Lloyd
+    # chain (quantize + per-round bank aggregate + assign HOFs over the
+    # corpus) re-evaluates per side — the expensive work is NARROW, so
+    # exchange reuse cannot dedupe it (the triangle_count/cdc decision
+    # rule, PROBES.md r15). One eager checkpoint of the small (id, qv,
+    # cell, nsq) index; same-load A/B at sf0.1: 2.7 -> 2.2 s steady.
+    idx = materialize(idx, resolve_reliable(spark, None), strip=False)
     a = idx.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("query_qv"),
