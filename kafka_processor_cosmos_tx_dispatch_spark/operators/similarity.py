@@ -283,14 +283,22 @@ def ivf_topk(
     n_centroids: int = 8,
     k: int = 5,
     n_probe: int = 1,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF ANN: assign every CORPUS vector to its nearest centroid cell
     (the index); each query searches its `n_probe` nearest cells. The
     search join stays an equi-join on the cell id — per-query work is
     ~(n_probe/n_centroids)× the corpus, and recall climbs with n_probe
     (the standard IVF recall/latency dial). Cosine uses the
-    quantized-integer contract (exact, oracle-reproducible)."""
-    cents = ivf_centroids(n_centroids, _dims(corpus, vec_col))
+    quantized-integer contract (exact, oracle-reproducible).
+
+    `dims`: pass the vector dimensionality when the caller's table
+    contract pins it (the registered queries do — their oracle SQL
+    hard-codes it); None falls back to a one-row schema probe, which
+    costs a driver job (~0.26 s) per invocation."""
+    cents = ivf_centroids(
+        n_centroids, dims if dims is not None else _dims(corpus, vec_col)
+    )
 
     def prep(df: DataFrame, side: str) -> DataFrame:
         qv = V.quantized(F.col(vec_col))
@@ -448,6 +456,7 @@ def kmeans_assign(
     rounds: int = 2,
     literal_cells_max: int = KMEANS_LITERAL_CELLS_MAX,
     with_vec: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (vec_id, cluster,
     dist_sq): the semantic-curation primitive (cluster-balanced
@@ -492,8 +501,12 @@ def kmeans_assign(
       plan as literals — a join-free plan for callers that need one,
       paying O(k·dims) expression analysis/codegen per round plus the
       driver centroid collects between rounds that literals require.
+
+    `dims`: see ivf_topk — pass it when the caller's table contract
+    pins the dimensionality; None probes with a driver job.
     """
-    dims = _dims(df, vec_col)
+    if dims is None:
+        dims = _dims(df, vec_col)
     q = df.select(
         F.col(id_col).alias("vec_id"), V.quantized(F.col(vec_col)).alias("qv")
     )
@@ -682,6 +695,7 @@ def kmeans_assign_grouped(
     k: int = 8,
     rounds: int = 2,
     with_vec: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Per-GROUP Lloyd's k-means in ONE lazy plan: every row carries a
     group id in [0, n_groups) and each group trains its own k-centroid
@@ -708,7 +722,8 @@ def kmeans_assign_grouped(
             f"bank tier's bound ({KMEANS_BANK_ROUNDS_MAX}) — plan size "
             "doubles per round."
         )
-    dims = _dims(df, vec_col)
+    if dims is None:
+        dims = _dims(df, vec_col)
     q = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(group_col).cast("int").alias("g"),
@@ -872,6 +887,7 @@ def pq_encode(
     m: int = PQ_M,
     k: int = PQ_K,
     passthrough: tuple = (),
+    dims: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into `m`
     subvectors, snap each to its nearest codebook entry (exact integer
@@ -889,7 +905,8 @@ def pq_encode(
     stays bit-identical: quantization is the same floor(x·2^10) IEEE
     op, distances the same int64 arithmetic, and np.argmin's
     first-minimum rule is exactly the lowest-code tiebreak."""
-    dims = _dims(df, vec_col)
+    if dims is None:
+        dims = _dims(df, vec_col)
     sub_d = dims // m
     import numpy as np
 
@@ -949,6 +966,7 @@ def pq_topk(
     m: int = PQ_M,
     k: int = PQ_K,
     k_out: int = 5,
+    dims: int | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance (ADC): the corpus is its codes
     only; each query scores a corpus row as Σ_sub L2(query_subvector,
@@ -966,7 +984,8 @@ def pq_topk(
     query vector), so the per-(query, corpus-row) work after the join is
     m array lookups + adds, not m×k dot products. Compose with the IVF
     cell join for unbounded query sets."""
-    dims = _dims(corpus, vec_col)
+    if dims is None:
+        dims = _dims(corpus, vec_col)
     sub_d = dims // m
     import numpy as np
 
@@ -974,9 +993,9 @@ def pq_topk(
         m, k, sub_d
     )
     cnorm = (cent3 * cent3).sum(axis=2)  # (m, k)
-    enc = pq_encode(widen(corpus), id_col, vec_col, m, k).withColumnRenamed(
-        "vec_id", "neighbor_id"
-    )
+    enc = pq_encode(
+        widen(corpus), id_col, vec_col, m, k, dims=dims
+    ).withColumnRenamed("vec_id", "neighbor_id")
 
     def query_tables(batches):
         """(query_id, q_tables): per subspace, the k exact int64 L2
@@ -1048,6 +1067,7 @@ def ivfpq_topk(
     m: int = PQ_M,
     k: int = PQ_K,
     k_out: int = 5,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS `IndexIVFPQ` composition — coarse IVF cells
     prune WHICH corpus rows are scored, PQ/ADC codes decide HOW each
@@ -1069,7 +1089,8 @@ def ivfpq_topk(
     index-build passes are narrow scans. Same integer/ADC determinism
     contract as pq_topk, so the composed oracle reproduces every
     distance bit-for-bit."""
-    dims = _dims(corpus, vec_col)
+    if dims is None:
+        dims = _dims(corpus, vec_col)
     sub_d = dims // m
     import numpy as np
 
@@ -1087,7 +1108,7 @@ def ivfpq_topk(
         .alias("cell"),
     )
     enc = pq_encode(
-        c_cells, id_col, vec_col, m, k, passthrough=("cell",)
+        c_cells, id_col, vec_col, m, k, passthrough=("cell",), dims=dims
     ).withColumnRenamed("vec_id", "neighbor_id")
 
     def query_tables(batches):
@@ -1209,6 +1230,7 @@ def semantic_dedup_drops(
     k: int = 8,
     rounds: int = 2,
     threshold: float = 0.9,
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with k-means, then compare embeddings ONLY within each
@@ -1227,7 +1249,8 @@ def semantic_dedup_drops(
     engines); the k-means stage reuses kmeans_assign unchanged.
     """
     a = kmeans_assign(
-        widen(df), id_col, vec_col, k=k, rounds=rounds, with_vec=True
+        widen(df), id_col, vec_col, k=k, rounds=rounds, with_vec=True,
+        dims=dims,
     ).select(
         "vec_id",
         "cluster",

@@ -303,6 +303,17 @@ def _pr_iter_dangling(k: int, prev: str) -> str:
 
 _IVF_CELLS = 8
 
+# The embeddings table's dimensionality is part of the registered-query
+# contract: every sim/dedup oracle above and below hard-codes it in SQL
+# (`i // 64`, `generate_series(0, k * 64 - 1)`, the 32+32 Hamming word
+# split, the 4×16 PQ subspace slices). Passing it to the operators
+# skips their fallback one-row schema probe — a ~0.26 s driver job per
+# query invocation, pure overhead given the constant is already baked
+# into each query's oracle. Operators keep the probe for generic
+# callers; if the fixture ever changed dims, the oracle SQL would have
+# to change in lockstep anyway and the gate would catch a mismatch.
+_EMB_DIMS = 64
+
 
 def _km_assign_sql(cent: str, out: str) -> str:
     """One Lloyd assignment as a DuckDB CTE: nearest centroid by exact
@@ -347,6 +358,7 @@ def _sim_topk_ivf_multiprobe_body(emb: DataFrame) -> DataFrame:
         n_centroids=_IVF_CELLS,
         k=5,
         n_probe=2,
+        dims=_EMB_DIMS,
     )
 
 

@@ -13,6 +13,7 @@ from ._core import (  # noqa: F401 — shared query toolkit
     _D_NORM,
     _D_SHINGLES,
     _D_TOKS,
+    _EMB_DIMS,
     _IVF_CELLS,
     _LSH_MAX_BUCKET,
     _MINHASH_BANDS,
@@ -888,7 +889,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_drops
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_drops(emb, k=_IVF_CELLS, rounds=2, threshold=0.4)
+    return semantic_dedup_drops(emb, k=_IVF_CELLS, rounds=2, threshold=0.4, dims=_EMB_DIMS)
 
 
 @register(

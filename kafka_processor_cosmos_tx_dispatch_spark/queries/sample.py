@@ -17,6 +17,7 @@ from ._core import (  # noqa: F401 — shared query toolkit
     _D_TOKS,
     _EPOCHS,
     _FILL_BUDGET,
+    _EMB_DIMS,
     _IVF_CELLS,
     _LSH_MAX_BUCKET,
     _MINHASH_BANDS,
@@ -200,7 +201,7 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    clusters = kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+    clusters = kmeans_assign(emb, k=_IVF_CELLS, rounds=2, dims=_EMB_DIMS)
     w = W.partitionBy("cluster").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )

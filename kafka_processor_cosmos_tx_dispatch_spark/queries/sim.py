@@ -12,6 +12,7 @@ from ._core import (  # noqa: F401 — shared query toolkit
     W,
     _D_FLAT,
     _FIXED,
+    _EMB_DIMS,
     _IVF_CELLS,
     _PQ_CTES,
     _km_assign_sql,
@@ -69,7 +70,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, n_centroids=_IVF_CELLS, k=5
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        n_centroids=_IVF_CELLS,
+        k=5,
+        dims=_EMB_DIMS,
     )
 
 
@@ -163,7 +168,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+    return kmeans_assign(emb, k=_IVF_CELLS, rounds=2, dims=_EMB_DIMS)
 
 
 @register(
@@ -206,7 +211,7 @@ def sim_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        kmeans_assign(emb, k=_IVF_CELLS, rounds=2)
+        kmeans_assign(emb, k=_IVF_CELLS, rounds=2, dims=_EMB_DIMS)
         .groupBy(F.col("cluster").cast("int").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -627,7 +632,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=5)
+    return pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=5, dims=_EMB_DIMS)
 
 
 @register(
@@ -775,7 +780,7 @@ def sim_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=20).select(
+    cand = pq_topk(emb.filter(F.col("vec_id") < 10), emb, k_out=20, dims=_EMB_DIMS).select(
         "query_id", "neighbor_id"
     )
     qv = emb.select(
@@ -958,6 +963,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=_IVF_CELLS,
         n_probe=2,
         k_out=5,
+        dims=_EMB_DIMS,
     )
 
 
@@ -1613,6 +1619,7 @@ def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=PQ_K,
         rounds=2,
         with_vec=True,
+        dims=_EMB_DIMS // PQ_M,
     )
     return (
         asg.select("g", "cluster", F.posexplode("qv").alias("d", "v"))
@@ -1684,14 +1691,16 @@ def sim_pq_train_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid argmin measured 2× slower — 256 compiled cells)
     init = (
         kmeans_assign_grouped(
-            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=0
+            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=0,
+            dims=_EMB_DIMS // PQ_M,
         )
         .groupBy("g")
         .agg(F.sum("dist_sq").cast("long").alias("inertia_init"))
     )
     trained = (
         kmeans_assign_grouped(
-            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=2
+            sq, n_groups=PQ_M, vec_col="emb16", k=PQ_K, rounds=2,
+            dims=_EMB_DIMS // PQ_M,
         )
         .groupBy("g")
         .agg(F.sum("dist_sq").cast("long").alias("inertia_trained"))
@@ -1763,7 +1772,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_assign(emb, k=_IVF_CELLS, rounds=2, with_vec=True)
+    asg = kmeans_assign(emb, k=_IVF_CELLS, rounds=2, with_vec=True, dims=_EMB_DIMS)
     idx = asg.select(
         "vec_id",
         "qv",
@@ -1954,6 +1963,7 @@ def _pq_train_sampled_body(emb: DataFrame) -> DataFrame:
         k=PQ_K,
         rounds=2,
         with_vec=True,
+        dims=_EMB_DIMS // PQ_M,
     )
     cells = (
         asg.select("g", "cluster", F.posexplode("qv").alias("d", "v"))
