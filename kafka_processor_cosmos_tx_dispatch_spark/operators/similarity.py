@@ -228,12 +228,19 @@ def _cents_lit(centroids: list[list[int]]):
     """The whole centroid bank as ONE array<array<bigint>> literal.
 
     The former shape — `F.array(*[F.lit(x) for x in cv])` per centroid —
-    built k×dims Literal nodes through k×dims py4j round-trips: for the
-    8×64 IVF bank that was ~3.5 s of DRIVER-side construction+analysis
-    per query invocation vs ~0.5 s of actual execution at sf0.1 (the
-    same disease pq_topk's docstring records for the old in-row ADC
-    tree). One nested-list literal is one py4j call and one plan node;
-    per-row execution work is unchanged (same k dots of dims mults)."""
+    built k×dims Literal nodes PLUS a per-element `.cast("long")` call:
+    for the 8×64 IVF bank that was ~3.5 s of DRIVER-side
+    construction+analysis per query invocation vs ~0.5 s of actual
+    execution at sf0.1 (the same disease pq_topk's docstring records
+    for the old in-row ADC tree). Note the saving is NOT "one py4j
+    call": in this classic (non-Connect) session PySpark's `lit(list)`
+    still recursively expands to `array(*[lit(item) ...])` — k×dims
+    lit() round-trips either way. What the nested-list literal drops is
+    the k×dims per-element `.cast('long')` py4j calls (one outer cast
+    instead), and Catalyst constant-folds the fully-foldable array tree
+    into ONE Literal during analysis, so the optimizer/codegen never
+    walk 512 nodes. Per-row execution work is unchanged (same k dots of
+    dims mults)."""
     return F.lit([[int(x) for x in cv] for cv in centroids]).cast(
         "array<array<bigint>>"
     )

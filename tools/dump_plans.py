@@ -1,11 +1,11 @@
 """Dump `.explain("formatted")` output for declared queries to files.
 
 Usage:
-    python tools/dump_plans.py OUTDIR SUFFIX [SF_DIR] name [name ...]
+    python tools/dump_plans.py OUTDIR SUFFIX [--sf-dir DIR] name [name ...]
 
 Writes OUTDIR/<name>_<SUFFIX>.txt for each query name. Plans are the
 pre-execution formatted physical plans (AdaptiveSparkPlan initial plans
-where AQE applies); nothing is executed. SF_DIR defaults to
+where AQE applies); nothing is executed. --sf-dir defaults to
 /root/testdata/sf0.1 to match the bench scale.
 """
 
@@ -18,14 +18,30 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+USAGE = (
+    "usage: python tools/dump_plans.py OUTDIR SUFFIX [--sf-dir DIR] "
+    "name [name ...]"
+)
+
+
+def parse_args(argv: list[str]) -> tuple[str, str, str, list[str]]:
+    """(outdir, suffix, sf_dir, names) — explicit --sf-dir flag instead
+    of isdir-sniffing the first name (ADVICE r15: a query name matching
+    a local directory was silently dropped from the dump list)."""
+    if len(argv) < 4:
+        raise SystemExit(USAGE)
+    outdir, suffix = argv[1], argv[2]
+    rest = argv[3:]
+    sf_dir = "/root/testdata/sf0.1"
+    if rest[0] == "--sf-dir":
+        if len(rest) < 3:
+            raise SystemExit(USAGE)
+        sf_dir, rest = rest[1], rest[2:]
+    return outdir, suffix, sf_dir, rest
+
 
 def main() -> int:
-    outdir, suffix = sys.argv[1], sys.argv[2]
-    rest = sys.argv[3:]
-    if rest and os.path.isdir(rest[0]):
-        sf_dir, names = rest[0], rest[1:]
-    else:
-        sf_dir, names = "/root/testdata/sf0.1", rest
+    outdir, suffix, sf_dir, names = parse_args(sys.argv)
     os.makedirs(outdir, exist_ok=True)
 
     from kafka_processor_cosmos_tx_dispatch_spark import queries as _q
