@@ -808,16 +808,31 @@ def _substring_runs(
         )
         .filter(F.col("shingle").isNotNull())
     )
-    keep = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
-        .select("shingle")
+    # df-cap (2 ≤ distinct docs ≤ max) as two stacked windows over ONE
+    # hashpartitioning(shingle) exchange, not a countDistinct agg +
+    # join-back: the agg shape evaluated the tokenize/shingle/explode
+    # pipeline three times (df sizes, build, probe of the self-join) —
+    # the minhash_lsh_pairs bucket-cap lesson, adapted to a DISTINCT-doc
+    # frequency: rows sorted by (doc_id, pos) within each shingle flag
+    # the first row of each doc, and the full-partition sum of those
+    # flags IS countDistinct(doc_id). The self-join then reuses the same
+    # shuffled bytes for both sides.
+    w_ord = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    w_all = Window.partitionBy("shingle")
+    first_in_doc = F.when(
+        F.lag("doc_id").over(w_ord).isNull()
+        | (F.lag("doc_id").over(w_ord) != F.col("doc_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    anchored = (
+        sh.withColumn("_fid", first_in_doc)
+        .withColumn("_df", F.sum("_fid").over(w_all))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df))
+        .drop("_fid", "_df")
     )
-    anchored = sh.join(keep, "shingle")
     m = (
         anchored.alias("a")
-        .join(anchored.alias("b"), "shingle")
+        .join(anchored.alias("b").hint("shuffle_hash"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -863,7 +878,17 @@ def exact_substring_spans(
 
     Scale: inherits the anchor stage's df-prune bounds; the interval
     merge windows partition per doc over O(that doc's spans) rows."""
-    runs = _substring_runs(docs, id_col, text_col, min_tokens, max_shingle_df)
+    from .iterative import materialize, resolve_reliable
+
+    # runs feeds BOTH sides of the doc_a/doc_b span union below:
+    # unmaterialized, the whole anchor stage (shingle explode + df-cap
+    # windows + self-join + islands window) evaluates once per side.
+    # The relation is O(matched runs) — pair-bounded, never corpus-wide.
+    runs = materialize(
+        _substring_runs(docs, id_col, text_col, min_tokens, max_shingle_df),
+        resolve_reliable(docs.sparkSession, None),
+        strip=False,
+    )
     span_len = F.col("run_len") + F.lit(min_tokens - 1)
     spans = (
         runs.select(

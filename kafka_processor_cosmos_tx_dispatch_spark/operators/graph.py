@@ -455,6 +455,11 @@ def hits(
         auth = a_raw.crossJoin(F.broadcast(at)).select(
             "node", F.expr(f"(a * {HITS_SCALE}) DIV t").alias("a")
         )
+        # NOTE (r16): the final round's auth is referenced twice (hub
+        # half-step + output join), but both references are identical
+        # subtrees in ONE executed plan and AQE exchange reuse dedupes
+        # them — an eager materialize here measured flat with +3 jobs
+        # per run (probe record in OPTIMIZATION_r16.md). Left lazy.
         h_raw = nodes.join(
             edges.join(auth, edges.dst == auth.node)
             .groupBy("src")

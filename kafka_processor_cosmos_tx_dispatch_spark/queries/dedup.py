@@ -18,6 +18,7 @@ from ._core import (  # noqa: F401 — shared query toolkit
     _LSH_MAX_BUCKET,
     _MINHASH_BANDS,
     _MINHASH_K,
+    W,
     _km_assign_sql,
     _km_update_sql,
     _minhash_sig_sql,
@@ -226,14 +227,40 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, k=_MINHASH_K, bands=_MINHASH_BANDS, max_bucket=_LSH_MAX_BUCKET
     )
-    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    # Shingle sets are computed ONCE PER DOC here, not per pair: a doc
+    # averages ~6 pair memberships on this corpus, and the distinct-3-gram
+    # transform is the heavy per-row expression — per-pair evaluation paid
+    # it 2×pairs times instead of once per doc. The per-pair residue is
+    # the array_intersect plus the prefix/suffix scans (which genuinely
+    # need both token arrays). Costs a wider shuffle row (tokens +
+    # shingle set), the §2.3/§1.2 trade measured in the pair's favor.
+    t = docs.select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),"
+            " element_at(t, i+2))))"
+        ).alias("sh"),
+    )
     j = (
         pairs.join(
-            t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            t.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("t").alias("ta"),
+                F.col("sh").alias("sha"),
+            ),
             "doc_a",
         )
         .join(
-            t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            t.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("t").alias("tb"),
+                F.col("sh").alias("shb"),
+            ),
             "doc_b",
         )
         .withColumn("na", F.size("ta"))
@@ -253,25 +280,9 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> element_at(ta, na + 1 - i)"
             " = element_at(tb, nb + 1 - i)), false)"
         ).alias("spos"),
-        F.expr(
-            "size(array_intersect("
-            " array_distinct(transform(sequence(1, na - 2),"
-            "  i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
-            "       element_at(ta, i+2)))),"
-            " array_distinct(transform(sequence(1, nb - 2),"
-            "  i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
-            "       element_at(tb, i+2))))))"
-        ).alias("inter"),
-        F.expr(
-            "size(array_distinct(transform(sequence(1, na - 2),"
-            " i -> concat_ws(' ', element_at(ta, i), element_at(ta, i+1),"
-            " element_at(ta, i+2)))))"
-        ).alias("sa"),
-        F.expr(
-            "size(array_distinct(transform(sequence(1, nb - 2),"
-            " i -> concat_ws(' ', element_at(tb, i), element_at(tb, i+1),"
-            " element_at(tb, i+2)))))"
-        ).alias("sb"),
+        F.expr("size(array_intersect(sha, shb))").alias("inter"),
+        F.size("sha").alias("sa"),
+        F.size("shb").alias("sb"),
     )
     return ex.select(
         "doc_a",
@@ -1663,16 +1674,24 @@ def _winnow_pairs(docs: DataFrame) -> DataFrame:
             EX.bind(EX.bind(t, gram_hashes), winnow)
         ).alias("fp"),
     )
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df-cap as a count window over the fp partitioning, not a separate
+    # sizes-agg + join-back: the window's exchange is the SAME
+    # hashpartitioning(fp) the self-join needs, so exchange reuse
+    # materializes the md5 gram/winnow pipeline exactly once and every
+    # other consumer reads the shuffled bytes. The previous agg+join-back
+    # shape evaluated the gram pipeline three times (sizes, build, probe)
+    # — the minhash_lsh_pairs bucket-cap lesson applied to the winnow
+    # index. fps is per-doc DISTINCT fingerprints (array_distinct above),
+    # so the window count equals the old GROUP BY fp doc-frequency.
+    wfp = W.partitionBy("fp")
+    capped = (
+        fps.withColumn("df", F.count(F.lit(1)).over(wfp))
         .filter(F.col("df").between(2, 64))
-        .select("fp")
+        .drop("df")
     )
-    capped = fps.join(keep, "fp")
     pairs = (
         capped.alias("a")
-        .join(capped.alias("b"), "fp")
+        .join(capped.alias("b").hint("shuffle_hash"), "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),

@@ -8,10 +8,27 @@ directory of many files; nothing here assumes single-file layout.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Session-scoped memo of load_table PLANS (never results): every
+# spark.read.parquet call pays py4j round-trips plus a driver-side
+# footer/schema read, and the bench invokes each registered query fresh
+# per iteration — thousands of identical table loads per sweep, each
+# rebuilding the identical scan plan (the r15 _dims-probe lesson: count
+# driver round-trips, not just plan nodes). DataFrames are immutable, so
+# handing every caller the same handle is safe; execution still scans
+# the parquet files on every action — nothing here caches data. Keyed
+# per SparkSession (a WeakKeyDictionary entry dies with its session, so
+# a restarted session can never serve stale JVM handles) and per
+# resolved path. The harness table directories are static by contract
+# (TESTDATA.md); paths that change under a session must not go through
+# load_table (the q_source_* roundtrip queries read their own writes
+# via spark.read directly).
+_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 TABLE_NAMES = (
     "region",
@@ -37,6 +54,11 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = table_path(sf_dir, name)
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    cached = memo.get(path)
+    if cached is not None:
+        return cached
     # The harness parquet carries TIMESTAMP(NANOS) columns, which Spark
     # rejects outright unless this legacy conf is on. session.py sets it at
     # build time, but external harnesses (the correctness driver) own their
@@ -46,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(conf_key, None) != "true":
         spark.conf.set(conf_key, "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
     # The harness timestamps are naive wall times meant as UTC. Two physical
     # encodings have appeared across harness generations; normalize BOTH to
     # a TimestampType (LTZ) whose epoch equals the wall time read as UTC —
@@ -75,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 ),
             )
+    memo[path] = df
     return df
 
 

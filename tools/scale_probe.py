@@ -1081,6 +1081,120 @@ def main() -> None:
     )
     probe("triangle_count_skewed", n_tri, lambda: run(triangle_count(tri_edges)))
 
+    # ------------------------------------------------------------------
+    # r16 (VERDICT r15 item 5): the streaming and DSIR families at scale.
+    # The c8-beats-c32 inversion proved sf0.1 seconds cannot support any
+    # parallelism claim for these; multi-batch probes at 20-50x are the
+    # only honest evidence.
+    # ------------------------------------------------------------------
+
+    # stream-stream join through the REAL streaming engine (watermarked
+    # symmetric hash join state), 4 genuine micro-batches via a 4-file
+    # input + maxFilesPerTrigger=1 — not a foreachBatch fold, so the
+    # state-store build/commit cost per batch is in the measurement.
+    from kafka_processor_cosmos_tx_dispatch_spark.streaming.dispatch import (
+        file_stream_reader,
+    )
+
+    ev4_path = f"{WORKDIR}/events4"
+    _events(spark, args.events).repartition(4).write.mode("overwrite").parquet(
+        ev4_path
+    )
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def stream_stream_join():
+        import uuid as _uuid
+
+        stream = file_stream_reader(
+            spark, f"{ev4_path}/*.parquet", ev_schema, max_files_per_trigger=1
+        )
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "40 days")
+        )
+        c = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "40 days")
+        )
+        j = p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts - interval 1 hour"
+                " AND c_ts <= p_ts"
+            ),
+        )
+        name = f"ssj_{_uuid.uuid4().hex[:10]}"
+        q = (
+            j.select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+            .writeStream.format("noop")
+            .queryName(name)
+            .option("checkpointLocation", f"{WORKDIR}/ssj_ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    probe("stream_stream_join_4batches", args.events, stream_stream_join)
+
+    # DSIR batch operator at 20x bench corpus: hashed-bigram bucket model
+    # + per-doc score — the quadratic risk is the bigram explode, the
+    # probe pins it linear
+    from kafka_processor_cosmos_tx_dispatch_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    probe(
+        "dsir_weights_batch",
+        args.docs,
+        lambda: run(dsir_weights(docs, target=F.col("lang") == "en"))
+        if "lang" in docs.columns
+        else run(
+            dsir_weights(
+                docs.withColumn(
+                    "lang",
+                    F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"),
+                ),
+                target=F.col("lang") == "en",
+            )
+        ),
+    )
+
+    # streaming DSIR twin: 4 real carried-model merges via the
+    # foreachBatch body (the per-batch cost is the bucket-count
+    # full-outer merge + the feature-archive write), then the drain join
+    from kafka_processor_cosmos_tx_dispatch_spark.streaming.incremental import (
+        dsir_drained,
+        make_dsir_batch,
+    )
+
+    def stream_dsir():
+        import shutil as _sh
+
+        workdir = f"{WORKDIR}/sdsir"
+        _sh.rmtree(workdir, ignore_errors=True)
+        d = docs.withColumn(
+            "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+        )
+        body = make_dsir_batch(workdir, 4096, {"bid": None, "path": None})
+        for bid in range(4):
+            body(d.filter(F.col("doc_id") % 4 == bid), bid)
+        run(dsir_drained(spark, workdir))
+
+    probe("streaming_dsir_4batches", args.docs, stream_dsir)
+
     spark.stop()
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
