@@ -1255,8 +1255,6 @@ def semantic_dedup_drops(
     quantized-integer cosine as the ANN family (bit-identical across
     engines); the k-means stage reuses kmeans_assign unchanged.
     """
-    from .iterative import materialize, resolve_reliable
-
     a = kmeans_assign(
         widen(df), id_col, vec_col, k=k, rounds=rounds, with_vec=True,
         dims=dims,
@@ -1266,14 +1264,13 @@ def semantic_dedup_drops(
         "qv",
         V.dot_int(F.col("qv"), F.col("qv")).alias("nsq"),
     )
-    # `a` feeds BOTH sides of the within-cluster pair join: unmaterialized,
-    # the whole 2-round Lloyd chain (its shuffles and broadcast rounds)
-    # executes once per side — exchange reuse cannot dedupe the two
-    # references because each side re-enters the chain through a different
-    # projection. One narrow checkpoint (vec_id, cluster, qv, nsq — the
-    # same bounded shape the pair join shuffles anyway) halves the chain
-    # (the sim_topk_ivf_trained lesson, r15).
-    a = materialize(a, resolve_reliable(df.sparkSession, None), strip=False)
+    # NOTE (r16): `a` feeds both pair-join sides, but a counterbalanced
+    # fresh-session probe read an eager checkpoint here FLAT (mins
+    # 3.58/3.59 vs 3.91/3.58) at +1 job per invocation — the Lloyd
+    # chain's repeated subtrees end at exchanges AQE already reuses —
+    # and at corpus scale the checkpoint would materialize an
+    # O(corpus)-wide (qv) relation. Left lazy (probe in
+    # OPTIMIZATION_r16.md / PROBES.md r16).
     keep = a.select(
         F.col("vec_id").alias("keep_id"),
         "cluster",

@@ -44,7 +44,6 @@ EAGER = {
     "graph_betweenness_sampled",  # und/level/dlevel materialization (r15)
     "graph_triangle_count",  # canonical edge-list materialization (r15)
     "dedup_cdc_pairs",  # (doc_id, fp) chunk materialization (r15)
-    "dedup_semantic",  # assignment materialization (r16: a fed both join sides)
     "dedup_exact_spans",  # runs materialization (r16: fed both span-union sides)
     "sim_topk_ivf_trained",  # trained-index materialization (r15: idx fed both join sides)
     "graph_connected_components",  # CC pointer-jump rounds run on call
