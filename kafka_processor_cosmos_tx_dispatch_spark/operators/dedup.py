@@ -957,7 +957,20 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
     chunk-dedup stats and the containment pair miner build on. Scale:
     the position explode is bounded by doc length; corpus-wide shuffles
     move (doc_id, cut) longs and 16-byte fingerprints, never text (the
-    one text re-join is doc-keyed)."""
+    one text re-join is doc-keyed).
+
+    Plan shape (r16): the end-of-doc sentinel cut joins the boundary
+    stream BEFORE the min-size window (flagged `is_len`, exempt from
+    suppression and ordered after a tying raw cut), so the suppression
+    lag and the span lag are two stacked windows over ONE
+    hashpartitioning(doc_id) exchange — the former
+    kept → UNION sentinel → DISTINCT → second window chain paid two
+    more exchanges for the same rows. Equivalence: sentinels sort last
+    in their doc (cut = LENGTH ≥ every boundary cut, is_len breaks the
+    tie), so no raw cut's suppression lag ever sees a sentinel, and a
+    kept raw cut that EQUALS the doc length yields the duplicate pair
+    (cut=len, prev=p), (cut=len, prev=len) of which the second dies on
+    the cut > prev filter — exactly the row the old DISTINCT removed."""
     from pyspark.sql import Window as W
 
     pos = docs.filter(F.length(text_col) >= 8).select(
@@ -970,19 +983,23 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bnd = pos.filter(
         F.substring(F.md5(F.expr(f"substring({text_col}, i, 8)")), 1, 2)
         < "08"
-    ).select("doc_id", (F.col("i") + 7).cast("long").alias("cut"))
-    wdoc = W.partitionBy("doc_id").orderBy("cut")
-    kept = (
-        bnd.withColumn("pc", F.lag("cut", 1, -7).over(wdoc))
-        .filter(F.col("cut") - F.col("pc") >= 8)
-        .select("doc_id", "cut")
+    ).select(
+        "doc_id",
+        (F.col("i") + 7).cast("long").alias("cut"),
+        F.lit(False).alias("is_len"),
     )
-    cuts = kept.union(
+    cuts = bnd.unionByName(
         docs.filter(F.length(text_col) > 0).select(
-            "doc_id", F.length(text_col).cast("long").alias("cut")
+            "doc_id",
+            F.length(text_col).cast("long").alias("cut"),
+            F.lit(True).alias("is_len"),
         )
-    ).distinct()
-    spans = cuts.withColumn("prev", F.lag("cut", 1, 0).over(wdoc))
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("cut", "is_len")
+    kept = cuts.withColumn("pc", F.lag("cut", 1, -7).over(wdoc)).filter(
+        F.col("is_len") | (F.col("cut") - F.col("pc") >= 8)
+    )
+    spans = kept.withColumn("prev", F.lag("cut", 1, 0).over(wdoc))
     return (
         spans.join(docs.select("doc_id", text_col), "doc_id")
         .filter(F.col("cut") > F.col("prev"))
